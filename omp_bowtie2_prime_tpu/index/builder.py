@@ -1,0 +1,144 @@
+"""FM-index builder (host side).
+
+Equivalent capability to bowtie2-build's driver (ref: bt2_build.cpp:376,
+Ebwt::buildToDisk bt2_idx.h:2922-3290) but emits the TPU-first layout in
+format.py: blocked occ checkpoints, base-5 keyed ftab with explicit
+top/bot arrays (replacing the reference's eftab boundary patching), and
+text-position SA sampling for bounded walks.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..utils import dna
+from ..utils.suffix_array import suffix_array, bwt_from_sa
+from .fasta import parse_fasta, join_references
+from .format import (
+    FMIndex,
+    MARK_WORDS_PER_BLOCK,
+    OCC_BLOCK,
+    WORD_BASES,
+    WORDS_PER_BLOCK,
+)
+
+_CHUNK = 1 << 20
+
+
+def _pack_padded(codes: np.ndarray, total: int) -> np.ndarray:
+    """2-bit pack codes, zero-padded to `total` bases."""
+    padded = np.zeros(total, dtype=np.int8)
+    padded[: len(codes)] = codes
+    return dna.pack_2bit(padded)
+
+
+def _occ_checkpoints(bwt: np.ndarray, nblocks: int) -> np.ndarray:
+    """[nblocks,4] counts of each char in bwt[0 : b*OCC_BLOCK) (dummy counted
+    as char 0; query-side adjusts for zoff)."""
+    cp = np.zeros((nblocks, 4), dtype=np.int64)
+    counts = np.zeros(4, dtype=np.int64)
+    nrows = len(bwt)
+    for b in range(nblocks):
+        cp[b] = counts
+        blk = bwt[b * OCC_BLOCK : min((b + 1) * OCC_BLOCK, nrows)]
+        counts = counts + np.bincount(blk, minlength=4)
+    return cp
+
+
+def _ftab(text: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+    """ftab_top/bot[4^k]: SA row range of every k-mer (backward-search seed
+    jump, ref: Ebwt::ftab semantics bt2_idx.h:1259, aligner_seed.cpp:757-811).
+
+    Keys are base-5 (sentinel=0, chars 1..4) so suffixes shorter than k sort
+    correctly below any full k-mer sharing their prefix; full k-mers then map
+    to exact key values and searchsorted left/right gives [top, bot).
+    """
+    n = len(text)
+    nrows = n + 1
+    s5 = np.zeros(n + k, dtype=np.int64)
+    s5[:n] = text.astype(np.int64) + 1
+    pow5 = 5 ** np.arange(k - 1, -1, -1, dtype=np.int64)
+    keys = np.empty(nrows, dtype=np.int64)
+    for lo in range(0, nrows, _CHUNK):
+        hi = min(lo + _CHUNK, nrows)
+        pos = sa[lo:hi, None] + np.arange(k, dtype=np.int64)[None, :]
+        keys[lo:hi] = s5[pos] @ pow5
+    # keys are sorted (SA order is lexicographic)
+    nq = 4**k
+    q = np.arange(nq, dtype=np.int64)
+    q5 = np.zeros(nq, dtype=np.int64)
+    for j in range(k):
+        digit = (q >> (2 * (k - 1 - j))) & 3
+        q5 += (digit + 1) * pow5[j]
+    top = np.searchsorted(keys, q5, side="left").astype(np.uint32)
+    bot = np.searchsorted(keys, q5, side="right").astype(np.uint32)
+    return top, bot
+
+
+def build_index_from_text(
+    text: np.ndarray,
+    refmap,
+    ftab_k: int = 10,
+    srate: int = 16,
+) -> FMIndex:
+    """Build the FM index over a joined ACGT text (codes 0..3)."""
+    text = np.asarray(text, dtype=np.int8)
+    assert text.min(initial=0) >= 0 and text.max(initial=0) < 4
+    n = len(text)
+    nrows = n + 1
+    sa = suffix_array(text)
+    bwt, zoff = bwt_from_sa(text, sa)
+
+    nblocks = (nrows + OCC_BLOCK - 1) // OCC_BLOCK
+    bwt_words = _pack_padded(bwt, nblocks * OCC_BLOCK)
+    occ_cp = _occ_checkpoints(bwt, nblocks)
+
+    cnt = np.bincount(text, minlength=4).astype(np.int64)
+    fchr = np.zeros(5, dtype=np.int64)
+    fchr[0] = 1  # sentinel occupies row 0..1
+    for c in range(1, 5):
+        fchr[c] = fchr[c - 1] + cnt[c - 1]
+    assert fchr[4] == nrows
+
+    ftab_top, ftab_bot = _ftab(text, sa, ftab_k)
+
+    marked = (sa % srate) == 0
+    nmark_words = nblocks * MARK_WORDS_PER_BLOCK
+    mark_bits = np.zeros(nmark_words * 32, dtype=bool)
+    mark_bits[:nrows] = marked
+    mw = mark_bits.reshape(nmark_words, 32)
+    mark_words = (
+        mw.astype(np.uint32) << np.arange(32, dtype=np.uint32)[None, :]
+    ).sum(axis=1, dtype=np.uint32)
+    marked_per_block = (
+        mark_bits.reshape(nblocks, OCC_BLOCK).sum(axis=1).astype(np.int64)
+    )
+    mark_cp = np.concatenate([[0], np.cumsum(marked_per_block)[:-1]])
+    sa_sample = sa[marked].astype(np.uint32)
+
+    ref_words = dna.pack_2bit(text)
+
+    return FMIndex(
+        n=n,
+        nrows=nrows,
+        zoff=zoff,
+        fchr=fchr,
+        bwt_words=bwt_words,
+        occ_cp=occ_cp,
+        ftab_k=ftab_k,
+        ftab_top=ftab_top,
+        ftab_bot=ftab_bot,
+        srate=srate,
+        mark_words=mark_words,
+        mark_cp=mark_cp,
+        sa_sample=sa_sample,
+        ref_words=ref_words,
+        refmap=refmap,
+    )
+
+
+def build_index(fasta_paths, ftab_k: int = 10, srate: int = 16) -> FMIndex:
+    """FASTA file(s) -> FMIndex (the bowtie2-build equivalent entry point)."""
+    names, seqs = parse_fasta(fasta_paths)
+    joined, refmap = join_references(names, seqs)
+    return build_index_from_text(joined, refmap, ftab_k=ftab_k, srate=srate)

@@ -1,0 +1,10 @@
+"""Test config: run on CPU with 8 virtual devices so multi-chip sharding
+paths are exercised without TPU hardware (the driver separately dry-runs
+the multichip path; see __graft_entry__.dryrun_multichip)."""
+
+import os
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
