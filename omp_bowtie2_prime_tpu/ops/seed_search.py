@@ -1,0 +1,64 @@
+"""Batched exact-match FM backward search over seed lanes.
+
+TPU-native analog of the reference's lockstep seed-search kernel
+(SeedAligner::searchSeedBi<SS_SIZE>, aligner_seed.cpp:820-957, with the
+ftab jump of startSearchSeedBi, aligner_seed.cpp:757-811). The fork runs 8
+seeds in interleaved lockstep to hide memory latency; here every lane of a
+[B]-wide batch advances in lockstep per LF step, with dead lanes masked
+instead of swap-compacted (fixed shapes for XLA).
+
+The fork supports exact seeds only (mmSeeds throws for mms>0,
+aligner_seed.h:356-369), so a seed containing N can never match and is
+invalidated up front.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import rank
+
+
+def pack_kmer(seed_tail: jnp.ndarray) -> jnp.ndarray:
+    """[B, k] codes -> packed 4-ary int32 key (first char = high digits)."""
+    k = seed_tail.shape[-1]
+    w = (4 ** jnp.arange(k - 1, -1, -1, dtype=jnp.int32))[None, :]
+    return jnp.sum(jnp.clip(seed_tail, 0, 3).astype(jnp.int32) * w, axis=-1)
+
+
+def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
+    """Exact backward search of fixed-length seeds.
+
+    seeds: int32/int8 [B, L] codes (4 = N); valid: bool [B].
+    Returns (top, bot) int32 [B]; empty lanes have top == bot.
+    """
+    seeds = seeds.astype(jnp.int32)
+    B, L = seeds.shape
+    k = idx.ftab_k
+    assert L >= k, "seed shorter than ftab k"
+
+    has_n = jnp.any(seeds >= 4, axis=-1)
+    alive = valid & ~has_n
+
+    # ftab jump on the last k chars (backward search starts at seed end)
+    q = pack_kmer(seeds[:, L - k :])
+    top = jnp.where(alive, idx.ftab_top[q], 0)
+    bot = jnp.where(alive, idx.ftab_bot[q], 0)
+
+    def step(i, carry):
+        top, bot = carry
+        # walk right-to-left over the remaining L-k chars
+        pos = L - k - 1 - i
+        c = jax.lax.dynamic_index_in_dim(seeds, pos, axis=1, keepdims=False)
+        live = bot > top
+        ntop, nbot = rank.lf_range(idx, c, top, bot)
+        top = jnp.where(live, ntop, top)
+        bot = jnp.where(live, nbot, top)
+        return top, bot
+
+    if L > k:
+        top, bot = jax.lax.fori_loop(0, L - k, step, (top, bot))
+    bot = jnp.maximum(top, bot)
+    empty = ~alive
+    return jnp.where(empty, 0, top), jnp.where(empty, 0, bot)

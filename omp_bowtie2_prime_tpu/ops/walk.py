@@ -1,0 +1,48 @@
+"""Batched SA-offset resolution ("group walk").
+
+TPU-native analog of GroupWalk2/GWState (group_walk.h:263-554) and
+Ebwt::getOffset (bt2_idx.cpp:149-171). Because this index samples by TEXT
+position (every SA value % srate == 0 is marked; see index/format.py), every
+walk terminates within srate-1 LF steps, so the kernel is a fixed
+srate-iteration masked loop over [B] lanes — no unbounded chase, no
+per-element host control flow.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from . import rank
+
+
+def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+    """Resolve BWT rows -> joined-text offsets.
+
+    rows: int32 [B]; valid: bool [B]. Returns int32 [B] joined offsets,
+    -1 for invalid lanes.
+    """
+    rows = rows.astype(jnp.int32)
+    B = rows.shape[0]
+
+    def step(_, carry):
+        row, steps, done, off = carry
+        marked, r = rank.mark_rank(idx, row)
+        hit = marked & ~done & valid
+        off = jnp.where(hit, idx.sa_sample[r] + steps, off)
+        done = done | hit
+        # step left where not yet done (safe: zoff is marked, so lf_row
+        # is never evaluated "through" the sentinel for live lanes)
+        nrow = rank.lf_row(idx, row)
+        row = jnp.where(done, row, nrow)
+        steps = jnp.where(done, steps, steps + 1)
+        return row, steps, done, off
+
+    init = (
+        rows,
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, jnp.bool_),
+        jnp.full(B, -1, jnp.int32),
+    )
+    _, _, done, off = jax.lax.fori_loop(0, idx.srate, step, init)
+    return jnp.where(valid, off, -1)
