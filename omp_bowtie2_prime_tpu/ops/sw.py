@@ -1,0 +1,261 @@
+"""Banded end-to-end Smith-Waterman seed extension.
+
+TPU-native replacement for the reference's Farrar striped-SSE kernels
+(EEU8_alignNucleotides, aligner_swsse_ee_u8.cpp:398-536 and the i16
+variant). Instead of striping the read into SIMD segments with lazy-F
+fixups, the recurrence is reorganized row-by-row with the horizontal
+(read-gap) state computed as a max-plus prefix scan over the whole row:
+
+    F[i][j] = max(H[i-1][j] - rfg_open, F[i-1][j] - rfg_ext)        (vertical)
+    Ho[i][j] = max(H[i-1][j-1] + s(i,j), F[i][j])                   (no E yet)
+    E[i][j] = max_{k<j} Ho[i][k] - rdg_open - (j-1-k)*rdg_ext       (prefix max)
+    H[i][j] = max(Ho[i][j], E[i][j])
+
+The E scan is exact for affine gaps: a read-gap run always starts from a
+non-E state (continuing through an E-valued H is dominated by extending),
+so E is a cummax of Ho[k] + k*ext. Rows iterate in a fori_loop; columns
+and the problem batch vectorize on the VPU (8x128 tiles). Scores are int32
+on device (the reference's u8 saturating domain is an x86 register-width
+artifact; TPU lanes are 32-bit).
+
+Semantics matched to the reference end-to-end mode: whole read aligned
+(no soft clips), free leading/trailing reference within the window,
+qual-scaled mismatch penalties, N penalty, affine gaps with the gap
+barrier (gGapBarrier) vetoing gaps within `gbar` read chars of either end.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+NEG = -(1 << 20)
+
+
+@dataclasses.dataclass(frozen=True)
+class SWParams:
+    """Static DP parameters (device kernel specializes on these)."""
+
+    rdg_open: int = 8  # first read-gap char (const+linear)
+    rdg_ext: int = 3
+    rfg_open: int = 8
+    rfg_ext: int = 3
+    npen: int = 1
+    gbar: int = 4
+
+    @classmethod
+    def from_scoring(cls, sc) -> "SWParams":
+        return cls(
+            rdg_open=sc.read_gap_open,
+            rdg_ext=sc.read_gap_extend,
+            rfg_open=sc.ref_gap_open,
+            rfg_ext=sc.ref_gap_extend,
+            npen=sc.npen,
+            gbar=sc.gap_barrier,
+        )
+
+
+def sw_e2e_batch(
+    reads: jnp.ndarray,  # [B, L] int32 codes (4 = N/pad)
+    pen_mm: jnp.ndarray,  # [B, L] int32 qual-scaled mismatch penalty per pos
+    rdlens: jnp.ndarray,  # [B] int32
+    refs: jnp.ndarray,  # [B, W] int32 window codes (4 = pad)
+    wlens: jnp.ndarray,  # [B] int32 valid window length (<= W)
+    p: SWParams,
+):
+    """Batched end-to-end DP. Returns (best [B], bestcol [B], hlast [B, W+1]).
+
+    hlast[b, j] = best score of an alignment consuming the whole read and
+    exactly j reference chars from the window start... (j = end column).
+    """
+    B, L = reads.shape
+    W = refs.shape[1]
+    C = W + 1  # columns incl. virtual empty-ref column 0
+
+    cols = jnp.arange(C, dtype=jnp.int32)[None, :]  # [1, C]
+    col_ok = cols <= wlens[:, None]  # [B, C]
+
+    h0 = jnp.where(col_ok, 0, NEG).astype(jnp.int32)
+    f0 = jnp.full((B, C), NEG, jnp.int32)
+    hfin = jnp.full((B, C), NEG, jnp.int32)
+
+    k_ext = cols * p.rdg_ext  # [1, C] for the E scan
+
+    def body(i, carry):
+        # i: 1-based read row
+        h_prev, f_prev, hfin = carry
+        rc = jax.lax.dynamic_index_in_dim(reads, i - 1, axis=1)  # [B, 1]
+        pm = jax.lax.dynamic_index_in_dim(pen_mm, i - 1, axis=1)  # [B, 1]
+        rd_n = rc >= 4
+        ref_n = refs >= 4
+        s = jnp.where(
+            rd_n | ref_n,
+            -p.npen,
+            jnp.where(refs == rc, 0, -pm),
+        ).astype(jnp.int32)  # [B, W]
+
+        gap_ok = (i > p.gbar) & (i <= rdlens - p.gbar)  # [B]
+        gmask = jnp.where(gap_ok, 0, NEG)[:, None].astype(jnp.int32)
+
+        f = jnp.maximum(h_prev - p.rfg_open + gmask, f_prev - p.rfg_ext)
+        f = jnp.maximum(f, NEG)
+
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.int32), h_prev[:, :-1] + s], axis=1
+        )
+        h_open = jnp.maximum(diag, f)
+
+        scan = jax.lax.cummax(h_open + k_ext, axis=1)
+        e = jnp.concatenate(
+            [
+                jnp.full((B, 1), NEG, jnp.int32),
+                scan[:, :-1] - p.rdg_open - k_ext[:, 1:] + p.rdg_ext + gmask,
+            ],
+            axis=1,
+        )
+        e = jnp.maximum(e, NEG)
+
+        h = jnp.maximum(h_open, e)
+        h = jnp.where(col_ok, jnp.maximum(h, NEG), NEG)
+
+        hfin = jnp.where((i == rdlens)[:, None], h, hfin)
+        return h, f, hfin
+
+    _, _, hfin = jax.lax.fori_loop(1, L + 1, body, (h0, f0, hfin))
+    best = jnp.max(hfin, axis=1)
+    bestcol = jnp.argmax(hfin, axis=1).astype(jnp.int32)
+    return best, bestcol, hfin
+
+
+# ---------------------------------------------------------------------------
+# numpy oracle + backtrace (host side; the reference backtraces on CPU-side
+# stored matrices too — backtraceNucleotidesEnd2EndSseU8,
+# aligner_swsse_ee_u8.cpp:746-1350)
+# ---------------------------------------------------------------------------
+
+
+def sw_e2e_full_numpy(read, pen_mm, refw, p: SWParams):
+    """Full H/E/F matrices, [L+1, W+1] int64. Same semantics as device."""
+    L = len(read)
+    W = len(refw)
+    H = np.full((L + 1, W + 1), NEG, dtype=np.int64)
+    E = np.full((L + 1, W + 1), NEG, dtype=np.int64)
+    F = np.full((L + 1, W + 1), NEG, dtype=np.int64)
+    H[0, :] = 0
+    for i in range(1, L + 1):
+        gap_ok = (i > p.gbar) and (i <= L - p.gbar)
+        rc = read[i - 1]
+        for j in range(0, W + 1):
+            f = max(
+                (H[i - 1, j] - p.rfg_open) if gap_ok else NEG,
+                F[i - 1, j] - p.rfg_ext,
+                NEG,
+            )
+            F[i, j] = f
+            if j > 0:
+                refc = refw[j - 1]
+                if rc >= 4 or refc >= 4:
+                    s = -p.npen
+                else:
+                    s = 0 if refc == rc else -int(pen_mm[i - 1])
+                diag = H[i - 1, j - 1] + s
+            else:
+                diag = NEG
+            ho = max(diag, f)
+            # standard recurrence: E opens from H (the device kernel opens
+            # from Ho, equivalent because opening from an E-valued H is
+            # dominated by extending when rdg_open >= rdg_ext)
+            if j > 0:
+                e = max(
+                    (H[i, j - 1] - p.rdg_open) if gap_ok else NEG,
+                    E[i, j - 1] - p.rdg_ext,
+                    NEG,
+                )
+            else:
+                e = NEG
+            E[i, j] = e
+            H[i, j] = max(ho, e, NEG)
+    return H, E, F
+
+
+@dataclasses.dataclass
+class Alignment:
+    score: int
+    start_col: int  # window column where alignment starts (ref chars before)
+    end_col: int  # window column after last consumed ref char
+    edits: list  # (read_pos, kind, ref_code) kind in {"mm","ins","del","n"}
+    cigar: list  # [(op, length)] ops in "MID"
+
+
+def backtrace_numpy(read, pen_mm, refw, p: SWParams, H, E, F, end_col):
+    """Trace one alignment ending at (L, end_col). Deterministic priority:
+    diagonal > ref gap (F) > read gap (E). (The reference tie-breaks with a
+    read-seeded RNG — aligner_swsse_ee_u8.cpp backtrace; deterministic order
+    is round-1 behavior, RNG-compatible selection is a later milestone.)"""
+    L = len(read)
+    i, j = L, int(end_col)
+    state = "H"
+    edits = []
+    ops = []  # reversed cigar ops
+    while i > 0:
+        gap_ok = (i > p.gbar) and (i <= L - p.gbar)
+        if state == "H":
+            # recompute components
+            f = F[i, j]
+            e = E[i, j]
+            if j > 0:
+                rc = read[i - 1]
+                refc = refw[j - 1]
+                if rc >= 4 or refc >= 4:
+                    s = -p.npen
+                elif refc == rc:
+                    s = 0
+                else:
+                    s = -int(pen_mm[i - 1])
+                diag = H[i - 1, j - 1] + s
+            else:
+                diag = NEG
+            if diag >= H[i, j] and j > 0:
+                if s != 0:
+                    kind = "n" if (read[i - 1] >= 4 or refw[j - 1] >= 4) else "mm"
+                    edits.append((i - 1, kind, int(refw[j - 1])))
+                ops.append("M")
+                i, j = i - 1, j - 1
+            elif f >= H[i, j]:
+                state = "F"
+            else:
+                state = "E"
+        elif state == "F":
+            # ref gap: read char i-1 consumed, no ref char (CIGAR I)
+            edits.append((i - 1, "ins", -1))
+            ops.append("I")
+            up_open = (H[i - 1, j] - p.rfg_open) if gap_ok else NEG
+            if up_open >= F[i, j]:
+                state = "H"
+            i = i - 1
+        else:  # E: read gap: ref char j-1 consumed, no read char (CIGAR D)
+            edits.append((i, "del", int(refw[j - 1])))
+            ops.append("D")
+            left_open = (H[i, j - 1] - p.rdg_open) if gap_ok else NEG
+            if left_open >= E[i, j]:
+                state = "H"
+            j = j - 1
+    start_col = j
+    ops.reverse()
+    edits.reverse()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += 1
+        else:
+            cigar.append([op, 1])
+    return Alignment(
+        score=int(H[L, end_col]),
+        start_col=start_col,
+        end_col=int(end_col),
+        edits=edits,
+        cigar=[(o, n) for o, n in cigar],
+    )

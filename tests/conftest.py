@@ -9,9 +9,9 @@ _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
 
-# Compiles are slow on this build; cache them across test runs.
 import jax  # noqa: E402
 
+# Cache compiles across test runs (compiles dominate test wall time here).
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
