@@ -1,2 +1,64 @@
+"""Benchmark: reads/s aligning the reference's example 10K reads to lambda_virus.
+
+Baseline: the reference fork's bowtie2-align-s on this host (1 CPU core)
+aligns the same 10K reads in ~1.25s = ~8000 reads/s (measured from a scratch
+build of /root/reference; protocol = scripts/test/benchmark/data/conf/
+speed.json scaled to the example data).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+"""
+
 import json
-print(json.dumps({"metric": "reads_per_sec_per_chip", "value": 0, "unit": "reads/s", "vs_baseline": 0}))
+import os
+import sys
+import time
+
+BASELINE_READS_PER_SEC = 8000.0
+
+IDX = "/tmp/bt2tpu_bench_lambda.npz"
+READS = "/root/reference/example/reads/reads_1.fq"
+FASTA = "/root/reference/example/reference/lambda_virus.fa"
+
+
+def main():
+    sys.stderr.write(f"devices: {__import__('jax').devices()}\n")
+    from omp_bowtie2_prime_tpu.index.format import FMIndex
+    from omp_bowtie2_prime_tpu.index.builder import build_index
+    from omp_bowtie2_prime_tpu.models.aligner import TPUAligner
+    from omp_bowtie2_prime_tpu.io.fastq import read_fastq
+
+    if os.path.exists(IDX):
+        fm = FMIndex.load(IDX)
+    else:
+        fm = build_index(FASTA)
+        fm.save(IDX)
+
+    al = TPUAligner(fm)
+    reads = list(read_fastq(READS))
+
+    # warmup: trigger all compiles
+    al.align_batch(reads[:600])
+
+    t0 = time.time()
+    res = []
+    B = 512
+    for lo in range(0, len(reads), B):
+        res.extend(al.align_batch(reads[lo : lo + B]))
+    dt = time.time() - t0
+    rps = len(reads) / dt
+    naligned = sum(1 for r in res if r.status == "aligned")
+    sys.stderr.write(f"aligned {naligned}/{len(reads)} in {dt:.2f}s\n")
+    print(
+        json.dumps(
+            {
+                "metric": "reads_per_sec_per_chip_lambda10k",
+                "value": round(rps, 1),
+                "unit": "reads/s",
+                "vs_baseline": round(rps / BASELINE_READS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

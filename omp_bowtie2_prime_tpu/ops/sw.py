@@ -138,46 +138,47 @@ def sw_e2e_batch(
 
 
 def sw_e2e_full_numpy(read, pen_mm, refw, p: SWParams):
-    """Full H/E/F matrices, [L+1, W+1] int64. Same semantics as device."""
+    """Full H/E/F matrices, [L+1, W+1] int64. Same semantics as device.
+
+    Row-vectorized like the device kernel; E uses the prefix-max scan,
+    which equals the standard E recurrence (opening from an E-valued H is
+    dominated by extending when rdg_open >= rdg_ext, induction on j)."""
+    read = np.asarray(read)
+    refw = np.asarray(refw, dtype=np.int64)
     L = len(read)
     W = len(refw)
     H = np.full((L + 1, W + 1), NEG, dtype=np.int64)
     E = np.full((L + 1, W + 1), NEG, dtype=np.int64)
     F = np.full((L + 1, W + 1), NEG, dtype=np.int64)
     H[0, :] = 0
+    k_ext = np.arange(W + 1, dtype=np.int64) * p.rdg_ext
     for i in range(1, L + 1):
         gap_ok = (i > p.gbar) and (i <= L - p.gbar)
-        rc = read[i - 1]
-        for j in range(0, W + 1):
-            f = max(
-                (H[i - 1, j] - p.rfg_open) if gap_ok else NEG,
-                F[i - 1, j] - p.rfg_ext,
-                NEG,
+        rc = int(read[i - 1])
+        if rc >= 4:
+            s = np.full(W, -p.npen, dtype=np.int64)
+        else:
+            s = np.where(
+                refw >= 4, -p.npen, np.where(refw == rc, 0, -int(pen_mm[i - 1]))
             )
-            F[i, j] = f
-            if j > 0:
-                refc = refw[j - 1]
-                if rc >= 4 or refc >= 4:
-                    s = -p.npen
-                else:
-                    s = 0 if refc == rc else -int(pen_mm[i - 1])
-                diag = H[i - 1, j - 1] + s
-            else:
-                diag = NEG
-            ho = max(diag, f)
-            # standard recurrence: E opens from H (the device kernel opens
-            # from Ho, equivalent because opening from an E-valued H is
-            # dominated by extending when rdg_open >= rdg_ext)
-            if j > 0:
-                e = max(
-                    (H[i, j - 1] - p.rdg_open) if gap_ok else NEG,
-                    E[i, j - 1] - p.rdg_ext,
-                    NEG,
-                )
-            else:
-                e = NEG
-            E[i, j] = e
-            H[i, j] = max(ho, e, NEG)
+        f = np.maximum(
+            (H[i - 1] - p.rfg_open) if gap_ok else NEG, F[i - 1] - p.rfg_ext
+        )
+        np.maximum(f, NEG, out=f)
+        F[i] = f
+        ho = np.empty(W + 1, dtype=np.int64)
+        ho[0] = f[0]
+        np.maximum(H[i - 1, :-1] + s, f[1:], out=ho[1:])
+        if gap_ok:
+            scan = np.maximum.accumulate(ho + k_ext)
+            e = np.empty(W + 1, dtype=np.int64)
+            e[0] = NEG
+            e[1:] = scan[:-1] - p.rdg_open - k_ext[1:] + p.rdg_ext
+            np.maximum(e, NEG, out=e)
+        else:
+            e = np.full(W + 1, NEG, dtype=np.int64)
+        E[i] = e
+        H[i] = np.maximum(np.maximum(ho, e), NEG)
     return H, E, F
 
 

@@ -1,0 +1,66 @@
+"""CIGAR/MD/tag computation from a traced alignment.
+
+Equivalent info to the reference's Edit-list -> CIGAR/MD generation
+(AlnRes::decoded*, aligner_result.h:630-817; sam.cpp:188-230), computed by
+replaying the CIGAR against the oriented read and the reference window.
+"""
+
+from __future__ import annotations
+
+from . import dna
+
+
+def cigar_string(cigar: list) -> str:
+    return "".join(f"{n}{op}" for op, n in cigar)
+
+
+def alignment_stats(read_codes, ref_window, start_col, cigar):
+    """Replay the alignment; returns dict with md, nm, xm, xo, xg, xn,
+    ref_span (ref chars consumed)."""
+    i = 0
+    j = int(start_col)
+    md_parts = []
+    match_run = 0
+    nm = xm = xo = xg = xn = 0
+    for op, n in cigar:
+        if op == "M":
+            for _ in range(n):
+                rc, fc = int(read_codes[i]), int(ref_window[j])
+                if rc == fc and rc < 4:
+                    match_run += 1
+                else:
+                    md_parts.append(str(match_run))
+                    md_parts.append(dna.decode([fc]))
+                    match_run = 0
+                    nm += 1
+                    xm += 1
+                    if fc >= 4:
+                        xn += 1
+                i += 1
+                j += 1
+        elif op == "I":  # read chars with no ref (ref gap)
+            nm += n
+            xo += 1
+            xg += n
+            i += n
+        elif op == "D":  # ref chars skipped in read (read gap)
+            md_parts.append(str(match_run))
+            match_run = 0
+            md_parts.append("^" + dna.decode([int(c) for c in ref_window[j : j + n]]))
+            nm += n
+            xo += 1
+            xg += n
+            j += n
+    md_parts.append(str(match_run))
+    # MD needs digits between consecutive events; the construction above
+    # already alternates number/event
+    md = "".join(md_parts)
+    return {
+        "md": md,
+        "nm": nm,
+        "xm": xm,
+        "xo": xo,
+        "xg": xg,
+        "xn": xn,
+        "ref_span": j - int(start_col),
+    }

@@ -89,11 +89,19 @@ class Scoring:
     rfg_const: int = 5
     rfg_linear: int = 3
     gap_barrier: int = 4  # gGapBarrier: no gaps within this many read chars of either end
+    # NOTE: the reference's compile-time defaults are float32 literals
+    # (DEFAULT_MIN_CONST = -0.6f etc, scoring.h:50-63), which shifts the
+    # truncated min score at some read lengths (e.g. 109bp: -66 not -65).
+    # String-parsed policies (presets, -i) are doubles.
     score_min: SimpleFunc = dataclasses.field(
-        default_factory=lambda: SimpleFunc(SIMPLE_FUNC_LINEAR, -0.6, -0.6)
+        default_factory=lambda: SimpleFunc(
+            SIMPLE_FUNC_LINEAR, float(np.float32(-0.6)), float(np.float32(-0.6))
+        )
     )
     n_ceil: SimpleFunc = dataclasses.field(
-        default_factory=lambda: SimpleFunc(SIMPLE_FUNC_LINEAR, 0.0, 0.15)
+        default_factory=lambda: SimpleFunc(
+            SIMPLE_FUNC_LINEAR, 0.0, float(np.float32(0.15))
+        )
     )
 
     @property
