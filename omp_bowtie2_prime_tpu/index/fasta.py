@@ -44,6 +44,27 @@ class ReferenceMap:
             return None
         return int(self.frag_refid[i]), int(self.frag_ref[i] + (joff - self.frag_joined[i]))
 
+    def ref_to_joined(self, refid: int, refoff: int) -> int | None:
+        """Map a per-reference offset back into the joined text; None if the
+        position falls in an N gap (no fragment covers it)."""
+        sel = np.flatnonzero(self.frag_refid == refid)
+        for i in sel:
+            if self.frag_ref[i] <= refoff < self.frag_ref[i] + self.frag_len[i]:
+                return int(self.frag_joined[i] + (refoff - self.frag_ref[i]))
+        return None
+
+    def ref_fragment_bounds(self, refid: int, refoff: int):
+        """(joined_start, joined_end) of the fragment containing refoff, or
+        None — mate windows are clamped to one fragment (like the reference's
+        rejection of boundary-straddling alignments, bt2_idx.cpp:54-128)."""
+        sel = np.flatnonzero(self.frag_refid == refid)
+        for i in sel:
+            if self.frag_ref[i] <= refoff < self.frag_ref[i] + self.frag_len[i]:
+                return int(self.frag_joined[i]), int(
+                    self.frag_joined[i] + self.frag_len[i]
+                )
+        return None
+
     def joined_to_ref_batch(self, joffs: np.ndarray, qlens: np.ndarray):
         """Vectorized joined->ref mapping.
 

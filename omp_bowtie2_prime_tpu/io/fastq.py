@@ -84,6 +84,75 @@ def open_reads(path: str, start_id: int = 0) -> Iterator[Read]:
     return read_fastq(path, start_id)
 
 
+def _strip_mate_suffix(name: str) -> str:
+    """bowtie2 trims trailing /1 //2 from mate names (pat.cpp parsers)."""
+    if len(name) > 2 and name[-2] == "/" and name[-1] in "12":
+        return name[:-2]
+    return name
+
+
+def open_paired_reads(path1: str, path2: str,
+                      start_id: int = 0) -> Iterator[tuple[Read, Read]]:
+    """-1/-2 paired input (ref: PatternComposer paired mux, pat.h:961)."""
+    it1, it2 = open_reads(path1, start_id), open_reads(path2, start_id)
+    for rd1, rd2 in zip(it1, it2):
+        rd2.rdid = rd1.rdid
+        rd1.name = _strip_mate_suffix(rd1.name)
+        rd2.name = _strip_mate_suffix(rd2.name)
+        yield rd1, rd2
+
+
+def read_interleaved(path: str, start_id: int = 0) -> Iterator[tuple[Read, Read]]:
+    """--interleaved: consecutive records are mates (pat.h parsers)."""
+    it = open_reads(path, start_id)
+    for rd1 in it:
+        rd2 = next(it, None)
+        if rd2 is None:
+            return
+        rd2.rdid = rd1.rdid
+        rd1.name = _strip_mate_suffix(rd1.name)
+        rd2.name = _strip_mate_suffix(rd2.name)
+        yield rd1, rd2
+
+
+def read_tab6(path: str, start_id: int = 0) -> Iterator[tuple[Read, Read]]:
+    """--tab6: name1\\tseq1\\tqual1\\tname2\\tseq2\\tqual2 per line
+    (ref: TabbedPatternSource, pat.h/pat.cpp)."""
+    rdid = start_id
+    with _open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 6:
+                continue
+            n1, s1, q1, n2, s2, q2 = parts[:6]
+            qa1 = np.maximum(np.frombuffer(q1.encode(), np.uint8), 33) - 33
+            qa2 = np.maximum(np.frombuffer(q2.encode(), np.uint8), 33) - 33
+            yield (
+                Read(rdid, _strip_mate_suffix(n1), dna.encode(s1), qa1.astype(np.uint8)),
+                Read(rdid, _strip_mate_suffix(n2), dna.encode(s2), qa2.astype(np.uint8)),
+            )
+            rdid += 1
+
+
+def read_tab5(path: str, start_id: int = 0) -> Iterator[tuple[Read, Read]]:
+    """--tab5: name\\tseq1\\tqual1\\tseq2\\tqual2 per line."""
+    rdid = start_id
+    with _open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 5:
+                continue
+            n, s1, q1, s2, q2 = parts[:5]
+            qa1 = np.maximum(np.frombuffer(q1.encode(), np.uint8), 33) - 33
+            qa2 = np.maximum(np.frombuffer(q2.encode(), np.uint8), 33) - 33
+            name = _strip_mate_suffix(n)
+            yield (
+                Read(rdid, name, dna.encode(s1), qa1.astype(np.uint8)),
+                Read(rdid, name, dna.encode(s2), qa2.astype(np.uint8)),
+            )
+            rdid += 1
+
+
 def batch_iterator(reads: Iterable[Read], batch: int) -> Iterator[list[Read]]:
     buf: list[Read] = []
     for r in reads:

@@ -24,6 +24,9 @@ class SamRecord:
     pos: int = 0  # 1-based
     mapq: int = 0
     cigar: str = "*"
+    rnext: str = "*"
+    pnext: int = 0
+    tlen: int = 0
     seq: str = "*"
     qual: str = "*"
     tags: list = dataclasses.field(default_factory=list)
@@ -36,24 +39,46 @@ class SamRecord:
             str(self.pos),
             str(self.mapq),
             self.cigar,
-            "*",
-            "0",
-            "0",
+            self.rnext,
+            str(self.pnext),
+            str(self.tlen),
             self.seq,
             self.qual,
         ] + [f"{t}:{ty}:{v}" for t, ty, v in self.tags]
         return "\t".join(fields)
 
 
+# SAM flag bits (ref: sam.h:35-46)
+FLAG_PAIRED = 0x1
+FLAG_MAPPED_PAIRED = 0x2
+FLAG_UNMAPPED = 0x4
+FLAG_MATE_UNMAPPED = 0x8
+FLAG_QUERY_STRAND = 0x10
+FLAG_MATE_STRAND = 0x20
+FLAG_FIRST_IN_PAIR = 0x40
+FLAG_SECOND_IN_PAIR = 0x80
+FLAG_NOT_PRIMARY = 0x100
+
+
 class AlnSummary:
     """Counters for the end-of-run summary (ref: printAlSumm,
-    aln_sink.cpp:349-460)."""
+    aln_sink.cpp:349-500: unpaired block + paired concordant/discordant/
+    mixed-mate breakdown)."""
 
     def __init__(self):
         self.nreads = 0
         self.al0 = 0
         self.al1 = 0
         self.almany = 0
+        # paired
+        self.npaired = 0
+        self.nconcord_0 = 0
+        self.nconcord_uni1 = 0
+        self.nconcord_uni2 = 0
+        self.ndiscord = 0
+        self.nunp_0_0 = 0
+        self.nunp_0_uni1 = 0
+        self.nunp_0_uni2 = 0
 
     def add(self, nhits: int):
         self.nreads += 1
@@ -64,18 +89,86 @@ class AlnSummary:
         else:
             self.almany += 1
 
+    def add_pair(self, cat: str, m1_hits: int, m2_hits: int, unique: bool = True):
+        self.nreads += 1
+        self.npaired += 1
+        if cat == "concord":
+            if unique:
+                self.nconcord_uni1 += 1
+            else:
+                self.nconcord_uni2 += 1
+            return
+        self.nconcord_0 += 1
+        if cat == "discord":
+            self.ndiscord += 1
+            return
+        for h in (m1_hits, m2_hits):
+            if h == 0:
+                self.nunp_0_0 += 1
+            elif h == 1:
+                self.nunp_0_uni1 += 1
+            else:
+                self.nunp_0_uni2 += 1
+
     def render(self) -> str:
-        n = max(1, self.nreads)
-        pct = lambda x: f"{100.0 * x / n:.2f}%"
-        rate = 100.0 * (self.al1 + self.almany) / n
-        return (
-            f"{self.nreads} reads; of these:\n"
-            f"  {self.nreads} (100.00%) were unpaired; of these:\n"
-            f"    {self.al0} ({pct(self.al0)}) aligned 0 times\n"
-            f"    {self.al1} ({pct(self.al1)}) aligned exactly 1 time\n"
-            f"    {self.almany} ({pct(self.almany)}) aligned >1 times\n"
-            f"{rate:.2f}% overall alignment rate"
-        )
+        lines = [f"{self.nreads} reads; of these:"]
+        pct = lambda x, d: f"{100.0 * x / max(1, d):.2f}%"
+        nun = self.nreads - self.npaired
+        naligned_reads = 0.0
+        ntot_reads = 0
+        if self.npaired:
+            p = self.npaired
+            lines.append(f"  {p} ({pct(p, self.nreads)}) were paired; of these:")
+            lines.append(
+                f"    {self.nconcord_0} ({pct(self.nconcord_0, p)}) aligned concordantly 0 times"
+            )
+            lines.append(
+                f"    {self.nconcord_uni1} ({pct(self.nconcord_uni1, p)}) aligned concordantly exactly 1 time"
+            )
+            lines.append(
+                f"    {self.nconcord_uni2} ({pct(self.nconcord_uni2, p)}) aligned concordantly >1 times"
+            )
+            lines.append("    ----")
+            lines.append(
+                f"    {self.nconcord_0} pairs aligned concordantly 0 times; of these:"
+            )
+            lines.append(
+                f"      {self.ndiscord} ({pct(self.ndiscord, self.nconcord_0)}) aligned discordantly 1 time"
+            )
+            ncd0 = self.nconcord_0 - self.ndiscord
+            lines.append("    ----")
+            lines.append(
+                f"    {ncd0} pairs aligned 0 times concordantly or discordantly; of these:"
+            )
+            lines.append(f"      {ncd0 * 2} mates make up the pairs; of these:")
+            lines.append(
+                f"        {self.nunp_0_0} ({pct(self.nunp_0_0, ncd0*2)}) aligned 0 times"
+            )
+            lines.append(
+                f"        {self.nunp_0_uni1} ({pct(self.nunp_0_uni1, ncd0*2)}) aligned exactly 1 time"
+            )
+            lines.append(
+                f"        {self.nunp_0_uni2} ({pct(self.nunp_0_uni2, ncd0*2)}) aligned >1 times"
+            )
+            # overall rate counts mates (aln_sink.cpp:500-520)
+            naligned_reads += 2 * (
+                self.nconcord_uni1 + self.nconcord_uni2 + self.ndiscord
+            ) + self.nunp_0_uni1 + self.nunp_0_uni2
+            ntot_reads += 2 * p
+        if nun or not self.npaired:
+            lines.append(f"  {nun} ({pct(nun, self.nreads)}) were unpaired; of these:")
+            lines.append(f"    {self.al0} ({pct(self.al0, nun)}) aligned 0 times")
+            lines.append(
+                f"    {self.al1} ({pct(self.al1, nun)}) aligned exactly 1 time"
+            )
+            lines.append(
+                f"    {self.almany} ({pct(self.almany, nun)}) aligned >1 times"
+            )
+            naligned_reads += self.al1 + self.almany
+            ntot_reads += nun
+        rate = 100.0 * naligned_reads / max(1, ntot_reads)
+        lines.append(f"{rate:.2f}% overall alignment rate")
+        return "\n".join(lines)
 
 
 class SamWriter:
@@ -143,6 +236,101 @@ class SamWriter:
         )
         self.out.write(rec.line() + "\n")
         self.summary.add(nhits_for_summary)
+
+    # ---------------- paired emission ----------------
+    # Field conventions per AlnSinkSam::appendMate (aln_sink.cpp:1889-2085):
+    # unmapped mate with mapped other gets the other's RNAME/POS, RNEXT "=",
+    # PNEXT other's POS; TLEN only when the fragment length is set (concordant
+    # or same-ref pair, aligner_result.h:1320-1341); tag order AS XS XN XM XO
+    # XG NM MD YS YT (sam.cpp:130-340).
+
+    def write_pair(self, rd1, rd2, res1, res2, cat: str,
+                   tlen1: int, tlen2: int):
+        """res1/res2: AlnResult-likes (status/fw/refid/refoff/mapq/cigar/
+        stats/score/secbest); cat: 'concord' | 'discord' | 'mixed'."""
+        yt = {"concord": "CP", "discord": "DP", "mixed": "UP"}[cat]
+        self._write_mate(rd1, res1, res2, True, cat, yt, tlen1)
+        self._write_mate(rd2, res2, res1, False, cat, yt, tlen2)
+        a1 = res1.status == "aligned"
+        a2 = res2.status == "aligned"
+        self.summary.add_pair(cat, 1 if a1 else 0, 1 if a2 else 0)
+
+    def _write_mate(self, rd, res, ores, is1: bool, cat: str, yt: str, tlen: int):
+        from ..utils.cigar import cigar_string
+
+        aligned = res.status == "aligned"
+        oaligned = ores.status == "aligned"
+        fl = FLAG_PAIRED | (FLAG_FIRST_IN_PAIR if is1 else FLAG_SECOND_IN_PAIR)
+        if cat == "concord":
+            fl |= FLAG_MAPPED_PAIRED
+        if not oaligned:
+            fl |= FLAG_MATE_UNMAPPED
+        elif not ores.fw:
+            fl |= FLAG_MATE_STRAND
+        if not aligned:
+            fl |= FLAG_UNMAPPED
+        if aligned and not res.fw:
+            fl |= FLAG_QUERY_STRAND
+
+        if aligned:
+            rname = self.refnames[res.refid]
+            pos = res.refoff + 1
+        elif oaligned:
+            rname = self.refnames[ores.refid]
+            pos = ores.refoff + 1
+        else:
+            rname, pos = "*", 0
+
+        if aligned and oaligned:
+            rnext = "=" if res.refid == ores.refid else self.refnames[ores.refid]
+            pnext = ores.refoff + 1
+        elif aligned:
+            rnext, pnext = "=", res.refoff + 1
+        elif oaligned:
+            rnext, pnext = "=", ores.refoff + 1
+        else:
+            rnext, pnext = "*", 0
+
+        # TLEN set when concordant or same-ref pair (aligner_result.h:1320-30)
+        use_tlen = aligned and oaligned and (
+            cat == "concord" or res.refid == ores.refid
+        )
+
+        fw = res.fw if aligned else True
+        seq = rd.seq if fw else dna.revcomp(rd.seq)
+        qual = rd.qual if fw else rd.qual[::-1]
+        tags = []
+        if aligned:
+            tags.append(("AS", "i", res.score))
+            if res.secbest is not None:
+                tags.append(("XS", "i", res.secbest))
+            st = res.stats
+            tags += [
+                ("XN", "i", st["xn"]),
+                ("XM", "i", st["xm"]),
+                ("XO", "i", st["xo"]),
+                ("XG", "i", st["xg"]),
+                ("NM", "i", st["nm"]),
+                ("MD", "Z", st["md"]),
+            ]
+            if oaligned:
+                tags.append(("YS", "i", ores.score))
+        tags.append(("YT", "Z", yt))
+        rec = SamRecord(
+            name=rd.name,
+            flag=fl,
+            rname=rname,
+            pos=pos,
+            mapq=res.mapq if aligned else 0,
+            cigar=cigar_string(res.cigar) if aligned else "*",
+            rnext=rnext,
+            pnext=pnext,
+            tlen=tlen if use_tlen else 0,
+            seq=dna.decode(seq),
+            qual=self.qual_str(qual),
+            tags=tags,
+        )
+        self.out.write(rec.line() + "\n")
 
     def write_unaligned(self, read, yf: str | None = None):
         tags = [("YT", "Z", "UU")]

@@ -68,6 +68,30 @@ class AlnResult:
     cigar: list = dataclasses.field(default_factory=list)
     stats: dict = dataclasses.field(default_factory=dict)
     nhits: int = 0
+    span: int = 0  # reference chars consumed
+
+
+@dataclasses.dataclass
+class Candidate:
+    """A scored DP endpoint for one read: a distinct (fw, joined end col)
+    (the dedupe key the reference applies per DP problem via its redundancy
+    checks, aligner_sw_driver.cpp:528-560). Backtrace details are filled
+    lazily by TPUAligner.backtrace()."""
+
+    score: int
+    fw: bool
+    endj: int  # joined-text column where the alignment ends (exclusive)
+    problem: dict  # read/pens/wstart/wlen for the DP window
+    bc: int  # best end column within the window
+    # lazily-populated backtrace results:
+    resolved: bool = False
+    valid: bool = False  # False if straddles a fragment boundary
+    joined_start: int = -1
+    span: int = 0
+    refid: int = -1
+    refoff: int = -1
+    cigar: list = dataclasses.field(default_factory=list)
+    stats: dict = dataclasses.field(default_factory=dict)
 
 
 class TPUAligner:
@@ -160,14 +184,17 @@ class TPUAligner:
             offs[lo:hi] = np.asarray(r)[: hi - lo]
         return offs
 
-    def _run_dp(self, problems):
+    def _run_dp(self, problems, cols: int | None = None):
         """problems: list of dicts with read(oriented codes), pens, window
-        (wstart, wlen). Returns per-problem (best, bestcol)."""
+        (wstart, wlen). Returns per-problem (best, bestcol). `cols` widens
+        the device window (e.g. mate-rescue windows span up to maxins
+        reference chars; the seed-extend path uses the reference's 200-col
+        envelope)."""
         o = self.opts
         n = len(problems)
         best = np.full(n, sw.NEG, np.int64)
         bestcol = np.zeros(n, np.int32)
-        L, C = o.l_max, o.dp_cols
+        L, C = o.l_max, (cols or o.dp_cols)
         for lo in range(0, n, o.dp_batch):
             hi = min(lo + o.dp_batch, n)
             B = o.dp_batch
@@ -203,12 +230,24 @@ class TPUAligner:
         reads still unaligned) at offset interval/2 — the fork's resident
         batch keeps reads for nSeedRounds=2 rounds (bt2_search.cpp:2436,
         2572-2584)."""
-        o, sc = self.opts, self.sc
         n = len(reads)
         results = [AlnResult(status="unaligned") for _ in range(n)]
-
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
-        minscs = np.zeros(n, np.int64)
+        minscs = self.min_scores(reads)
+
+        active = list(range(n))
+        for roundi in range(self.NROUNDS):
+            if not active:
+                break
+            cands = self.collect_candidates(reads, minscs, active, roundi)
+            self._finalize_unpaired(reads, minscs, cands, results)
+            active = [ri for ri in active if results[ri].status != "aligned"]
+        return results
+
+    def min_scores(self, reads) -> np.ndarray:
+        """Per-read clamped minimum scores (bt2_search.cpp:2476-2491)."""
+        o, sc = self.opts, self.sc
+        minscs = np.zeros(len(reads), np.int64)
         for ri, rd in enumerate(reads):
             m = sc.min_score(len(rd.seq))
             if m > 0:
@@ -216,23 +255,20 @@ class TPUAligner:
             if m < o.minsc_clamp:
                 m = o.minsc_clamp
             minscs[ri] = m
+        return minscs
 
-        active = list(range(n))
-        for roundi in range(self.NROUNDS):
-            if not active:
-                break
-            self._align_round(reads, minscs, active, roundi, results)
-            active = [ri for ri in active if results[ri].status != "aligned"]
-        return results
-
-    def _align_round(self, reads, minscs, active, roundi, results) -> None:
+    def collect_candidates(self, reads, minscs, active, roundi):
+        """Phases P2-P7 for one seeding round: returns per-read dicts
+        {(fw, endj): Candidate} for every valid-scoring DP endpoint."""
         o, sc = self.opts, self.sc
         n = len(reads)
+
+        empty = [{} for _ in range(n)]
 
         # P2 + P4: seeds and search
         seeds, meta = self._instantiate_seeds(reads, active, roundi)
         if len(meta) == 0:
-            return
+            return empty
         tops, bots = self._search(seeds)
 
         # P5: rank — per read, ranges sorted by width ascending
@@ -255,7 +291,7 @@ class TPUAligner:
                 if budget <= 0:
                     break
         if not rows:
-            return
+            return empty
 
         # P6: resolve SA rows -> joined offsets
         offs = self._resolve(np.array(rows, np.int32))
@@ -304,65 +340,86 @@ class TPUAligner:
             prob_meta.append((ri, fw))
 
         if not problems:
-            return
+            return empty
 
         # P7: batched DP
         best, bestcol = self._run_dp(problems)
 
-        # P8: selection per read
-        per_read_alns = [{} for _ in range(n)]  # (fw, end_joined) -> (score, pi)
+        # collect valid-scoring candidates, deduped by (fw, end column)
+        cands = [{} for _ in range(n)]
         for pi, ((ri, fw), b, bc) in enumerate(zip(prob_meta, best, bestcol)):
             if b < minscs[ri]:
                 continue
             endj = problems[pi]["wstart"] + int(bc)
             key = (fw, endj)
-            cur = per_read_alns[ri].get(key)
-            if cur is None or b > cur[0]:
-                per_read_alns[ri][key] = (int(b), pi, int(bc))
+            cur = cands[ri].get(key)
+            if cur is None or b > cur.score:
+                cands[ri][key] = Candidate(
+                    score=int(b), fw=fw, endj=endj, problem=problems[pi], bc=int(bc)
+                )
+        return cands
 
-        for ri, alns in enumerate(per_read_alns):
+    def backtrace(self, cand: Candidate) -> Candidate:
+        """Host backtrace of one candidate (ref analog:
+        backtraceNucleotidesEnd2EndSseU8, aligner_swsse_ee_u8.cpp:746-1350);
+        fills coordinates/cigar/stats, caches on the candidate."""
+        if cand.resolved:
+            return cand
+        cand.resolved = True
+        pr = cand.problem
+        refw = self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]]
+        H, E, F = sw.sw_e2e_full_numpy(pr["read"], pr["pens"], refw, self.swp)
+        aln = sw.backtrace_numpy(
+            pr["read"], pr["pens"], refw, self.swp, H, E, F, cand.bc
+        )
+        cand.joined_start = pr["wstart"] + aln.start_col
+        cand.span = aln.end_col - aln.start_col
+        mapped = self.fm.refmap.joined_to_ref(cand.joined_start, cand.span)
+        if mapped is None:
+            return cand  # straddles fragment boundary (bt2_idx.cpp:54-128)
+        cand.refid, cand.refoff = mapped
+        cand.cigar = aln.cigar
+        cand.stats = cigar_util.alignment_stats(
+            pr["read"], refw, aln.start_col, aln.cigar
+        )
+        cand.valid = True
+        return cand
+
+    @staticmethod
+    def rank_candidates(alns: dict) -> list:
+        """Deterministic candidate order: score desc, fw first, end col asc
+        (the analog of selectByScore's sort, aln_sink.cpp:1477-1628, with a
+        deterministic rather than read-seeded-RNG tiebreak)."""
+        return sorted(
+            alns.items(), key=lambda kv: (-kv[1].score, not kv[0][0], kv[0][1])
+        )
+
+    def _finalize_unpaired(self, reads, minscs, cands, results) -> None:
+        sc = self.sc
+        for ri, alns in enumerate(cands):
             if not alns:
                 continue
             rd = reads[ri]
             ln = len(rd.seq)
-            ranked = sorted(
-                alns.items(), key=lambda kv: (-kv[1][0], not kv[0][0], kv[0][1])
-            )
-            (fw, endj), (score, pi, bc) = ranked[0]
-            secbest = ranked[1][1][0] if len(ranked) > 1 else None
-            # backtrace winner on its window (host)
-            pr = problems[pi]
-            H, E, F = sw.sw_e2e_full_numpy(
-                pr["read"], pr["pens"], self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]], self.swp
-            )
-            aln = sw.backtrace_numpy(
-                pr["read"], pr["pens"],
-                self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]],
-                self.swp, H, E, F, bc,
-            )
-            joined_start = pr["wstart"] + aln.start_col
-            ref_span = aln.end_col - aln.start_col
-            mapped = self.fm.refmap.joined_to_ref(joined_start, ref_span)
-            if mapped is None:
-                continue  # straddles fragment boundary (bt2_idx.cpp:54-128)
-            refid, refoff = mapped
-            stats = cigar_util.alignment_stats(
-                pr["read"],
-                self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]],
-                aln.start_col,
-                aln.cigar,
-            )
-            perfect = sc.match_bonus * ln
-            mq = mapq_v2_e2e(score, secbest, int(minscs[ri]), perfect)
-            results[ri] = AlnResult(
-                status="aligned",
-                fw=fw,
-                refid=refid,
-                refoff=refoff,
-                score=score,
-                secbest=secbest,
-                mapq=mq,
-                cigar=aln.cigar,
-                stats=stats,
-                nhits=1,
-            )
+            ranked = self.rank_candidates(alns)
+            secbest = ranked[1][1].score if len(ranked) > 1 else None
+            for (fw, endj), cand in ranked:
+                self.backtrace(cand)
+                if not cand.valid:
+                    continue
+                perfect = sc.match_bonus * ln
+                mq = mapq_v2_e2e(cand.score, secbest, int(minscs[ri]), perfect)
+                results[ri] = AlnResult(
+                    status="aligned",
+                    fw=fw,
+                    refid=cand.refid,
+                    refoff=cand.refoff,
+                    score=cand.score,
+                    secbest=secbest,
+                    mapq=mq,
+                    cigar=cand.cigar,
+                    stats=cand.stats,
+                    nhits=1,
+                    span=cand.span,
+                )
+                break

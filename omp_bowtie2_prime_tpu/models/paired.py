@@ -1,0 +1,294 @@
+"""Paired-end alignment driver.
+
+The reference fork ships bowtie2's paired-end policy machinery but compiles
+the paired workers out (ENABLE_PAIRED, bt2_search.cpp:4050-4063;
+"Unsupported, likely does not work", aligner_sw_driver.cpp:633-634). The
+capability target is upstream bowtie2 semantics, rebuilt on the batched
+TPU engine:
+
+  1. both mates run through the unpaired candidate pipeline (batched
+     together so device phases see one combined batch);
+  2. candidate pairs are classified for concordance (PEPolicy.classify =
+     peClassifyPair, pe.cpp:37-135);
+  3. pairs without a concordant combo get batched mate-rescue DP: the best
+     anchor alignment defines an opposite-mate window (otherMate,
+     pe.cpp:161-356) searched end-to-end — the analog of upstream's
+     oppositional mate-search DP (aligner_sw_driver.cpp mate framing via
+     dp_framer.cpp:177,291);
+  4. leftovers are promoted to a discordant pair when both mates aligned
+     uniquely (prepareDiscordants, aln_sink.cpp:1460-1469), else reported
+     as unpaired mates in mixed mode (gReportMixed, bt2_search.cpp:313).
+
+MAPQ for concordant pairs uses the combined-score V2 table (BowtieMapq2
+paired branch: summed perfect/min/best scores, unique.h:207-220).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..utils import dna
+from ..utils.mapq import mapq_v2_e2e
+from ..utils.pe import PEPolicy, PE_ALS_DISCORD, fragment_length
+from .aligner import AlnResult, Candidate, TPUAligner
+
+
+@dataclasses.dataclass
+class PairResult:
+    """Outcome for one read pair. cat: 'concord' | 'discord' | 'mixed'.
+    In 'mixed', each mate may individually be aligned or unaligned."""
+
+    cat: str
+    m1: AlnResult
+    m2: AlnResult
+    tlen1: int = 0  # signed TLEN on mate 1's record
+    tlen2: int = 0
+
+
+def _to_result(cand: Candidate, secbest, mapq) -> AlnResult:
+    return AlnResult(
+        status="aligned",
+        fw=cand.fw,
+        refid=cand.refid,
+        refoff=cand.refoff,
+        score=cand.score,
+        secbest=secbest,
+        mapq=mapq,
+        cigar=cand.cigar,
+        stats=cand.stats,
+        nhits=1,
+        span=cand.span,
+    )
+
+
+class PairedAligner:
+    NROUNDS = TPUAligner.NROUNDS
+
+    def __init__(self, aligner: TPUAligner, pe: PEPolicy | None = None,
+                 mixed: bool = True, discord: bool = True):
+        self.al = aligner
+        self.pe = pe or PEPolicy()
+        self.mixed = mixed  # gReportMixed
+        self.discord = discord  # gReportDiscordant
+
+    # ---------------- candidate pairing ----------------
+
+    def _concordant_combos(self, rd1, rd2, c1s: dict, c2s: dict):
+        """All concordant (c1, c2) combos with real coordinates. Cheap
+        pre-filter on approximate positions before paying for backtraces."""
+        pe = self.pe
+        maxfrag = max(self.pe.maxfrag, len(rd1.seq), len(rd2.seq)) \
+            if pe.expand_to_fit else pe.maxfrag
+        slack = 32  # gap slop before exact classify
+        combos = []
+        for (fw1, endj1), c1 in c1s.items():
+            for (fw2, endj2), c2 in c2s.items():
+                if abs(endj1 - endj2) > maxfrag + slack:
+                    continue
+                self.al.backtrace(c1)
+                self.al.backtrace(c2)
+                if not (c1.valid and c2.valid) or c1.refid != c2.refid:
+                    continue
+                typ = pe.classify(
+                    c1.refoff, c1.span, c1.fw, c2.refoff, c2.span, c2.fw
+                )
+                if typ != PE_ALS_DISCORD:
+                    combos.append((c1, c2))
+        return combos
+
+    # ---------------- mate rescue ----------------
+
+    def _rescue_problems(self, pairs, minscs, acc, unresolved):
+        """Build batched opposite-mate DP problems for unresolved pairs.
+        Returns (problems, meta) where meta[k] = (pi, anchor_is1, cand, ofw)."""
+        o = self.al.opts
+        problems, meta = [], []
+        for pi in unresolved:
+            rd1, rd2 = pairs[pi]
+            for is1, (anchor_cands, other_rd) in (
+                (True, (acc[2 * pi], rd2)),
+                (False, (acc[2 * pi + 1], rd1)),
+            ):
+                if not anchor_cands:
+                    continue
+                if len(other_rd.seq) > o.l_max:
+                    continue
+                # best valid anchor only (the reference anchors rescue DP on
+                # the alignment it just found, aligner_sw_driver extend loop)
+                for (_fw, _endj), cand in TPUAligner.rank_candidates(anchor_cands):
+                    self.al.backtrace(cand)
+                    if cand.valid:
+                        break
+                else:
+                    continue
+                win = self.pe.other_mate_window(
+                    is1, cand.fw, cand.refoff, cand.span,
+                    len(rd1.seq), len(rd2.seq),
+                )
+                if win is None:
+                    continue
+                oleft, oll, olr, orl, orr, ofw = win
+                bounds = self.al.fm.refmap.ref_fragment_bounds(
+                    cand.refid, cand.refoff
+                )
+                if bounds is None:
+                    continue
+                jfrag_lo, jfrag_hi = bounds
+                # ref offset -> joined offset within the anchor's fragment
+                jbase = cand.joined_start - cand.refoff
+                ws = max(jfrag_lo, jbase + oll)
+                we = min(jfrag_hi, jbase + orr + 1)
+                wlen = we - ws
+                if wlen < len(other_rd.seq) or wlen > self._rescue_cols():
+                    continue
+                oriented = other_rd.seq if ofw else dna.revcomp(other_rd.seq)
+                q = other_rd.qual if ofw else other_rd.qual[::-1]
+                pens = self.al.mm_tab[np.minimum(q, 255)]
+                problems.append(dict(read=oriented, pens=pens, wstart=ws, wlen=wlen))
+                meta.append((pi, is1, ofw))
+        return problems, meta
+
+    def _rescue_cols(self) -> int:
+        """Static device window width for rescue DPs: fragment cap + slack,
+        rounded up to a lane multiple."""
+        cap = max(self.pe.maxfrag + 64, self.al.opts.c_strict)
+        return ((cap + 127) // 128) * 128
+
+    # ---------------- main entry ----------------
+
+    def align_pairs(self, pairs) -> list[PairResult]:
+        al, o = self.al, self.al.opts
+        npairs = len(pairs)
+        reads = []
+        for rd1, rd2 in pairs:
+            reads.extend((rd1, rd2))
+        minscs = al.min_scores(reads)
+
+        # accumulated candidates per mate-read across rounds
+        acc = [dict() for _ in range(2 * npairs)]
+        best_pair = [None] * npairs  # (c1, c2)
+        secbest_csc = [None] * npairs  # second-best concordant combined score
+
+        unresolved = list(range(npairs))
+        for roundi in range(self.NROUNDS):
+            if not unresolved:
+                break
+            active = [i for pi in unresolved for i in (2 * pi, 2 * pi + 1)]
+            cands = al.collect_candidates(reads, minscs, active, roundi)
+            for i in active:
+                for key, c in cands[i].items():
+                    cur = acc[i].get(key)
+                    if cur is None or c.score > cur.score:
+                        acc[i][key] = c
+            still = []
+            for pi in unresolved:
+                if self._try_concordant(pairs, pi, acc, best_pair, secbest_csc):
+                    continue
+                still.append(pi)
+            unresolved = still
+
+        # batched mate rescue for pairs without a concordant combo
+        if unresolved:
+            problems, meta = self._rescue_problems(pairs, minscs, acc, unresolved)
+            if problems:
+                best, bestcol = al._run_dp(problems, cols=self._rescue_cols())
+                for k, (pi, is1, ofw) in enumerate(meta):
+                    other_i = 2 * pi + (1 if is1 else 0)
+                    if best[k] < minscs[other_i]:
+                        continue
+                    endj = problems[k]["wstart"] + int(bestcol[k])
+                    key = (ofw, endj)
+                    cur = acc[other_i].get(key)
+                    if cur is None or int(best[k]) > cur.score:
+                        acc[other_i][key] = Candidate(
+                            score=int(best[k]), fw=ofw, endj=endj,
+                            problem=problems[k], bc=int(bestcol[k]),
+                        )
+                unresolved = [
+                    pi for pi in unresolved
+                    if not self._try_concordant(pairs, pi, acc, best_pair, secbest_csc)
+                ]
+
+        # assemble results
+        out = []
+        for pi in range(npairs):
+            rd1, rd2 = pairs[pi]
+            if best_pair[pi] is not None:
+                out.append(self._emit_concordant(
+                    rd1, rd2, best_pair[pi], secbest_csc[pi],
+                    int(minscs[2 * pi]), int(minscs[2 * pi + 1])))
+                continue
+            out.append(self._emit_unpaired_pair(
+                rd1, rd2, acc[2 * pi], acc[2 * pi + 1],
+                int(minscs[2 * pi]), int(minscs[2 * pi + 1])))
+        return out
+
+    def _try_concordant(self, pairs, pi, acc, best_pair, secbest_csc) -> bool:
+        rd1, rd2 = pairs[pi]
+        combos = self._concordant_combos(rd1, rd2, acc[2 * pi], acc[2 * pi + 1])
+        if not combos:
+            return False
+        # rank combos: combined score desc, deterministic tiebreak
+        combos.sort(key=lambda p: (
+            -(p[0].score + p[1].score),
+            not p[0].fw, p[0].endj, not p[1].fw, p[1].endj,
+        ))
+        best_pair[pi] = combos[0]
+        if len(combos) > 1:
+            secbest_csc[pi] = combos[1][0].score + combos[1][1].score
+        return True
+
+    def _emit_concordant(self, rd1, rd2, combo, secbest_csc,
+                         minsc1, minsc2) -> PairResult:
+        sc = self.al.sc
+        c1, c2 = combo
+        perfect = sc.match_bonus * (len(rd1.seq) + len(rd2.seq))
+        csc = c1.score + c2.score
+        mq = mapq_v2_e2e(csc, secbest_csc, minsc1 + minsc2, perfect)
+        m1 = _to_result(c1, None, mq)
+        m2 = _to_result(c2, None, mq)
+        tlen1 = fragment_length(
+            c1.refoff, c1.span, c1.fw, True, c2.refoff, c2.span, c2.fw
+        )
+        return PairResult(cat="concord", m1=m1, m2=m2, tlen1=tlen1, tlen2=-tlen1)
+
+    def _select_mate(self, rd, cands: dict, minsc):
+        """Unpaired-style selection for one mate (same ranking as
+        TPUAligner._finalize_unpaired)."""
+        sc = self.al.sc
+        if not cands:
+            return None, 0
+        ranked = TPUAligner.rank_candidates(cands)
+        secbest = ranked[1][1].score if len(ranked) > 1 else None
+        for (_fw, _endj), cand in ranked:
+            self.al.backtrace(cand)
+            if not cand.valid:
+                continue
+            perfect = sc.match_bonus * len(rd.seq)
+            mq = mapq_v2_e2e(cand.score, secbest, minsc, perfect)
+            return _to_result(cand, secbest, mq), len(ranked)
+        return None, 0
+
+    def _emit_unpaired_pair(self, rd1, rd2, c1s, c2s, minsc1, minsc2) -> PairResult:
+        r1, n1 = self._select_mate(rd1, c1s, minsc1)
+        r2, n2 = self._select_mate(rd2, c2s, minsc2)
+        # discordant promotion: both mates aligned uniquely
+        # (prepareDiscordants, aln_sink.cpp:1460-1469)
+        if (
+            self.discord
+            and r1 is not None and r2 is not None
+            and n1 == 1 and n2 == 1
+        ):
+            tlen1 = 0
+            if r1.refid == r2.refid:
+                tlen1 = fragment_length(
+                    r1.refoff, r1.span, r1.fw, True, r2.refoff, r2.span, r2.fw
+                )
+            return PairResult(cat="discord", m1=r1, m2=r2,
+                              tlen1=tlen1, tlen2=-tlen1)
+        un = AlnResult(status="unaligned")
+        if not self.mixed:
+            return PairResult(cat="mixed", m1=un, m2=un)
+        return PairResult(cat="mixed", m1=r1 or un, m2=r2 or un)
