@@ -41,7 +41,7 @@ def main():
 
     t0 = time.time()
     res = []
-    B = 512
+    B = 8192
     for lo in range(0, len(reads), B):
         res.extend(al.align_batch(reads[lo : lo + B]))
     dt = time.time() - t0

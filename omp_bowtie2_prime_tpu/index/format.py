@@ -27,6 +27,15 @@ WORD_BASES = 16  # 2-bit bases per uint32 word
 WORDS_PER_BLOCK = OCC_BLOCK // WORD_BASES  # 8
 MARK_WORDS_PER_BLOCK = OCC_BLOCK // 32  # 4
 
+# Interleaved device block record (the TPU analog of the reference's
+# "sides", bt2_idx.h:112-279): everything one rank/LF/walk step needs in a
+# single gathered row of BLOCK_U32 uint32 words.
+BLK_BWT = 0  # [0:8)  2-bit BWT words
+BLK_OCC = WORDS_PER_BLOCK  # [8:12) absolute occ counts at block start
+BLK_MARK = BLK_OCC + 4  # [12:16) SA-mark bitmap words
+BLK_MARKCP = BLK_MARK + MARK_WORDS_PER_BLOCK  # [16] marked-row rank at start
+BLOCK_U32 = BLK_MARKCP + 1  # 17
+
 
 @dataclasses.dataclass
 class FMIndex:
@@ -87,14 +96,13 @@ class DeviceIndex:
     the int64 variant, a later milestone mirroring the reference's .bt2l).
     """
 
-    bwt_blocks: object  # [nblocks, WORDS_PER_BLOCK] uint32
-    occ_cp: object  # [nblocks, 4] int32
+    blocks: object  # [nblocks, BLOCK_U32] uint32 interleaved block records
     fchr: object  # [5] int32
-    ftab_top: object  # [4^k] int32
-    ftab_bot: object  # [4^k] int32
-    mark_blocks: object  # [nblocks, MARK_WORDS_PER_BLOCK] uint32
-    mark_cp: object  # [nblocks] int32
-    sa_sample: object  # [nmarked] int32
+    # big lookup tables are stored 8-wide: XLA's TPU scalar (1-elt) gather
+    # is pathologically slow, a row gather + compare-select is fast
+    ftab_top: object  # [4^k/8, 8] int32
+    ftab_bot: object  # [4^k/8, 8] int32
+    sa_sample: object  # [ceil(nmarked/8), 8] int32
     ref_words: object  # [nrefwords] uint32
     zoff: object  # [] int32
     nrows: object  # [] int32
@@ -105,19 +113,29 @@ class DeviceIndex:
     def from_host(cls, fm: FMIndex) -> "DeviceIndex":
         import jax.numpy as jnp
 
+        nblocks = fm.nblocks
+        blocks = np.zeros((nblocks, BLOCK_U32), dtype=np.uint32)
+        blocks[:, BLK_BWT : BLK_BWT + WORDS_PER_BLOCK] = fm.bwt_words.reshape(
+            nblocks, WORDS_PER_BLOCK
+        )
+        blocks[:, BLK_OCC : BLK_OCC + 4] = fm.occ_cp.astype(np.uint32)
+        blocks[:, BLK_MARK : BLK_MARK + MARK_WORDS_PER_BLOCK] = (
+            fm.mark_words.reshape(nblocks, MARK_WORDS_PER_BLOCK)
+        )
+        blocks[:, BLK_MARKCP] = fm.mark_cp.astype(np.uint32)
+
+        def wide8(a):
+            n8 = (len(a) + 7) // 8 * 8
+            out = np.zeros(n8, np.int32)
+            out[: len(a)] = a
+            return out.reshape(-1, 8)
+
         return cls(
-            bwt_blocks=jnp.asarray(
-                fm.bwt_words.reshape(-1, WORDS_PER_BLOCK), dtype=jnp.uint32
-            ),
-            occ_cp=jnp.asarray(fm.occ_cp, dtype=jnp.int32),
+            blocks=jnp.asarray(blocks),
             fchr=jnp.asarray(fm.fchr, dtype=jnp.int32),
-            ftab_top=jnp.asarray(fm.ftab_top, dtype=jnp.int32),
-            ftab_bot=jnp.asarray(fm.ftab_bot, dtype=jnp.int32),
-            mark_blocks=jnp.asarray(
-                fm.mark_words.reshape(-1, MARK_WORDS_PER_BLOCK), dtype=jnp.uint32
-            ),
-            mark_cp=jnp.asarray(fm.mark_cp, dtype=jnp.int32),
-            sa_sample=jnp.asarray(fm.sa_sample, dtype=jnp.int32),
+            ftab_top=jnp.asarray(wide8(fm.ftab_top)),
+            ftab_bot=jnp.asarray(wide8(fm.ftab_bot)),
+            sa_sample=jnp.asarray(wide8(fm.sa_sample)),
             ref_words=jnp.asarray(fm.ref_words, dtype=jnp.uint32),
             zoff=jnp.asarray(fm.zoff, dtype=jnp.int32),
             nrows=jnp.asarray(fm.nrows, dtype=jnp.int32),

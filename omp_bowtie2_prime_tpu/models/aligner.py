@@ -48,9 +48,12 @@ class AlignOpts:
     l_max: int = 160  # ALN_MAX_ROWS (aligner_result.h:42)
     c_strict: int = 200  # ALN_MAX_COLS (aligner_result.h:43): DP bail width
     minsc_clamp: int = -254  # u8-only build clamp (bt2_search.cpp:2487-2491)
-    seed_batch: int = 2048
-    row_batch: int = 4096
-    dp_batch: int = 256
+    # chunk shapes: sized so a full CLI read-batch needs only a few device
+    # dispatches (per-call latency through remote-device tunnels dwarfs the
+    # on-chip time of these kernels)
+    seed_batch: int = 32768
+    row_batch: int = 32768
+    dp_batch: int = 2048
     dp_cols: int = 200  # device window capacity (cols)
 
 
@@ -83,6 +86,10 @@ class Candidate:
     endj: int  # joined-text column where the alignment ends (exclusive)
     problem: dict  # read/pens/wstart/wlen for the DP window
     bc: int  # best end column within the window
+    # device-computed backtrace raw results (op string END->START + start
+    # col), finished lazily on host into cigar/stats:
+    ops_row: object = None
+    start_col: int = -1
     # lazily-populated backtrace results:
     resolved: bool = False
     valid: bool = False  # False if straddles a fragment boundary
@@ -92,6 +99,20 @@ class Candidate:
     refoff: int = -1
     cigar: list = dataclasses.field(default_factory=list)
     stats: dict = dataclasses.field(default_factory=dict)
+
+
+_EMPTY_OFFS = np.empty(0, np.int32)
+
+
+def _prefetch(*arrs):
+    """Start async device->host copies so chunked results stream back
+    overlapped instead of paying one tunnel round-trip per np.asarray."""
+    for a in arrs:
+        try:
+            a.copy_to_host_async()
+        except AttributeError:
+            pass
+    return arrs if len(arrs) > 1 else arrs[0]
 
 
 class TPUAligner:
@@ -108,8 +129,12 @@ class TPUAligner:
         self.swp = sw.SWParams.from_scoring(self.sc)
         o = self.opts
         self._search_fn = jax.jit(seed_search.search_seeds)
+        self._search_resolve_fn = jax.jit(
+            seed_search.search_resolve_seeds, static_argnums=(3, 4)
+        )
         self._resolve_fn = jax.jit(walk.resolve_rows)
         self._sw_fn = jax.jit(sw.sw_e2e_batch, static_argnums=5)
+        self._sw_bt_fn = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
 
     # ---------------- P2: seed instantiation ----------------
 
@@ -155,32 +180,84 @@ class TPUAligner:
     # ---------------- device phase helpers (padded chunking) ----------------
 
     def _search(self, seeds: np.ndarray):
+        """Async-dispatched chunking: all device calls are enqueued before
+        any result is materialized (the latency-hiding analog of the fork's
+        interleaved lockstep batches, aligner_seed.h:1427-1431)."""
         o = self.opts
         S = len(seeds)
         tops = np.zeros(S, np.int32)
         bots = np.zeros(S, np.int32)
+        futs = []
         for lo in range(0, S, o.seed_batch):
             hi = min(lo + o.seed_batch, S)
             chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int32)
             chunk[: hi - lo] = seeds[lo:hi]
             valid = np.zeros(o.seed_batch, bool)
             valid[: hi - lo] = True
-            t, b = self._search_fn(self.idx, jnp.asarray(chunk), jnp.asarray(valid))
+            futs.append(
+                (lo, hi, _prefetch(*self._search_fn(self.idx, jnp.asarray(chunk), jnp.asarray(valid))))
+            )
+        for lo, hi, (t, b) in futs:
             tops[lo:hi] = np.asarray(t)[: hi - lo]
             bots[lo:hi] = np.asarray(b)[: hi - lo]
         return tops, bots
+
+    def _search_resolve(self, seeds: np.ndarray):
+        """Chunked fused search+resolve. Returns (tops, bots, offs_of) where
+        offs_of(si) -> np array of resolved joined offsets for seed si
+        (first min(width, range_cap) SA rows; -1 = unresolved)."""
+        o = self.opts
+        S = len(seeds)
+        tops = np.zeros(S, np.int32)
+        bots = np.zeros(S, np.int32)
+        nchunks = (S + o.seed_batch - 1) // o.seed_batch
+        chunk_starts = [None] * nchunks
+        chunk_offs = [None] * nchunks
+        futs = []
+        for ci, lo in enumerate(range(0, S, o.seed_batch)):
+            hi = min(lo + o.seed_batch, S)
+            chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int32)
+            chunk[: hi - lo] = seeds[lo:hi]
+            valid = np.zeros(o.seed_batch, bool)
+            valid[: hi - lo] = True
+            futs.append((ci, lo, hi, _prefetch(*self._search_resolve_fn(
+                self.idx, jnp.asarray(chunk), jnp.asarray(valid),
+                o.range_cap, 4,
+            ))))
+        for ci, lo, hi, (t, b, st, of) in futs:
+            tops[lo:hi] = np.asarray(t)[: hi - lo]
+            bots[lo:hi] = np.asarray(b)[: hi - lo]
+            chunk_starts[ci] = np.asarray(st)
+            chunk_offs[ci] = np.asarray(of)
+
+        rmax = o.seed_batch * 4
+        cap = o.range_cap
+
+        def offs_of(si: int) -> np.ndarray:
+            ci, li = divmod(si, o.seed_batch)
+            s = int(chunk_starts[ci][li])
+            w = min(int(bots[si] - tops[si]), cap)
+            if s + w > rmax:  # compaction buffer spill: treat unresolved
+                return _EMPTY_OFFS
+            return chunk_offs[ci][s : s + w]
+
+        return tops, bots, offs_of
 
     def _resolve(self, rows: np.ndarray):
         o = self.opts
         R = len(rows)
         offs = np.full(R, -1, np.int32)
+        futs = []
         for lo in range(0, R, o.row_batch):
             hi = min(lo + o.row_batch, R)
             chunk = np.zeros(o.row_batch, np.int32)
             chunk[: hi - lo] = rows[lo:hi]
             valid = np.zeros(o.row_batch, bool)
             valid[: hi - lo] = True
-            r = self._resolve_fn(self.idx, jnp.asarray(chunk), jnp.asarray(valid))
+            futs.append(
+                (lo, hi, _prefetch(self._resolve_fn(self.idx, jnp.asarray(chunk), jnp.asarray(valid))))
+            )
+        for lo, hi, r in futs:
             offs[lo:hi] = np.asarray(r)[: hi - lo]
         return offs
 
@@ -195,6 +272,7 @@ class TPUAligner:
         best = np.full(n, sw.NEG, np.int64)
         bestcol = np.zeros(n, np.int32)
         L, C = o.l_max, (cols or o.dp_cols)
+        futs = []
         for lo in range(0, n, o.dp_batch):
             hi = min(lo + o.dp_batch, n)
             B = o.dp_batch
@@ -211,17 +289,58 @@ class TPUAligner:
                 ws, wl = pr["wstart"], pr["wlen"]
                 refs[k, :wl] = self.text[ws : ws + wl]
                 wlens[k] = wl
-            b, bc, _ = self._sw_fn(
+            futs.append((lo, hi, _prefetch(*self._sw_fn(
                 jnp.asarray(reads),
                 jnp.asarray(pens),
                 jnp.asarray(rdlens),
                 jnp.asarray(refs),
                 jnp.asarray(wlens),
                 self.swp,
-            )
+            ))))
+        for lo, hi, (b, bc, _) in futs:
             best[lo:hi] = np.asarray(b)[: hi - lo]
             bestcol[lo:hi] = np.asarray(bc)[: hi - lo]
         return best, bestcol
+
+    def _run_dp_bt(self, problems, cols: int | None = None):
+        """Batched DP with fused device backtrace walk: returns
+        (best, bestcol, ops list, startcols) for every problem."""
+        o = self.opts
+        n = len(problems)
+        best = np.full(n, sw.NEG, np.int64)
+        bestcol = np.zeros(n, np.int32)
+        startcols = np.zeros(n, np.int32)
+        all_ops: list = [None] * n
+        L, C = o.l_max, (cols or o.dp_cols)
+        futs = []
+        for lo in range(0, n, o.dp_batch):
+            hi = min(lo + o.dp_batch, n)
+            B = o.dp_batch
+            reads = np.full((B, L), 4, np.int32)
+            pens = np.zeros((B, L), np.int32)
+            rdlens = np.zeros(B, np.int32)
+            refs = np.full((B, C), 4, np.int32)
+            wlens = np.zeros(B, np.int32)
+            for k, pr in enumerate(problems[lo:hi]):
+                ln = len(pr["read"])
+                reads[k, :ln] = pr["read"]
+                pens[k, :ln] = pr["pens"]
+                rdlens[k] = ln
+                ws, wl = pr["wstart"], pr["wlen"]
+                refs[k, :wl] = self.text[ws : ws + wl]
+                wlens[k] = wl
+            futs.append((lo, hi, _prefetch(*self._sw_bt_fn(
+                jnp.asarray(reads), jnp.asarray(pens), jnp.asarray(rdlens),
+                jnp.asarray(refs), jnp.asarray(wlens), self.swp,
+            ))))
+        for lo, hi, (b, bc, ops, stc) in futs:
+            best[lo:hi] = np.asarray(b)[: hi - lo]
+            bestcol[lo:hi] = np.asarray(bc)[: hi - lo]
+            startcols[lo:hi] = np.asarray(stc)[: hi - lo]
+            ops_np = np.asarray(ops)
+            for k in range(hi - lo):
+                all_ops[lo + k] = ops_np[k]
+        return best, bestcol, all_ops, startcols
 
     # ---------------- main entry ----------------
 
@@ -265,11 +384,11 @@ class TPUAligner:
 
         empty = [{} for _ in range(n)]
 
-        # P2 + P4: seeds and search
+        # P2 + P4/P6 fused: seeds, search and SA resolution in one dispatch
         seeds, meta = self._instantiate_seeds(reads, active, roundi)
         if len(meta) == 0:
             return empty
-        tops, bots = self._search(seeds)
+        tops, bots, offs_of = self._search_resolve(seeds)
 
         # P5: rank — per read, ranges sorted by width ascending
         # (ref: rankSeedHits, aligner_seed.h:1000-1062)
@@ -277,43 +396,19 @@ class TPUAligner:
         for si, (ri, fw, off) in enumerate(meta):
             w = int(bots[si] - tops[si])
             if w > 0:
-                per_read_ranges[ri].append((w, int(tops[si]), int(bots[si]), fw, off))
-        rows, row_meta = [], []
-        for ri, ranges in enumerate(per_read_ranges):
-            ranges.sort(key=lambda r: (r[0], not r[3], r[4]))
-            budget = o.max_elts_per_read
-            for w, top, bot, fw, off in ranges:
-                take = min(w, o.range_cap, budget)
-                for r in range(top, top + take):
-                    rows.append(r)
-                    row_meta.append((ri, fw, off))
-                budget -= take
-                if budget <= 0:
-                    break
-        if not rows:
-            return empty
-
-        # P6: resolve SA rows -> joined offsets
-        offs = self._resolve(np.array(rows, np.int32))
+                per_read_ranges[ri].append((w, si, fw, off))
 
         # candidates: dedupe by (read, fw, diagonal)
         cand_seen = set()
         problems = []
         prob_meta = []
-        dp_count = np.zeros(n, np.int32)
         maxgaps_cache = {}
-        for (ri, fw, soff), joff in zip(row_meta, offs):
-            if joff < 0:
+        for ri, ranges in enumerate(per_read_ranges):
+            if not ranges:
                 continue
+            ranges.sort(key=lambda r: (r[0], not r[2], r[3]))
             rd = reads[ri]
             ln = len(rd.seq)
-            cand = int(joff) - soff
-            key = (ri, fw, cand)
-            if key in cand_seen:
-                continue
-            cand_seen.add(key)
-            if dp_count[ri] >= o.max_dp_per_read:
-                continue
             if ln > o.l_max:
                 continue  # reference DP-row envelope: read too long for DP
             mg_key = (ln, int(minscs[ri]))
@@ -323,27 +418,47 @@ class TPUAligner:
             width = ln + 2 * maxgaps
             if width > o.c_strict:
                 continue  # reference col envelope (aligner_sw.cpp:138-142)
-            wstart = cand - maxgaps
-            wend = cand + ln + maxgaps
-            wstart_cl = max(0, wstart)
-            wend_cl = min(self.fm.n, wend)
-            wlen = wend_cl - wstart_cl
-            if wlen <= 0:
-                continue
-            oriented = rd.seq if fw else dna.revcomp(rd.seq)
-            q = rd.qual if fw else rd.qual[::-1]
-            pens = self.mm_tab[np.minimum(q, 255)]
-            dp_count[ri] += 1
-            problems.append(
-                dict(read=oriented, pens=pens, wstart=wstart_cl, wlen=wlen)
-            )
-            prob_meta.append((ri, fw))
+            oriented = {True: rd.seq, False: None}
+            pens_c = {}
+            budget = o.max_elts_per_read
+            dp_count = 0
+            for w, si, fw, soff in ranges:
+                take = min(w, o.range_cap, budget)
+                joffs = offs_of(si)
+                for joff in joffs[:take]:
+                    if joff < 0:
+                        continue
+                    cand = int(joff) - soff
+                    if (ri, fw, cand) in cand_seen:
+                        continue
+                    cand_seen.add((ri, fw, cand))
+                    if dp_count >= o.max_dp_per_read:
+                        continue
+                    wstart_cl = max(0, cand - maxgaps)
+                    wend_cl = min(self.fm.n, cand + ln + maxgaps)
+                    wlen = wend_cl - wstart_cl
+                    if wlen <= 0:
+                        continue
+                    if fw not in pens_c:
+                        if not fw and oriented[False] is None:
+                            oriented[False] = dna.revcomp(rd.seq)
+                        q = rd.qual if fw else rd.qual[::-1]
+                        pens_c[fw] = self.mm_tab[np.minimum(q, 255)]
+                    dp_count += 1
+                    problems.append(dict(
+                        read=oriented[fw], pens=pens_c[fw],
+                        wstart=wstart_cl, wlen=wlen,
+                    ))
+                    prob_meta.append((ri, fw))
+                budget -= take
+                if budget <= 0:
+                    break
 
         if not problems:
             return empty
 
-        # P7: batched DP
-        best, bestcol = self._run_dp(problems)
+        # P7 + P8a fused: batched DP with device backtrace walk
+        best, bestcol, ops, startcols = self._run_dp_bt(problems)
 
         # collect valid-scoring candidates, deduped by (fw, end column)
         cands = [{} for _ in range(n)]
@@ -355,35 +470,91 @@ class TPUAligner:
             cur = cands[ri].get(key)
             if cur is None or b > cur.score:
                 cands[ri][key] = Candidate(
-                    score=int(b), fw=fw, endj=endj, problem=problems[pi], bc=int(bc)
+                    score=int(b), fw=fw, endj=endj, problem=problems[pi],
+                    bc=int(bc), ops_row=ops[pi], start_col=int(startcols[pi]),
                 )
         return cands
 
     def backtrace(self, cand: Candidate) -> Candidate:
-        """Host backtrace of one candidate (ref analog:
-        backtraceNucleotidesEnd2EndSseU8, aligner_swsse_ee_u8.cpp:746-1350);
-        fills coordinates/cigar/stats, caches on the candidate."""
-        if cand.resolved:
-            return cand
-        cand.resolved = True
+        """Backtrace one candidate (batched version preferred)."""
+        self.backtrace_batch([cand])
+        return cand
+
+    def backtrace_batch(self, cands: list) -> None:
+        """Batched backtrace: re-runs the DP on device with a fused
+        trace-bit walk (the analog of the reference's stored-E/F/H CPU
+        backtrace, aligner_swsse_ee_u8.cpp:746-1350, moved on-device);
+        only the op strings transfer back. Fills coords/cigar/stats."""
+        todo = [c for c in cands if not c.resolved]
+        if not todo:
+            return
+        # candidates from the fused DP already carry their op strings:
+        # finishing them is pure host work
+        rest = []
+        for c in todo:
+            if c.ops_row is not None:
+                c.resolved = True
+                self._finish_backtrace(c, c.ops_row, c.start_col)
+            else:
+                rest.append(c)
+        todo = rest
+        if not todo:
+            return
+        o = self.opts
+        L = o.l_max
+        # group by device window width class (seed-extend vs rescue)
+        by_w: dict[int, list] = {}
+        for c in todo:
+            c.resolved = True
+            w = o.dp_cols if c.problem["wlen"] <= o.dp_cols else (
+                (c.problem["wlen"] + 127) // 128 * 128
+            )
+            by_w.setdefault(w, []).append(c)
+        futs = []
+        for W, group in by_w.items():
+            B = min(o.dp_batch, 1024)
+            for lo in range(0, len(group), B):
+                chunk = group[lo : lo + B]
+                reads = np.full((B, L), 4, np.int32)
+                pens = np.zeros((B, L), np.int32)
+                rdlens = np.zeros(B, np.int32)
+                refs = np.full((B, W), 4, np.int32)
+                wlens = np.zeros(B, np.int32)
+                for k, c in enumerate(chunk):
+                    pr = c.problem
+                    ln = len(pr["read"])
+                    reads[k, :ln] = pr["read"]
+                    pens[k, :ln] = pr["pens"]
+                    rdlens[k] = ln
+                    refs[k, : pr["wlen"]] = self.text[
+                        pr["wstart"] : pr["wstart"] + pr["wlen"]
+                    ]
+                    wlens[k] = pr["wlen"]
+                futs.append((chunk, self._sw_bt_fn(
+                    jnp.asarray(reads), jnp.asarray(pens), jnp.asarray(rdlens),
+                    jnp.asarray(refs), jnp.asarray(wlens), self.swp,
+                )))
+        for chunk, (_, _, ops, startcol) in futs:
+            ops = np.asarray(ops)
+            startcol = np.asarray(startcol)
+            for k, c in enumerate(chunk):
+                self._finish_backtrace(c, ops[k], int(startcol[k]))
+
+    def _finish_backtrace(self, cand: Candidate, ops_row, start_col: int) -> None:
         pr = cand.problem
-        refw = self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]]
-        H, E, F = sw.sw_e2e_full_numpy(pr["read"], pr["pens"], refw, self.swp)
-        aln = sw.backtrace_numpy(
-            pr["read"], pr["pens"], refw, self.swp, H, E, F, cand.bc
-        )
-        cand.joined_start = pr["wstart"] + aln.start_col
-        cand.span = aln.end_col - aln.start_col
+        cigar = sw.ops_to_cigar(ops_row)
+        if not cigar:
+            return
+        cand.joined_start = pr["wstart"] + start_col
+        cand.span = cand.bc - start_col
         mapped = self.fm.refmap.joined_to_ref(cand.joined_start, cand.span)
         if mapped is None:
-            return cand  # straddles fragment boundary (bt2_idx.cpp:54-128)
+            return  # straddles fragment boundary (bt2_idx.cpp:54-128)
         cand.refid, cand.refoff = mapped
-        cand.cigar = aln.cigar
-        cand.stats = cigar_util.alignment_stats(
-            pr["read"], refw, aln.start_col, aln.cigar
-        )
+        cand.cigar = cigar
+        refw = self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]]
+        cand.stats = cigar_util.alignment_stats(pr["read"], refw, start_col, cigar)
         cand.valid = True
-        return cand
 
     @staticmethod
     def rank_candidates(alns: dict) -> list:
@@ -396,18 +567,27 @@ class TPUAligner:
 
     def _finalize_unpaired(self, reads, minscs, cands, results) -> None:
         sc = self.sc
+        # pick winner per read; backtraces batched across reads, advancing
+        # to the next-ranked candidate only when one proves invalid
+        # (fragment-boundary straddle — rare)
+        pend = {}  # ri -> (ranked list, next index)
         for ri, alns in enumerate(cands):
-            if not alns:
-                continue
-            rd = reads[ri]
-            ln = len(rd.seq)
-            ranked = self.rank_candidates(alns)
-            secbest = ranked[1][1].score if len(ranked) > 1 else None
-            for (fw, endj), cand in ranked:
-                self.backtrace(cand)
+            if alns:
+                pend[ri] = (self.rank_candidates(alns), 0)
+        while pend:
+            self.backtrace_batch(
+                [ranked[i][1] for ranked, i in pend.values()]
+            )
+            nxt = {}
+            for ri, (ranked, i) in pend.items():
+                cand = ranked[i][1]
                 if not cand.valid:
+                    if i + 1 < len(ranked):
+                        nxt[ri] = (ranked, i + 1)
                     continue
-                perfect = sc.match_bonus * ln
+                fw = cand.fw
+                secbest = ranked[1][1].score if len(ranked) > 1 else None
+                perfect = sc.match_bonus * len(reads[ri].seq)
                 mq = mapq_v2_e2e(cand.score, secbest, int(minscs[ri]), perfect)
                 results[ri] = AlnResult(
                     status="aligned",
@@ -422,4 +602,4 @@ class TPUAligner:
                     nhits=1,
                     span=cand.span,
                 )
-                break
+            pend = nxt

@@ -75,27 +75,32 @@ class PairedAligner:
 
     # ---------------- candidate pairing ----------------
 
-    def _concordant_combos(self, rd1, rd2, c1s: dict, c2s: dict):
-        """All concordant (c1, c2) combos with real coordinates. Cheap
-        pre-filter on approximate positions before paying for backtraces."""
+    def _prelim_combos(self, rd1, rd2, c1s: dict, c2s: dict):
+        """Candidate pairs passing the cheap position pre-filter (before
+        any backtrace is paid for)."""
         pe = self.pe
         maxfrag = max(self.pe.maxfrag, len(rd1.seq), len(rd2.seq)) \
             if pe.expand_to_fit else pe.maxfrag
         slack = 32  # gap slop before exact classify
-        combos = []
+        prelim = []
         for (fw1, endj1), c1 in c1s.items():
             for (fw2, endj2), c2 in c2s.items():
                 if abs(endj1 - endj2) > maxfrag + slack:
                     continue
-                self.al.backtrace(c1)
-                self.al.backtrace(c2)
-                if not (c1.valid and c2.valid) or c1.refid != c2.refid:
-                    continue
-                typ = pe.classify(
-                    c1.refoff, c1.span, c1.fw, c2.refoff, c2.span, c2.fw
-                )
-                if typ != PE_ALS_DISCORD:
-                    combos.append((c1, c2))
+                prelim.append((c1, c2))
+        return prelim
+
+    def _concordant_combos(self, prelim):
+        """Classify backtraced candidate pairs (peClassifyPair semantics)."""
+        combos = []
+        for c1, c2 in prelim:
+            if not (c1.valid and c2.valid) or c1.refid != c2.refid:
+                continue
+            typ = self.pe.classify(
+                c1.refoff, c1.span, c1.fw, c2.refoff, c2.span, c2.fw
+            )
+            if typ != PE_ALS_DISCORD:
+                combos.append((c1, c2))
         return combos
 
     # ---------------- mate rescue ----------------
@@ -104,6 +109,13 @@ class PairedAligner:
         """Build batched opposite-mate DP problems for unresolved pairs.
         Returns (problems, meta) where meta[k] = (pi, anchor_is1, cand, ofw)."""
         o = self.al.opts
+        # batch-backtrace the top-ranked anchors across all pairs first
+        pre = []
+        for pi in unresolved:
+            for side in (0, 1):
+                ranked = TPUAligner.rank_candidates(acc[2 * pi + side])
+                pre.extend(c for _k, c in ranked[:2])
+        self.al.backtrace_batch(pre)
         problems, meta = [], []
         for pi in unresolved:
             rd1, rd2 = pairs[pi]
@@ -182,18 +194,17 @@ class PairedAligner:
                     cur = acc[i].get(key)
                     if cur is None or c.score > cur.score:
                         acc[i][key] = c
-            still = []
-            for pi in unresolved:
-                if self._try_concordant(pairs, pi, acc, best_pair, secbest_csc):
-                    continue
-                still.append(pi)
-            unresolved = still
+            unresolved = self._concordance_pass(
+                pairs, unresolved, acc, best_pair, secbest_csc
+            )
 
         # batched mate rescue for pairs without a concordant combo
         if unresolved:
             problems, meta = self._rescue_problems(pairs, minscs, acc, unresolved)
             if problems:
-                best, bestcol = al._run_dp(problems, cols=self._rescue_cols())
+                best, bestcol, ops, startcols = al._run_dp_bt(
+                    problems, cols=self._rescue_cols()
+                )
                 for k, (pi, is1, ofw) in enumerate(meta):
                     other_i = 2 * pi + (1 if is1 else 0)
                     if best[k] < minscs[other_i]:
@@ -205,11 +216,20 @@ class PairedAligner:
                         acc[other_i][key] = Candidate(
                             score=int(best[k]), fw=ofw, endj=endj,
                             problem=problems[k], bc=int(bestcol[k]),
+                            ops_row=ops[k], start_col=int(startcols[k]),
                         )
-                unresolved = [
-                    pi for pi in unresolved
-                    if not self._try_concordant(pairs, pi, acc, best_pair, secbest_csc)
-                ]
+                unresolved = self._concordance_pass(
+                    pairs, unresolved, acc, best_pair, secbest_csc
+                )
+
+        # batch-backtrace the selection heads of non-concordant pairs
+        pre = []
+        for pi in range(npairs):
+            if best_pair[pi] is None:
+                for side in (0, 1):
+                    ranked = TPUAligner.rank_candidates(acc[2 * pi + side])
+                    pre.extend(c for _k, c in ranked[:2])
+        al.backtrace_batch(pre)
 
         # assemble results
         out = []
@@ -225,20 +245,35 @@ class PairedAligner:
                 int(minscs[2 * pi]), int(minscs[2 * pi + 1])))
         return out
 
-    def _try_concordant(self, pairs, pi, acc, best_pair, secbest_csc) -> bool:
-        rd1, rd2 = pairs[pi]
-        combos = self._concordant_combos(rd1, rd2, acc[2 * pi], acc[2 * pi + 1])
-        if not combos:
-            return False
-        # rank combos: combined score desc, deterministic tiebreak
-        combos.sort(key=lambda p: (
-            -(p[0].score + p[1].score),
-            not p[0].fw, p[0].endj, not p[1].fw, p[1].endj,
-        ))
-        best_pair[pi] = combos[0]
-        if len(combos) > 1:
-            secbest_csc[pi] = combos[1][0].score + combos[1][1].score
-        return True
+    def _concordance_pass(self, pairs, unresolved, acc, best_pair,
+                          secbest_csc) -> list:
+        """One concordance sweep over all unresolved pairs; backtraces
+        batched across the whole sweep. Returns pairs still unresolved."""
+        prelims = {}
+        for pi in unresolved:
+            rd1, rd2 = pairs[pi]
+            prelims[pi] = self._prelim_combos(
+                rd1, rd2, acc[2 * pi], acc[2 * pi + 1]
+            )
+        need = {
+            id(c): c for prelim in prelims.values() for pair in prelim for c in pair
+        }
+        self.al.backtrace_batch(list(need.values()))
+        still = []
+        for pi in unresolved:
+            combos = self._concordant_combos(prelims[pi])
+            if not combos:
+                still.append(pi)
+                continue
+            # rank combos: combined score desc, deterministic tiebreak
+            combos.sort(key=lambda p: (
+                -(p[0].score + p[1].score),
+                not p[0].fw, p[0].endj, not p[1].fw, p[1].endj,
+            ))
+            best_pair[pi] = combos[0]
+            if len(combos) > 1:
+                secbest_csc[pi] = combos[1][0].score + combos[1][1].score
+        return still
 
     def _emit_concordant(self, rd1, rd2, combo, secbest_csc,
                          minsc1, minsc2) -> PairResult:

@@ -2,10 +2,14 @@
 
 The reference's hot op (ref: countBt2Side / mapLF / mapBiLFEx,
 bt2_idx.h:1811-2472) counts base c in BWT[0:i) via per-side checkpoints +
-popcount with an XOR mask trick (countInU64Ex, bt2_idx.h:2029-2083). Here the
-same math is expressed as fixed-shape batched gathers over the blocked layout
-in index/format.py: one [B]-lane query gathers its 128-row block (8 uint32
-words + 4 checkpoint counts) and reduces with masked popcounts on the VPU.
+popcount with an XOR mask trick (countInU64Ex, bt2_idx.h:2029-2083). Like
+the reference's interleaved "sides" (EbwtParams, bt2_idx.h:112-279), the
+device layout interleaves everything a query needs into ONE block record
+(BWT words + occ checkpoints + SA-mark bits + mark rank checkpoint,
+index/format.py BLOCK_U32 words) so every rank / LF / group-walk step is a
+single [B]-lane gather followed by VPU popcounts. These ops are
+memory-latency bound; one gather per step instead of three is the TPU
+analog of the reference's software prefetch of sides (bt2_idx.h:370-398).
 
 All ops take a DeviceIndex and int32 row vectors; everything is jittable
 with static shapes.
@@ -16,7 +20,10 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-from ..index.format import OCC_BLOCK, WORD_BASES, WORDS_PER_BLOCK
+from ..index.format import (
+    BLK_BWT, BLK_MARK, BLK_MARKCP, BLK_OCC, BLOCK_U32, MARK_WORDS_PER_BLOCK,
+    OCC_BLOCK, WORD_BASES, WORDS_PER_BLOCK,
+)
 
 _EVEN = jnp.uint32(0x55555555)
 _FULL = jnp.uint32(0xFFFFFFFF)
@@ -45,16 +52,51 @@ def _count_pairs_eq(words, c, limit_masks):
     return jax.lax.population_count(z).astype(jnp.int32).sum(axis=-1)
 
 
-def _block_coords(rows):
-    b = rows // OCC_BLOCK
-    k = rows % OCC_BLOCK
-    return b, k
-
-
 def _word_limits(k):
     """Per-word base counts for an in-block offset k: [..., W] in [0,16]."""
     j = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32) * WORD_BASES
     return jnp.clip(k[..., None] - j, 0, WORD_BASES)
+
+
+def _select_minor(mat, i, n: int):
+    """mat[..., i] for per-lane i in [0, n) WITHOUT a gather: XLA's TPU
+    lowering of 1-element gathers is ~100x slower than a compare-select
+    over the (tiny) minor dim, so small lookups are arithmetic here."""
+    sel = i[..., None] == jnp.arange(n, dtype=jnp.int32)
+    return jnp.sum(jnp.where(sel, mat[..., :n], 0), axis=-1)
+
+
+def small_lookup(table, i, n: int):
+    """table[i] for a small 1-D table (fchr and friends) via compare-select
+    instead of a scalar gather."""
+    return _select_minor(
+        jnp.broadcast_to(table[:n], i.shape + (n,)), i, n
+    )
+
+
+def wide_lookup(table8, i):
+    """table[i] where table is stored [m, 8] (DeviceIndex wide8 layout):
+    one fast row gather + compare-select instead of a scalar gather."""
+    return _select_minor(table8[i // 8], i % 8, 8)
+
+
+def _gather_block(idx, rows):
+    """ONE gather of the interleaved block record. Returns (blk [B, BLOCK_U32]
+    uint32, k [B] in-block offset)."""
+    b = rows // OCC_BLOCK
+    k = rows % OCC_BLOCK
+    return idx.blocks[b], k
+
+
+def _occ_from_block(blk, k, c, rows, zoff):
+    words = blk[..., BLK_BWT : BLK_BWT + WORDS_PER_BLOCK]
+    cp = _select_minor(
+        blk[..., BLK_OCC : BLK_OCC + 4].astype(jnp.int32), c, 4
+    )
+    limits = _pair_limit_mask(_word_limits(k))
+    cnt = cp + _count_pairs_eq(words, c, limits)
+    adj = ((c == 0) & (rows > zoff)).astype(jnp.int32)
+    return cnt - adj
 
 
 def occ(idx, c, rows):
@@ -63,22 +105,17 @@ def occ(idx, c, rows):
     c, rows: int32 [B]. Adjusts for the dummy char (stored as 0) at zoff
     (ref: Ebwt's $-handling around _zOff, bt2_idx.h:2372-2424).
     """
-    b, k = _block_coords(rows)
-    words = idx.bwt_blocks[b]  # [B, W]
-    cp = idx.occ_cp[b, c]  # [B]
-    limits = _pair_limit_mask(_word_limits(k))
-    cnt = cp + _count_pairs_eq(words, c, limits)
-    adj = ((c == 0) & (rows > idx.zoff)).astype(jnp.int32)
-    return cnt - adj
+    blk, k = _gather_block(idx, rows)
+    return _occ_from_block(blk, k, c, rows, idx.zoff)
 
 
 def occ_all(idx, rows):
     """occ for all 4 chars at once: int32 [B, 4] (ref: mapBiLFEx's 4-way
     count, bt2_idx.h:2431-2472)."""
-    b, k = _block_coords(rows)
-    words = idx.bwt_blocks[b]  # [B, W]
-    cp = idx.occ_cp[b]  # [B, 4]
-    limits = _pair_limit_mask(_word_limits(k))  # [B, W]
+    blk, k = _gather_block(idx, rows)
+    words = blk[..., BLK_BWT : BLK_BWT + WORDS_PER_BLOCK]
+    cp = blk[..., BLK_OCC : BLK_OCC + 4].astype(jnp.int32)
+    limits = _pair_limit_mask(_word_limits(k))
     cs = jnp.arange(4, dtype=jnp.int32)
     cnt = jax.vmap(
         lambda c: _count_pairs_eq(words, jnp.broadcast_to(c, rows.shape), limits),
@@ -91,7 +128,7 @@ def occ_all(idx, rows):
 
 def lf(idx, c, rows):
     """LF step for char c: fchr[c] + occ(c, row)."""
-    return idx.fchr[c] + occ(idx, c, rows)
+    return small_lookup(idx.fchr, c, 4) + occ(idx, c, rows)
 
 
 def lf_range(idx, c, top, bot):
@@ -103,34 +140,59 @@ def lf_range(idx, c, top, bot):
     return res[:n], res[n:]
 
 
+def _bwt_char_from_block(blk, k):
+    w = _select_minor(
+        blk[..., BLK_BWT : BLK_BWT + WORDS_PER_BLOCK].astype(jnp.int32),
+        k // WORD_BASES, WORDS_PER_BLOCK,
+    ).astype(jnp.uint32)
+    return ((w >> (2 * (k % WORD_BASES)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+
+
 def bwt_char(idx, rows):
     """The BWT char at each row (dummy 0 at zoff; callers exclude zoff)."""
-    b, k = _block_coords(rows)
-    w = idx.bwt_blocks[b, k // WORD_BASES]
-    return ((w >> (2 * (k % WORD_BASES)).astype(jnp.uint32)) & 3).astype(jnp.int32)
+    blk, k = _gather_block(idx, rows)
+    return _bwt_char_from_block(blk, k)
 
 
 def lf_row(idx, rows):
     """LF of a single row via its own BWT char (group-walk step; invalid at
     zoff — the walk kernel never steps from zoff because it is marked)."""
-    c = bwt_char(idx, rows)
-    return lf(idx, c, rows)
+    blk, k = _gather_block(idx, rows)
+    c = _bwt_char_from_block(blk, k)
+    return small_lookup(idx.fchr, c, 4) + _occ_from_block(blk, k, c, rows, idx.zoff)
 
 
-def mark_rank(idx, rows):
-    """(marked, rank): is `row` SA-sampled, and how many sampled rows
-    precede it (rank into sa_sample)."""
-    b = rows // OCC_BLOCK
-    k = rows % OCC_BLOCK
-    mwords = idx.mark_blocks[b]  # [B, MW]
-    mw = mwords.shape[-1]
+def _mark_from_block(blk, k):
+    mwords = blk[..., BLK_MARK : BLK_MARK + MARK_WORDS_PER_BLOCK]
+    mw = MARK_WORDS_PER_BLOCK
     j = jnp.arange(mw, dtype=jnp.int32) * 32
     nb = jnp.clip(k[..., None] - j, 0, 32)
     sh = jnp.where(nb >= 32, 0, nb).astype(jnp.uint32)
     part = (jnp.uint32(1) << sh) - jnp.uint32(1)
     masks = jnp.where(nb >= 32, _FULL, part)
     cnt = jax.lax.population_count(mwords & masks).astype(jnp.int32).sum(axis=-1)
-    rank = idx.mark_cp[b] + cnt
-    wsel = jnp.take_along_axis(mwords, (k // 32)[..., None], axis=-1)[..., 0]
+    rank = blk[..., BLK_MARKCP].astype(jnp.int32) + cnt
+    wsel = _select_minor(
+        mwords.astype(jnp.int32), k // 32, MARK_WORDS_PER_BLOCK
+    ).astype(jnp.uint32)
     marked = ((wsel >> (k % 32).astype(jnp.uint32)) & 1).astype(jnp.bool_)
     return marked, rank
+
+
+def mark_rank(idx, rows):
+    """(marked, rank): is `row` SA-sampled, and how many sampled rows
+    precede it (rank into sa_sample)."""
+    blk, k = _gather_block(idx, rows)
+    return _mark_from_block(blk, k)
+
+
+def walk_step(idx, rows):
+    """Fused group-walk step from ONE block gather: returns
+    (marked, rank, lf_next) — mark test + LF(row) together (the whole
+    inner loop of GWState::advance / Ebwt::getOffset, group_walk.h:352+,
+    bt2_idx.cpp:149-171, as a single memory transaction per lane)."""
+    blk, k = _gather_block(idx, rows)
+    marked, rank = _mark_from_block(blk, k)
+    c = _bwt_char_from_block(blk, k)
+    nxt = small_lookup(idx.fchr, c, 4) + _occ_from_block(blk, k, c, rows, idx.zoff)
+    return marked, rank, nxt

@@ -43,8 +43,8 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
 
     # ftab jump on the last k chars (backward search starts at seed end)
     q = pack_kmer(seeds[:, L - k :])
-    top = jnp.where(alive, idx.ftab_top[q], 0)
-    bot = jnp.where(alive, idx.ftab_bot[q], 0)
+    top = jnp.where(alive, rank.wide_lookup(idx.ftab_top, q), 0)
+    bot = jnp.where(alive, rank.wide_lookup(idx.ftab_bot, q), 0)
 
     def step(i, carry):
         top, bot = carry
@@ -62,3 +62,37 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
     bot = jnp.maximum(top, bot)
     empty = ~alive
     return jnp.where(empty, 0, top), jnp.where(empty, 0, bot)
+
+
+def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
+                         cap: int, expand: int = 4):
+    """Fused seed search + SA resolution in ONE device dispatch (the fork
+    splits these into phases P4/P6 with host work between,
+    bt2_search.cpp:2638/2683; on a remote device each round-trip costs more
+    than the kernel, so fuse them).
+
+    For each seed the first min(width, cap) SA rows are compacted (cumsum
+    scatter) into a flat buffer of S*expand slots and resolved to joined
+    offsets. Returns (top, bot, starts, offs) with seed s's offsets at
+    offs[starts[s] : starts[s] + min(bot-top, cap)[s]]; seeds whose slots
+    spill past the buffer have starts[s] + width > S*expand (host skips).
+    """
+    from .walk import resolve_rows
+
+    top, bot = search_seeds(idx, seeds, valid)
+    S = seeds.shape[0]
+    width = jnp.minimum(bot - top, cap)
+    rmax = S * expand
+    starts = jnp.cumsum(width) - width
+    k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    rows2d = top[:, None] + k
+    live = k < width[:, None]
+    slots = starts[:, None] + k
+    slots = jnp.where(live & (slots < rmax), slots, rmax)  # rmax = dump slot
+    rows_flat = jnp.zeros(rmax + 1, jnp.int32).at[slots.reshape(-1)].set(
+        rows2d.reshape(-1)
+    )[:rmax]
+    total = jnp.minimum(starts[-1] + width[-1], rmax)
+    rvalid = jnp.arange(rmax, dtype=jnp.int32) < total
+    offs = resolve_rows(idx, rows_flat, rvalid)
+    return top, bot, starts, offs

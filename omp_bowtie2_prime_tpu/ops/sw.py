@@ -130,6 +130,221 @@ def sw_e2e_batch(
     return best, bestcol, hfin
 
 
+def sw_e2e_tb_batch(
+    reads: jnp.ndarray,  # [B, L] int32 codes (4 = N/pad)
+    pen_mm: jnp.ndarray,  # [B, L]
+    rdlens: jnp.ndarray,  # [B]
+    refs: jnp.ndarray,  # [B, W]
+    wlens: jnp.ndarray,  # [B]
+    p: SWParams,
+):
+    """DP with per-cell trace bits for host backtrace. Returns
+    (best [B], bestcol [B], tb [B, L, W+1] uint8) where tb bits encode the
+    predecessor tests the host walk needs (the analog of the reference
+    storing full E/F/H SSE matrices for its CPU backtrace,
+    aligner_swsse.h:104-241):
+
+      bit0: diagonal step achieves H   (M move valid)
+      bit1: F achieves H               (prefer F over E when not M)
+      bit2: F opens from H above       (leave F state)
+      bit3: E opens from H left        (leave E state)
+
+    Walk cost on host is O(L + W) per problem with no score matrices.
+    """
+    B, L = reads.shape
+    W = refs.shape[1]
+    C = W + 1
+
+    cols = jnp.arange(C, dtype=jnp.int32)[None, :]
+    col_ok = cols <= wlens[:, None]
+
+    h0 = jnp.where(col_ok, 0, NEG).astype(jnp.int32)
+    f0 = jnp.full((B, C), NEG, jnp.int32)
+    hfin = jnp.full((B, C), NEG, jnp.int32)
+    tb0 = jnp.zeros((B, L, C), jnp.uint8)
+
+    k_ext = cols * p.rdg_ext
+
+    def body(i, carry):
+        h_prev, f_prev, hfin, tb = carry
+        rc = jax.lax.dynamic_index_in_dim(reads, i - 1, axis=1)
+        pm = jax.lax.dynamic_index_in_dim(pen_mm, i - 1, axis=1)
+        rd_n = rc >= 4
+        ref_n = refs >= 4
+        s = jnp.where(
+            rd_n | ref_n, -p.npen, jnp.where(refs == rc, 0, -pm)
+        ).astype(jnp.int32)
+
+        gap_ok = (i > p.gbar) & (i <= rdlens - p.gbar)
+        gmask = jnp.where(gap_ok, 0, NEG)[:, None].astype(jnp.int32)
+
+        f = jnp.maximum(h_prev - p.rfg_open + gmask, f_prev - p.rfg_ext)
+        f = jnp.maximum(f, NEG)
+
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.int32), h_prev[:, :-1] + s], axis=1
+        )
+        h_open = jnp.maximum(diag, f)
+
+        scan = jax.lax.cummax(h_open + k_ext, axis=1)
+        e = jnp.concatenate(
+            [
+                jnp.full((B, 1), NEG, jnp.int32),
+                scan[:, :-1] - p.rdg_open - k_ext[:, 1:] + p.rdg_ext + gmask,
+            ],
+            axis=1,
+        )
+        e = jnp.maximum(e, NEG)
+
+        h = jnp.maximum(h_open, e)
+        h = jnp.where(col_ok, jnp.maximum(h, NEG), NEG)
+
+        b0 = (diag >= h).astype(jnp.uint8)
+        b1 = (f >= h).astype(jnp.uint8)
+        b2 = ((h_prev - p.rfg_open + gmask) >= f).astype(jnp.uint8)
+        left_open = jnp.concatenate(
+            [
+                jnp.zeros((B, 1), jnp.int32),
+                ((h[:, :-1] - p.rdg_open + gmask) >= e[:, 1:]).astype(jnp.int32),
+            ],
+            axis=1,
+        ).astype(jnp.uint8)
+        row_bits = b0 | (b1 << 1) | (b2 << 2) | (left_open << 3)
+        tb = jax.lax.dynamic_update_slice_in_dim(
+            tb, row_bits[:, None, :], i - 1, axis=1
+        )
+
+        hfin = jnp.where((i == rdlens)[:, None], h, hfin)
+        return h, f, hfin, tb
+
+    _, _, hfin, tb = jax.lax.fori_loop(1, L + 1, body, (h0, f0, hfin, tb0))
+    best = jnp.max(hfin, axis=1)
+    bestcol = jnp.argmax(hfin, axis=1).astype(jnp.int32)
+    return best, bestcol, tb
+
+
+def sw_e2e_backtrace_batch(
+    reads: jnp.ndarray,  # [B, L] int32 codes (4 = N/pad)
+    pen_mm: jnp.ndarray,
+    rdlens: jnp.ndarray,
+    refs: jnp.ndarray,
+    wlens: jnp.ndarray,
+    p: SWParams,
+):
+    """Fused DP + device backtrace walk. The trace-bit matrix never leaves
+    the device; only the op string does (~L+W bytes/problem instead of
+    L*W). Returns (best [B], bestcol [B], ops [B, L+W+1] uint8 in
+    END->START order with 0 = done, 1=M 2=I 3=D, start_col [B])."""
+    best, bestcol, tb = sw_e2e_tb_batch(reads, pen_mm, rdlens, refs, wlens, p)
+    B, L = reads.shape
+    C = refs.shape[1] + 1
+    MAXOPS = L + C
+    tbf = tb.reshape(B, L * C)
+    lanes = jnp.arange(B, dtype=jnp.int32)
+
+    def step(k, carry):
+        i, j, state, ops = carry
+        done = i <= 0
+        bidx = jnp.clip(i - 1, 0, L - 1) * C + j
+        bits = jnp.take_along_axis(tbf, bidx[:, None], axis=1)[:, 0].astype(jnp.int32)
+        in_h = state == 0
+        m_ok = in_h & ((bits & 1) > 0) & (j > 0)
+        f_br = (state == 1) | (in_h & ~m_ok & ((bits & 2) > 0))
+        e_br = ~m_ok & ~f_br
+        op = jnp.where(done, 0, jnp.where(m_ok, 1, jnp.where(f_br, 2, 3)))
+        ops = jax.lax.dynamic_update_slice_in_dim(
+            ops, op.astype(jnp.uint8)[:, None], k, axis=1
+        )
+        ni = jnp.where(done | e_br, i, i - 1)
+        nj = jnp.where(done | f_br, j, j - 1)
+        nstate = jnp.where(
+            done, state,
+            jnp.where(
+                m_ok, 0,
+                jnp.where(
+                    f_br,
+                    jnp.where((bits & 4) > 0, 0, 1),
+                    jnp.where((bits & 8) > 0, 0, 2),
+                ),
+            ),
+        )
+        return ni, nj, nstate, ops
+
+    init = (
+        rdlens.astype(jnp.int32),
+        bestcol.astype(jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros((B, MAXOPS), jnp.uint8),
+    )
+    _, j_fin, _, ops = jax.lax.fori_loop(0, MAXOPS, step, init)
+    return best, bestcol, ops, j_fin
+
+
+def ops_to_cigar(ops_row: np.ndarray) -> list:
+    """RLE an END->START device op string into a CIGAR [(op, n)]."""
+    v = ops_row[ops_row != 0][::-1]
+    if len(v) == 0:
+        return []
+    brk = np.flatnonzero(np.diff(v)) + 1
+    starts = np.concatenate([[0], brk])
+    ends = np.concatenate([brk, [len(v)]])
+    sym = "XMID"
+    return [(sym[int(v[s])], int(e - s)) for s, e in zip(starts, ends)]
+
+
+def backtrace_bits(read, refw, tb: np.ndarray, end_col: int, score: int) -> "Alignment":
+    """Host walk over device trace bits (see sw_e2e_tb_batch). Same
+    deterministic move priority as backtrace_numpy: M > F > E."""
+    L = len(read)
+    i, j = L, int(end_col)
+    state = "H"
+    edits = []
+    ops = []
+    while i > 0:
+        bits = int(tb[i - 1, j])
+        if state == "H":
+            if (bits & 1) and j > 0:
+                rc, refc = int(read[i - 1]), int(refw[j - 1])
+                if rc >= 4 or refc >= 4:
+                    edits.append((i - 1, "n", refc))
+                elif rc != refc:
+                    edits.append((i - 1, "mm", refc))
+                ops.append("M")
+                i, j = i - 1, j - 1
+            elif bits & 2:
+                state = "F"
+            else:
+                state = "E"
+        elif state == "F":
+            edits.append((i - 1, "ins", -1))
+            ops.append("I")
+            if bits & 4:
+                state = "H"
+            i -= 1
+        else:  # E
+            edits.append((i, "del", int(refw[j - 1])))
+            ops.append("D")
+            if bits & 8:
+                state = "H"
+            j -= 1
+    start_col = j
+    ops.reverse()
+    edits.reverse()
+    cigar = []
+    for op in ops:
+        if cigar and cigar[-1][0] == op:
+            cigar[-1][1] += 1
+        else:
+            cigar.append([op, 1])
+    return Alignment(
+        score=int(score),
+        start_col=start_col,
+        end_col=int(end_col),
+        edits=edits,
+        cigar=[(o, n) for o, n in cigar],
+    )
+
+
 # ---------------------------------------------------------------------------
 # numpy oracle + backtrace (host side; the reference backtraces on CPU-side
 # stored matrices too — backtraceNucleotidesEnd2EndSseU8,

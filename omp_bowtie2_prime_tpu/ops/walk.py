@@ -27,13 +27,13 @@ def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
     def step(_, carry):
         row, steps, done, off = carry
-        marked, r = rank.mark_rank(idx, row)
+        # fused mark-test + LF from one block gather (rank.walk_step)
+        marked, r, nrow = rank.walk_step(idx, row)
         hit = marked & ~done & valid
-        off = jnp.where(hit, idx.sa_sample[r] + steps, off)
+        off = jnp.where(hit, rank.wide_lookup(idx.sa_sample, r) + steps, off)
         done = done | hit
         # step left where not yet done (safe: zoff is marked, so lf_row
         # is never evaluated "through" the sentinel for live lanes)
-        nrow = rank.lf_row(idx, row)
         row = jnp.where(done, row, nrow)
         steps = jnp.where(done, steps, steps + 1)
         return row, steps, done, off
