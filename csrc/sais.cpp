@@ -1,0 +1,145 @@
+// SA-IS suffix array construction (linear time, induced sorting).
+//
+// Native-code counterpart of the reference's suffix sorting stage
+// (bowtie2-build uses blockwise Kärkkäinen DC sorting, blockwise_sa.h:255+,
+// or libsais when USE_SAIS is set, blockwise_sa.h:199-250). This is a fresh
+// implementation of the SA-IS algorithm (Nong, Zhang & Chan 2009): suffix
+// type classification, LMS induced sorting, substring naming and recursion
+// on the reduced problem. Exposed via a C ABI for ctypes.
+//
+// Build: g++ -O3 -shared -fPIC sais.cpp -o libbtcore.so
+
+#include <cstdint>
+#include <cstring>
+#include <vector>
+
+namespace {
+
+template <typename C, typename I>
+void bucket_bounds(const C* s, I n, I K, std::vector<I>& bkt, bool tails) {
+    std::fill(bkt.begin(), bkt.end(), I(0));
+    for (I i = 0; i < n; i++) bkt[s[i]]++;
+    I sum = 0;
+    for (I c = 0; c < K; c++) {
+        sum += bkt[c];
+        bkt[c] = tails ? sum : sum - bkt[c];
+    }
+}
+
+// Induce L-type then S-type suffixes from the placed LMS suffixes.
+template <typename C, typename I>
+void induce(const C* s, I* SA, I n, I K, const std::vector<uint8_t>& is_s,
+            std::vector<I>& bkt) {
+    // induce L left-to-right from bucket heads
+    bucket_bounds(s, n, K, bkt, false);
+    for (I i = 0; i < n; i++) {
+        I j = SA[i];
+        if (j != I(-1) && j > 0 && !is_s[j - 1]) SA[bkt[s[j - 1]]++] = j - 1;
+    }
+    // induce S right-to-left from bucket tails
+    bucket_bounds(s, n, K, bkt, true);
+    for (I i = n; i-- > 0;) {
+        I j = SA[i];
+        if (j != I(-1) && j > 0 && is_s[j - 1]) SA[--bkt[s[j - 1]]] = j - 1;
+    }
+}
+
+// Core SA-IS. s[n-1] must be the unique smallest character (sentinel 0).
+template <typename C, typename I>
+void sais_core(const C* s, I* SA, I n, I K) {
+    if (n == 1) { SA[0] = 0; return; }
+
+    // classify suffix types: is_s[i] = true iff suffix i is S-type
+    std::vector<uint8_t> is_s(n);
+    is_s[n - 1] = 1;
+    for (I i = n - 1; i-- > 0;)
+        is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
+
+    auto is_lms = [&](I i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+
+    std::vector<I> bkt(K);
+
+    // pass 1: place LMS suffixes (unordered) at their bucket tails, induce
+    std::fill(SA, SA + n, I(-1));
+    bucket_bounds(s, n, K, bkt, true);
+    for (I i = 1; i < n; i++)
+        if (is_lms(i)) SA[--bkt[s[i]]] = i;
+    induce(s, SA, n, K, is_s, bkt);
+
+    // compact sorted LMS suffixes into SA[0:n1)
+    I n1 = 0;
+    for (I i = 0; i < n; i++)
+        if (is_lms(SA[i])) SA[n1++] = SA[i];
+
+    // name LMS substrings in SA[n1:]
+    std::fill(SA + n1, SA + n, I(-1));
+    I name = 0, prev = I(-1);
+    for (I i = 0; i < n1; i++) {
+        I pos = SA[i];
+        bool diff = false;
+        if (prev == I(-1)) {
+            diff = true;
+        } else {
+            // compare LMS substrings at pos and prev
+            for (I d = 0;; d++) {
+                if (s[pos + d] != s[prev + d] ||
+                    is_s[pos + d] != is_s[prev + d]) {
+                    diff = true;
+                    break;
+                }
+                if (d > 0 && (is_lms(pos + d) || is_lms(prev + d))) {
+                    diff = is_lms(pos + d) != is_lms(prev + d);
+                    break;
+                }
+            }
+        }
+        if (diff) { name++; prev = pos; }
+        SA[n1 + pos / 2] = name - 1;
+    }
+    // reduced string s1: names in text order
+    std::vector<I> s1(n1);
+    for (I i = n, j = n1; i-- > n1;)
+        if (SA[i] != I(-1)) s1[--j] = SA[i];
+
+    // recurse if names are not yet unique
+    std::vector<I> sa1(n1);
+    if (name < n1) {
+        sais_core<I, I>(s1.data(), sa1.data(), (I)n1, name);
+    } else {
+        for (I i = 0; i < n1; i++) sa1[s1[i]] = i;
+    }
+
+    // map reduced SA back to LMS positions (in text order)
+    std::vector<I> lms(n1);
+    for (I i = 1, j = 0; i < n; i++)
+        if (is_lms(i)) lms[j++] = i;
+
+    // pass 2: place LMS suffixes in sorted order, induce final SA
+    std::fill(SA, SA + n, I(-1));
+    bucket_bounds(s, n, K, bkt, true);
+    for (I i = n1; i-- > 0;) {
+        I j = lms[sa1[i]];
+        SA[--bkt[s[j]]] = j;
+    }
+    induce(s, SA, n, K, is_s, bkt);
+}
+
+}  // namespace
+
+extern "C" {
+
+// s: values in [0, K), s[n-1] == 0 and 0 occurs only there.
+// Returns 0 on success.
+int bt_sais_u8_i32(const uint8_t* s, int32_t* SA, int32_t n, int32_t K) {
+    if (n <= 0 || s[n - 1] != 0) return 1;
+    sais_core<uint8_t, int32_t>(s, SA, n, K);
+    return 0;
+}
+
+int bt_sais_u8_i64(const uint8_t* s, int64_t* SA, int64_t n, int64_t K) {
+    if (n <= 0 || s[n - 1] != 0) return 1;
+    sais_core<uint8_t, int64_t>(s, SA, n, K);
+    return 0;
+}
+
+}  // extern "C"

@@ -1,0 +1,98 @@
+"""Native (C++) runtime components, loaded via ctypes.
+
+The reference's host runtime is C++ throughout; the TPU build keeps the
+compute path in XLA but implements the heavy host-side pieces natively
+too: SA-IS suffix sorting for index construction (csrc/sais.cpp — the
+counterpart of blockwise_sa.h / libsais) and, as they land, record
+formatting and parsing helpers. The shared library is compiled on first
+use and cached next to the sources; everything degrades gracefully to the
+numpy fallbacks when no compiler is available.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+_CSRC = os.path.join(_ROOT, "csrc")
+_LIB_PATH = os.path.join(_CSRC, "libbtcore.so")
+_SOURCES = ["sais.cpp"]
+
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> str | None:
+    srcs = [os.path.join(_CSRC, s) for s in _SOURCES]
+    if not all(os.path.exists(s) for s in srcs):
+        return None
+    if os.path.exists(_LIB_PATH) and all(
+        os.path.getmtime(_LIB_PATH) >= os.path.getmtime(s) for s in srcs
+    ):
+        return _LIB_PATH
+    cmd = ["g++", "-O3", "-shared", "-fPIC", "-o", _LIB_PATH, *srcs]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=300)
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return None
+    return _LIB_PATH
+
+
+def get_lib():
+    """The btcore shared library, or None if unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _tried:
+            return _lib
+        _tried = True
+        path = _build()
+        if path is None:
+            return None
+        lib = ctypes.CDLL(path)
+        lib.bt_sais_u8_i32.restype = ctypes.c_int
+        lib.bt_sais_u8_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+        ]
+        lib.bt_sais_u8_i64.restype = ctypes.c_int
+        lib.bt_sais_u8_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+        ]
+        _lib = lib
+        return _lib
+
+
+def sais_available() -> bool:
+    return get_lib() is not None
+
+
+def suffix_array_sais(text: np.ndarray) -> np.ndarray | None:
+    """SA of text (codes 0..3) + implicit sentinel, via native SA-IS.
+    Matches utils.suffix_array.suffix_array's contract: returns int64
+    [len(text)+1] with SA[0] == len(text). None if the library is absent."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.asarray(text)
+    n = len(t) + 1
+    s = np.empty(n, np.uint8)
+    s[: n - 1] = t + 1  # shift codes to 1..4; sentinel 0
+    s[n - 1] = 0
+    if n < (1 << 31):
+        sa = np.empty(n, np.int32)
+        rc = lib.bt_sais_u8_i32(
+            s.ctypes.data, sa.ctypes.data, np.int32(n), np.int32(5)
+        )
+    else:
+        sa = np.empty(n, np.int64)
+        rc = lib.bt_sais_u8_i64(
+            s.ctypes.data, sa.ctypes.data, np.int64(n), np.int64(5)
+        )
+    if rc != 0:
+        return None
+    return sa.astype(np.int64)

@@ -18,7 +18,20 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     text: int array with codes >= 0 (sentinel is smaller than all codes).
     Returns int64 SA of length len(text)+1; SA[0] == len(text) (the
     sentinel-only suffix sorts first).
+
+    Uses the native SA-IS extension (csrc/sais.cpp) when available —
+    linear-time, required for chromosome/genome-scale builds — and falls
+    back to numpy prefix doubling.
     """
+    from ..native import suffix_array_sais
+
+    sa = suffix_array_sais(text)
+    if sa is not None:
+        return sa
+    return _suffix_array_doubling(text)
+
+
+def _suffix_array_doubling(text: np.ndarray) -> np.ndarray:
     t = np.asarray(text, dtype=np.int64)
     n = len(t) + 1
     # sentinel gets rank 0; shift real chars up by 1
