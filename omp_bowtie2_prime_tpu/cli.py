@@ -1,8 +1,21 @@
 """Command-line interface: build / align / inspect.
 
 Mirrors the reference tool surface (bowtie2-build, bowtie2, bowtie2-inspect;
-ref: bt2_build.cpp, bt2_search.cpp:685-885 usage, bt2_inspect.cpp) on the
-TPU-native engine. Index files use the .npz container from index/format.py.
+ref: bt2_build.cpp, bt2_search.cpp:685-885 usage + parseOption 982-1577,
+bt2_inspect.cpp) on the TPU-native engine. Index files use the .npz
+container from index/format.py; existing .bt2 indexes load through
+index/bt2io.py when given.
+
+Option surface implemented (reference file:line in parseOption):
+input: -U/-1/-2/--interleaved/--tab5/--tab6, -f/-q, -u/-s, -5/-3,
+--trim-to, --phred33/--phred64/--int-quals; policy: presets, -L, -i, -N
+(exact seeds only, like the fork), -D, -R, --mp, --np, --rdg, --rfg,
+--score-min, --n-ceil, --ignore-quals, --nofw/--norc, -I/-X,
+--fr/--rf/--ff, --no-mixed/--no-discordant, --dovetail/--no-contain/
+--no-overlap; reporting: -k, -a, --no-unal, --un/--al; output: --rg-id,
+--rg, --no-hd, --no-sq, -p/--threads (accepted; batching replaces thread
+parallelism), --reorder (output is always in input order), -t/--time,
+--local (not supported, like the fork bt2_search.cpp:1345-1348).
 """
 
 from __future__ import annotations
@@ -14,12 +27,29 @@ import time
 import numpy as np
 
 
+def _load_index(path: str):
+    from .index.format import FMIndex
+
+    if path.endswith(".npz"):
+        return FMIndex.load(path)
+    import os
+
+    if os.path.exists(path + ".npz"):
+        return FMIndex.load(path + ".npz")
+    if os.path.exists(path + ".1.bt2") or os.path.exists(path + ".1.bt2l"):
+        from .index.bt2io import load_bt2_index
+
+        return load_bt2_index(path)
+    raise SystemExit(f"error: index not found: {path}(.npz/.1.bt2)")
+
+
 def cmd_build(args):
     from .index.builder import build_index
 
     t0 = time.time()
     fm = build_index(args.fasta, ftab_k=args.ftab_chars, srate=args.sa_rate)
-    fm.save(args.out)
+    out = args.out if args.out.endswith(".npz") else args.out + ".npz"
+    fm.save(out)
     print(
         f"built index: {fm.n} bases, {fm.nrows} rows, "
         f"{len(fm.refmap.refnames)} refs in {time.time()-t0:.1f}s",
@@ -27,8 +57,42 @@ def cmd_build(args):
     )
 
 
+def _transform_reads(src, args, paired: bool):
+    """Input transforms: -u/-s skip/stop, -5/-3 trims, --trim-to
+    (bt2_search.cpp parseOption: -u ARG_UPTO, -s ARG_SKIP, ARG_TRIM5/3,
+    ARG_TRIM_TO)."""
+    def trim(rd):
+        if args.phred64:
+            rd.qual = np.maximum(rd.qual.astype(np.int16) - 31, 0).astype(np.uint8)
+        t5, t3 = args.trim5, args.trim3
+        if args.trim_to is not None and len(rd.seq) > args.trim_to:
+            side, n = args.trim_to
+            if side == 5:
+                t5 = max(t5, len(rd.seq) - n)
+            else:
+                t3 = max(t3, len(rd.seq) - n)
+        if t5 or t3:
+            end = len(rd.seq) - t3
+            rd.seq = rd.seq[t5:end]
+            rd.qual = rd.qual[t5:end]
+        return rd
+
+    skipped = 0
+    taken = 0
+    for item in src:
+        if skipped < args.skip_reads:
+            skipped += 1
+            continue
+        if args.upto is not None and taken >= args.upto:
+            return
+        taken += 1
+        if paired:
+            yield (trim(item[0]), trim(item[1]))
+        else:
+            yield trim(item)
+
+
 def cmd_align(args):
-    from .index.format import FMIndex
     from .io.fastq import (
         open_reads, open_paired_reads, read_interleaved, read_tab5,
         read_tab6, batch_iterator,
@@ -36,14 +100,47 @@ def cmd_align(args):
     from .io.sam import SamWriter
     from .models.aligner import TPUAligner, AlignOpts
     from .models.paired import PairedAligner
+    from .utils.cigar import cigar_string
     from .utils.pe import PEPolicy, policy_from_flags
+    from .utils.presets import PRESETS, PRESETS_LOCAL, DEFAULT_PRESET
     from .utils.scoring import Scoring, SimpleFunc
 
-    fm = FMIndex.load(args.index if args.index.endswith(".npz") else args.index + ".npz")
-    sc = Scoring()
+    if args.local:
+        print("--local mode is not supported", file=sys.stderr)
+        sys.exit(1)
+    if args.N and args.N != 0:
+        print("warning: only -N 0 (exact seeds) is supported; using 0",
+              file=sys.stderr)
+
+    fm = _load_index(args.index)
+
+    # ---- policy: preset then explicit overrides (presets.cpp order) ----
+    preset = PRESETS[args.preset or DEFAULT_PRESET]
+    seed_len = args.seed_len if args.seed_len is not None else preset.seed_len
+    ival = SimpleFunc.parse(args.ival) if args.ival else preset.ival
+    nrounds = args.reseed if args.reseed is not None else preset.nrounds
+    dps = args.dps if args.dps is not None else preset.dps
+
+    mp = args.mp.split(",") if args.mp else ["6", "2"]
+    rdg = args.rdg.split(",") if args.rdg else ["5", "3"]
+    rfg = args.rfg.split(",") if args.rfg else ["5", "3"]
+    sc_kwargs = dict(
+        mmp_max=int(mp[0]), mmp_min=int(mp[1] if len(mp) > 1 else mp[0]),
+        npen=args.np, rdg_const=int(rdg[0]), rdg_linear=int(rdg[1]),
+        rfg_const=int(rfg[0]), rfg_linear=int(rfg[1]),
+        ignore_quals=args.ignore_quals,
+    )
     if args.score_min:
-        sc = Scoring(score_min=SimpleFunc.parse(args.score_min))
-    opts = AlignOpts(seed_len=args.seed_len)
+        sc_kwargs["score_min"] = SimpleFunc.parse(args.score_min)
+    if args.n_ceil:
+        sc_kwargs["n_ceil"] = SimpleFunc.parse(args.n_ceil)
+    sc = Scoring(**sc_kwargs)
+
+    opts = AlignOpts(
+        seed_len=seed_len, ival=ival, nrounds=nrounds, dps=dps,
+        nofw=args.nofw, norc=args.norc,
+        khits=args.khits, allhits=args.allhits,
+    )
     aligner = TPUAligner(fm, sc, opts)
 
     paired_src = None
@@ -62,8 +159,20 @@ def cmd_align(args):
 
     out = open(args.sam, "w") if args.sam != "-" else sys.stdout
     cl = " ".join(sys.argv)
-    w = SamWriter(out, fm.refmap.refnames, fm.refmap.reflens, prog_args=cl)
+    w = SamWriter(
+        out, fm.refmap.refnames, fm.refmap.reflens, prog_args=cl,
+        rg_id=args.rg_id, rg_fields=args.rg or [],
+        no_hd=args.no_hd, no_sq=args.no_sq,
+    )
     w.write_header()
+    un_out = open(args.un, "w") if args.un else None
+    al_out = open(args.al, "w") if args.al else None
+
+    def fq_dump(f, rd):
+        f.write(f"@{rd.name}\n{_dec(rd.seq)}\n+\n{w.qual_str(rd.qual)}\n")
+
+    from .utils.dna import decode as _dec
+
     t0 = time.time()
     nreads = 0
     if paired_src is not None:
@@ -79,51 +188,71 @@ def cmd_align(args):
         )
         pal = PairedAligner(aligner, pe, mixed=not args.no_mixed,
                             discord=not args.no_discordant)
-        for batch in batch_iterator(paired_src, args.batch):
+        src = _transform_reads(paired_src, args, True)
+        for batch in batch_iterator(src, args.batch):
             results = pal.align_pairs(batch)
             for (rd1, rd2), pres in zip(batch, results):
                 nreads += 2
-                w.write_pair(rd1, rd2, pres.m1, pres.m2, pres.cat,
-                             pres.tlen1, pres.tlen2)
+                both_unal = (pres.m1.status != "aligned"
+                             and pres.m2.status != "aligned")
+                if not (args.no_unal and both_unal):
+                    w.write_pair(rd1, rd2, pres.m1, pres.m2, pres.cat,
+                                 pres.tlen1, pres.tlen2)
+                else:
+                    w.summary.add_pair(pres.cat, 0, 0)
     else:
-        for batch in batch_iterator(open_reads(args.reads), args.batch):
+        src = _transform_reads(open_reads(args.reads), args, False)
+        for batch in batch_iterator(src, args.batch):
             results = aligner.align_batch(batch)
             for rd, res in zip(batch, results):
                 nreads += 1
                 if res.status == "aligned":
-                    from .utils.cigar import cigar_string
-
+                    if al_out:
+                        fq_dump(al_out, rd)
                     w.write_aligned(
-                        rd,
-                        res.fw,
-                        fm.refmap.refnames[res.refid],
-                        res.refoff,
-                        res.mapq,
-                        cigar_string(res.cigar),
-                        res.score,
-                        res.secbest,
-                        res.stats,
+                        rd, res.fw, fm.refmap.refnames[res.refid],
+                        res.refoff, res.mapq, cigar_string(res.cigar),
+                        res.score, res.secbest, res.stats,
+                        nhits_for_summary=res.nhits,
                     )
+                    for ex in res.extra:
+                        w.write_aligned(
+                            rd, ex.fw, fm.refmap.refnames[ex.refid],
+                            ex.refoff, ex.mapq, cigar_string(ex.cigar),
+                            ex.score, ex.secbest, ex.stats, secondary=True,
+                        )
                 else:
-                    w.write_unaligned(rd)
+                    if un_out:
+                        fq_dump(un_out, rd)
+                    if not args.no_unal:
+                        w.write_unaligned(rd)
+                    else:
+                        w.summary.add(0)
     dt = time.time() - t0
     print(w.summary.render(), file=sys.stderr)
-    print(f"# {nreads} reads in {dt:.2f}s = {nreads/max(dt,1e-9):.1f} reads/s", file=sys.stderr)
+    if args.time:
+        print(f"Time searching: {dt:.2f}s "
+              f"({nreads/max(dt,1e-9):.1f} reads/s)", file=sys.stderr)
+    for f in (un_out, al_out):
+        if f:
+            f.close()
     if out is not sys.stdout:
         out.close()
 
 
 def cmd_inspect(args):
-    from .index.format import FMIndex
     from .utils import dna
 
-    fm = FMIndex.load(args.index if args.index.endswith(".npz") else args.index + ".npz")
+    fm = _load_index(args.index)
     if args.summary:
         print(f"Flags\t0")
         print(f"SA-Sample\t1 in {fm.srate}")
         print(f"FtabChars\t{fm.ftab_k}")
         for name, ln in zip(fm.refmap.refnames, fm.refmap.reflens):
             print(f"Sequence\t{name}\t{ln}")
+    elif args.names:
+        for name in fm.refmap.refnames:
+            print(name)
     else:
         # reconstruct reference sequences from the stored 2-bit text + map
         rm = fm.refmap
@@ -141,6 +270,13 @@ def cmd_inspect(args):
                 print(s[i : i + 60])
 
 
+def _parse_trim_to(s: str):
+    if ":" in s:
+        side, n = s.split(":")
+        return (int(side), int(n))
+    return (3, int(s))
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bt2tpu")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -154,16 +290,60 @@ def main(argv=None):
 
     a = sub.add_parser("align", help="align reads, emit SAM")
     a.add_argument("-x", "--index", required=True)
+    # input
     a.add_argument("-U", "--reads", default=None)
     a.add_argument("-1", "--m1", dest="m1", default=None)
     a.add_argument("-2", "--m2", dest="m2", default=None)
     a.add_argument("--interleaved", default=None)
     a.add_argument("--tab5", default=None)
     a.add_argument("--tab6", default=None)
+    a.add_argument("-q", dest="fmt_fastq", action="store_true")  # sniffed
+    a.add_argument("-f", dest="fmt_fasta", action="store_true")  # sniffed
+    a.add_argument("-u", "--upto", type=int, default=None)
+    a.add_argument("-s", "--skip", dest="skip_reads", type=int, default=0)
+    a.add_argument("-5", "--trim5", type=int, default=0)
+    a.add_argument("-3", "--trim3", type=int, default=0)
+    a.add_argument("--trim-to", type=_parse_trim_to, default=None)
+    a.add_argument("--phred33", action="store_true")
+    a.add_argument("--phred64", action="store_true")
+    a.add_argument("--int-quals", action="store_true")
+    # output
     a.add_argument("-S", "--sam", default="-")
-    a.add_argument("--batch", type=int, default=512)
-    a.add_argument("--seed-len", type=int, default=22)
+    a.add_argument("--un", default=None)
+    a.add_argument("--al", default=None)
+    a.add_argument("--no-unal", action="store_true")
+    a.add_argument("--rg-id", default=None)
+    a.add_argument("--rg", action="append", default=None)
+    a.add_argument("--no-hd", action="store_true")
+    a.add_argument("--no-sq", action="store_true")
+    a.add_argument("-t", "--time", action="store_true")
+    a.add_argument("--reorder", action="store_true")  # always ordered
+    a.add_argument("-p", "--threads", type=int, default=1)  # batching model
+    a.add_argument("--batch", type=int, default=8192)
+    # presets / policy
+    a.add_argument("--very-fast", dest="preset", action="store_const", const="very-fast")
+    a.add_argument("--fast", dest="preset", action="store_const", const="fast")
+    a.add_argument("--sensitive", dest="preset", action="store_const", const="sensitive")
+    a.add_argument("--very-sensitive", dest="preset", action="store_const", const="very-sensitive")
+    a.add_argument("--end-to-end", action="store_true", default=True)
+    a.add_argument("--local", action="store_true", default=False)
+    a.add_argument("-L", "--seed-len", type=int, default=None)
+    a.add_argument("-i", "--ival", default=None)
+    a.add_argument("-N", type=int, default=0)
+    a.add_argument("-D", "--dps", type=int, default=None)
+    a.add_argument("-R", "--reseed", type=int, default=None)
+    a.add_argument("--mp", default=None)
+    a.add_argument("--np", type=int, default=1)
+    a.add_argument("--rdg", default=None)
+    a.add_argument("--rfg", default=None)
     a.add_argument("--score-min", default=None)
+    a.add_argument("--n-ceil", default=None)
+    a.add_argument("--ignore-quals", action="store_true")
+    a.add_argument("--nofw", action="store_true")
+    a.add_argument("--norc", action="store_true")
+    # reporting
+    a.add_argument("-k", "--khits", type=int, default=1)
+    a.add_argument("-a", "--all", dest="allhits", action="store_true")
     # paired-end policy (ref defaults bt2_search.cpp:303-313)
     a.add_argument("-I", "--minins", type=int, default=0)
     a.add_argument("-X", "--maxins", type=int, default=500)
@@ -180,6 +360,7 @@ def main(argv=None):
     i = sub.add_parser("inspect", help="inspect index")
     i.add_argument("index")
     i.add_argument("-s", "--summary", action="store_true")
+    i.add_argument("-n", "--names", action="store_true")
     i.set_defaults(fn=cmd_inspect)
 
     args = ap.parse_args(argv)

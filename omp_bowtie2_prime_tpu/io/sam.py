@@ -172,24 +172,40 @@ class AlnSummary:
 
 
 class SamWriter:
-    def __init__(self, out, refnames, reflens, prog_args: str = "", yf_ln_quirk=True):
+    def __init__(self, out, refnames, reflens, prog_args: str = "",
+                 yf_ln_quirk=True, rg_id: str | None = None,
+                 rg_fields: list | None = None, no_hd=False, no_sq=False):
         self.out = out
         self.refnames = list(refnames)
         self.reflens = list(int(x) for x in reflens)
         self.yf_ln_quirk = yf_ln_quirk
         self.summary = AlnSummary()
         self._prog_args = prog_args
+        self.rg_id = rg_id
+        self.rg_fields = rg_fields or []
+        self.no_hd = no_hd
+        self.no_sq = no_sq
 
     def write_header(self):
+        """@HD/@SQ/@RG/@PG lines (ref: SamConfig::printHeader,
+        sam.cpp:54-130; --no-hd/--no-sq/--rg-id/--rg options)."""
         w = self.out.write
-        w("@HD\tVN:1.5\tSO:unsorted\tGO:query\n")
-        for name, ln in zip(self.refnames, self.reflens):
-            w(f"@SQ\tSN:{name}\tLN:{ln}\n")
-        w(
-            "@PG\tID:bowtie2\tPN:bowtie2\tVN:2.5.4\tCL:\""
-            + self._prog_args
-            + "\"\n"
-        )
+        if not self.no_hd:
+            w("@HD\tVN:1.5\tSO:unsorted\tGO:query\n")
+        if not self.no_sq:
+            for name, ln in zip(self.refnames, self.reflens):
+                w(f"@SQ\tSN:{name}\tLN:{ln}\n")
+        if self.rg_id:
+            w("@RG\tID:" + self.rg_id)
+            for f in self.rg_fields:
+                w("\t" + f)
+            w("\n")
+        if not self.no_hd:
+            w(
+                "@PG\tID:bowtie2\tPN:bowtie2\tVN:2.5.4\tCL:\""
+                + self._prog_args
+                + "\"\n"
+            )
 
     def qual_str(self, qual: np.ndarray) -> str:
         return (np.asarray(qual, np.uint8) + 33).tobytes().decode("ascii")
@@ -206,6 +222,7 @@ class SamWriter:
         secbest,  # int | None
         stats: dict,
         nhits_for_summary: int = 1,
+        secondary: bool = False,
     ):
         seq = read.seq if fw else dna.revcomp(read.seq)
         qual = read.qual if fw else read.qual[::-1]
@@ -223,9 +240,14 @@ class SamWriter:
         ]
         if self.yf_ln_quirk:
             tags.append(("YF", "Z", "LN"))
+        if self.rg_id:
+            tags.append(("RG", "Z", self.rg_id))
+        fl = (0 if fw else FLAG_QUERY_STRAND) | (
+            FLAG_NOT_PRIMARY if secondary else 0
+        )
         rec = SamRecord(
             name=read.name,
-            flag=0 if fw else 16,
+            flag=fl,
             rname=refname,
             pos=refoff0 + 1,
             mapq=mapq,
@@ -235,7 +257,8 @@ class SamWriter:
             tags=tags,
         )
         self.out.write(rec.line() + "\n")
-        self.summary.add(nhits_for_summary)
+        if not secondary:
+            self.summary.add(nhits_for_summary)
 
     # ---------------- paired emission ----------------
     # Field conventions per AlnSinkSam::appendMate (aln_sink.cpp:1889-2085):
@@ -316,6 +339,8 @@ class SamWriter:
             if oaligned:
                 tags.append(("YS", "i", ores.score))
         tags.append(("YT", "Z", yt))
+        if self.rg_id:
+            tags.append(("RG", "Z", self.rg_id))
         rec = SamRecord(
             name=rd.name,
             flag=fl,
@@ -338,6 +363,8 @@ class SamWriter:
             tags.append(("YF", "Z", yf))
         elif self.yf_ln_quirk:
             tags.append(("YF", "Z", "LN"))
+        if self.rg_id:
+            tags.append(("RG", "Z", self.rg_id))
         rec = SamRecord(
             name=read.name,
             flag=4,

@@ -48,6 +48,12 @@ class AlignOpts:
     l_max: int = 160  # ALN_MAX_ROWS (aligner_result.h:42)
     c_strict: int = 200  # ALN_MAX_COLS (aligner_result.h:43): DP bail width
     minsc_clamp: int = -254  # u8-only build clamp (bt2_search.cpp:2487-2491)
+    nrounds: int = 2  # -R / ROUNDS re-seeding rounds (bt2_search.cpp:433)
+    dps: int = 15  # -D / DPS extension fail-streak budget (presets.cpp)
+    nofw: bool = False  # --nofw: skip forward-orientation seeds
+    norc: bool = False  # --norc: skip reverse-complement seeds
+    khits: int = 1  # -k: report up to this many alignments
+    allhits: bool = False  # -a: report all found alignments
     # chunk shapes: sized so a full CLI read-batch needs only a few device
     # dispatches (per-call latency through remote-device tunnels dwarfs the
     # on-chip time of these kernels)
@@ -72,6 +78,8 @@ class AlnResult:
     stats: dict = dataclasses.field(default_factory=dict)
     nhits: int = 0
     span: int = 0  # reference chars consumed
+    # secondary alignments for -k/-a reporting (flag 0x100 records)
+    extra: list = dataclasses.field(default_factory=list)
 
 
 @dataclasses.dataclass
@@ -138,8 +146,6 @@ class TPUAligner:
 
     # ---------------- P2: seed instantiation ----------------
 
-    NROUNDS = 2  # nSeedRounds (bt2_search.cpp:433)
-
     def _instantiate_seeds(self, reads, indices=None, roundi: int = 0):
         """Returns (seeds [S, seed_len] int8, meta list of (read_i, fw, off)).
 
@@ -157,22 +163,24 @@ class TPUAligner:
             if ln < sl:
                 continue
             ival = max(1, int(self.opts.ival.f(float(ln))))
-            nrounds = min(self.NROUNDS, ival)
+            nrounds = min(self.opts.nrounds, ival)
             if roundi >= nrounds:
                 continue
             start = (ival * roundi) // nrounds
             if start > 0 and sl + start > ln:
                 continue
-            rc = dna.revcomp(rd.seq)
+            rc = None if self.opts.norc else dna.revcomp(rd.seq)
             for depth in range(start, ln - sl + 1, ival):
-                seeds.append(rd.seq[depth : depth + sl])
-                meta.append((ri, True, depth))
+                if not self.opts.nofw:
+                    seeds.append(rd.seq[depth : depth + sl])
+                    meta.append((ri, True, depth))
                 # rc seeds are extracted mirrored: offset in the rc read is
                 # rdlen - depth - seed_len (ref: instantiateSeq,
                 # aligner_seed.cpp:301-313)
-                rc_off = ln - depth - sl
-                seeds.append(rc[rc_off : rc_off + sl])
-                meta.append((ri, False, rc_off))
+                if rc is not None:
+                    rc_off = ln - depth - sl
+                    seeds.append(rc[rc_off : rc_off + sl])
+                    meta.append((ri, False, rc_off))
         if not seeds:
             return np.zeros((0, sl), np.int8), []
         return np.stack(seeds).astype(np.int8), meta
@@ -355,7 +363,7 @@ class TPUAligner:
         minscs = self.min_scores(reads)
 
         active = list(range(n))
-        for roundi in range(self.NROUNDS):
+        for roundi in range(self.opts.nrounds):
             if not active:
                 break
             cands = self.collect_candidates(reads, minscs, active, roundi)
@@ -574,6 +582,8 @@ class TPUAligner:
         for ri, alns in enumerate(cands):
             if alns:
                 pend[ri] = (self.rank_candidates(alns), 0)
+        o = self.opts
+        multi = o.allhits or o.khits > 1
         while pend:
             self.backtrace_batch(
                 [ranked[i][1] for ranked, i in pend.values()]
@@ -588,8 +598,12 @@ class TPUAligner:
                 fw = cand.fw
                 secbest = ranked[1][1].score if len(ranked) > 1 else None
                 perfect = sc.match_bonus * len(reads[ri].seq)
-                mq = mapq_v2_e2e(cand.score, secbest, int(minscs[ri]), perfect)
-                results[ri] = AlnResult(
+                # -k>1 / -a report modes don't compute a meaningful MAPQ
+                # (BowtieMapq2's !canMax short-circuit, unique.h:200-205)
+                mq = 255 if multi else mapq_v2_e2e(
+                    cand.score, secbest, int(minscs[ri]), perfect
+                )
+                res = AlnResult(
                     status="aligned",
                     fw=fw,
                     refid=cand.refid,
@@ -602,4 +616,40 @@ class TPUAligner:
                     nhits=1,
                     span=cand.span,
                 )
+                if multi:
+                    self._attach_secondaries(res, ranked, i, secbest)
+                results[ri] = res
             pend = nxt
+
+    def _attach_secondaries(self, res: AlnResult, ranked, primary_i: int,
+                            secbest) -> None:
+        """-k/-a: report additional distinct alignments as secondary records
+        (SAM_FLAG_NOT_PRIMARY; selection order = rank order, the
+        deterministic stand-in for selectAlnsToReport's rotation,
+        aln_sink.cpp:1640-1676)."""
+        o = self.opts
+        limit = len(ranked) if o.allhits else o.khits
+        extras = []
+        for j, (_key, cand) in enumerate(ranked):
+            if len(extras) + 1 >= limit:
+                break
+            if j == primary_i:
+                continue
+            self.backtrace(cand)
+            if not cand.valid:
+                continue
+            extras.append(AlnResult(
+                status="aligned",
+                fw=cand.fw,
+                refid=cand.refid,
+                refoff=cand.refoff,
+                score=cand.score,
+                secbest=secbest,
+                mapq=255,
+                cigar=cand.cigar,
+                stats=cand.stats,
+                nhits=1,
+                span=cand.span,
+            ))
+        res.extra = extras
+        res.nhits = 1 + len(extras)

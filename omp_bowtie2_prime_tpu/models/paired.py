@@ -64,8 +64,6 @@ def _to_result(cand: Candidate, secbest, mapq) -> AlnResult:
 
 
 class PairedAligner:
-    NROUNDS = TPUAligner.NROUNDS
-
     def __init__(self, aligner: TPUAligner, pe: PEPolicy | None = None,
                  mixed: bool = True, discord: bool = True):
         self.al = aligner
@@ -184,7 +182,7 @@ class PairedAligner:
         secbest_csc = [None] * npairs  # second-best concordant combined score
 
         unresolved = list(range(npairs))
-        for roundi in range(self.NROUNDS):
+        for roundi in range(self.al.opts.nrounds):
             if not unresolved:
                 break
             active = [i for pi in unresolved for i in (2 * pi, 2 * pi + 1)]

@@ -63,6 +63,16 @@ def get_lib():
         lib.bt_sais_u8_i64.argtypes = [
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
         ]
+        lib.bt_ibwt_i32.restype = ctypes.c_int
+        lib.bt_ibwt_i32.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int32, ctypes.c_int32,
+            ctypes.c_int,
+        ]
+        lib.bt_ibwt_i64.restype = ctypes.c_int
+        lib.bt_ibwt_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -96,3 +106,30 @@ def suffix_array_sais(text: np.ndarray) -> np.ndarray | None:
     if rc != 0:
         return None
     return sa.astype(np.int64)
+
+
+def inverse_bwt(bwt: np.ndarray, zoff: int, sentinel_last: bool = False) -> np.ndarray:
+    """Reconstruct the text from BWT codes (sentinel slot at zoff stored as
+    0). sentinel_last selects bowtie2's $-sorts-last row convention (see
+    csrc/sais.cpp ibwt_core). Raises if the native library is unavailable
+    or the BWT is invalid."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native btcore unavailable for inverse BWT")
+    bwt = np.ascontiguousarray(bwt, np.uint8)
+    n_rows = len(bwt)
+    conv = 1 if sentinel_last else 0
+    text = np.empty(n_rows - 1, np.uint8)
+    if n_rows < (1 << 31):
+        rc = lib.bt_ibwt_i32(
+            bwt.ctypes.data, text.ctypes.data, np.int32(n_rows),
+            np.int32(zoff), conv,
+        )
+    else:
+        rc = lib.bt_ibwt_i64(
+            bwt.ctypes.data, text.ctypes.data, np.int64(n_rows),
+            np.int64(zoff), conv,
+        )
+    if rc != 0:
+        raise ValueError(f"inverse BWT failed (code {rc})")
+    return text

@@ -89,6 +89,9 @@ class Scoring:
     rfg_const: int = 5
     rfg_linear: int = 3
     gap_barrier: int = 4  # gGapBarrier: no gaps within this many read chars of either end
+    # --ignore-quals: constant mismatch penalty = MX
+    # (ref: COST_MODEL_CONSTANT, scoring.h:113-124)
+    ignore_quals: bool = False
     # NOTE: the reference's compile-time defaults are float32 literals
     # (DEFAULT_MIN_CONST = -0.6f etc, scoring.h:50-63), which shifts the
     # truncated min score at some read lengths (e.g. 109bp: -66 not -65).
@@ -127,6 +130,8 @@ class Scoring:
         return min(int(self.n_ceil.f(float(rdlen))), rdlen)
 
     def mm_table(self) -> np.ndarray:
+        if self.ignore_quals:
+            return np.full(256, self.mmp_max, np.int32)
         return mm_penalty_table(self.mmp_min, self.mmp_max)
 
     def max_read_gaps(self, minsc: int, rdlen: int) -> int:

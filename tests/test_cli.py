@@ -1,0 +1,165 @@
+"""CLI surface tests: presets, reporting modes (-k/-a), read transforms,
+paired options — the pytest analog of the reference's option-driven
+simple_tests.pl cases (scripts/test/)."""
+
+import io
+import os
+
+import numpy as np
+import pytest
+
+from omp_bowtie2_prime_tpu import cli
+from omp_bowtie2_prime_tpu.index.builder import build_index_from_text
+from omp_bowtie2_prime_tpu.index.fasta import join_references
+from omp_bowtie2_prime_tpu.io.fastq import Read
+from omp_bowtie2_prime_tpu.models.aligner import TPUAligner, AlignOpts
+from omp_bowtie2_prime_tpu.utils import dna
+from omp_bowtie2_prime_tpu.utils.presets import PRESETS
+
+
+@pytest.fixture(scope="module")
+def genome(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    rng = np.random.default_rng(41)
+    text = rng.integers(0, 4, 12000).astype(np.int8)
+    fa = d / "g.fa"
+    s = dna.decode(text)
+    fa.write_text(">chrC\n" + "\n".join(s[i:i+70] for i in range(0, len(s), 70)) + "\n")
+    joined, refmap = join_references(["chrC"], [text.copy()])
+    fm = build_index_from_text(joined, refmap, ftab_k=8)
+    idx = d / "g.npz"
+    fm.save(str(idx))
+    return d, text, str(idx)
+
+
+def make_fastq(path, reads):
+    with open(path, "w") as f:
+        for name, seq, qual in reads:
+            f.write(f"@{name}\n{seq}\n+\n{qual}\n")
+
+
+def run_cli(args):
+    cli.main(args)
+
+
+def test_presets_table():
+    assert PRESETS["very-fast"].nrounds == 1
+    assert PRESETS["very-sensitive"].seed_len == 20
+    assert PRESETS["sensitive"].ival.f(100.0) == pytest.approx(1 + 1.15 * 10.0)
+
+
+def test_cli_end_to_end(genome, tmp_path, capsys):
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    s = dna.decode(text[2000:2100])
+    make_fastq(str(fq), [("q0", s, "I" * 100)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--very-sensitive"])
+    recs = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(recs) == 1
+    f = recs[0].split("\t")
+    assert f[0] == "q0" and int(f[3]) == 2001 and f[5] == "100M"
+
+
+def test_cli_k_mode_secondary(genome, tmp_path):
+    d, text, idx = genome
+    # read matching a duplicated segment -> 2 alignments with -k 2
+    seg = text[3000:3100]
+    dup_text = np.concatenate([text, seg, text[:50]])
+    joined, refmap = join_references(["chrD"], [dup_text.copy()])
+    fm = build_index_from_text(joined, refmap, ftab_k=8)
+    idx2 = tmp_path / "d.npz"
+    fm.save(str(idx2))
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [("q0", dna.decode(seg), "I" * 100)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", str(idx2), "-U", str(fq), "-S", str(out), "-k", "2"])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 2
+    flags = sorted(int(r[1]) & 0x100 for r in recs)
+    assert flags == [0, 0x100]
+    assert all(int(r[4]) == 255 for r in recs)  # -k>1: MAPQ not meaningful
+    poss = sorted(int(r[3]) for r in recs)
+    assert poss == [3001, 12001]
+
+
+def test_cli_trim_and_skip(genome, tmp_path):
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    s0 = dna.decode(text[100:200])
+    s1 = "AC" + dna.decode(text[4000:4100]) + "GT"  # needs -5 2 -3 2
+    make_fastq(str(fq), [("skipme", s0, "I" * 100), ("q1", s1, "I" * 104)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "-s", "1", "-5", "2", "-3", "2"])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 1
+    assert recs[0][0] == "q1" and int(recs[0][3]) == 4001
+    assert recs[0][5] == "100M"
+
+
+def test_cli_no_unal_and_un_file(genome, tmp_path):
+    d, text, idx = genome
+    rng = np.random.default_rng(42)
+    fq = tmp_path / "r.fq"
+    junk = "".join("ACGT"[c] for c in rng.integers(0, 4, 100))
+    make_fastq(str(fq), [("junk", junk, "I" * 100)])
+    out = tmp_path / "o.sam"
+    un = tmp_path / "un.fq"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--no-unal", "--un", str(un)])
+    recs = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert recs == []
+    assert "@junk" in un.read_text()
+
+
+def test_cli_norc(genome, tmp_path):
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    rc = dna.decode(dna.revcomp(text[5000:5100]))
+    make_fastq(str(fq), [("r0", rc, "I" * 100)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out), "--norc"])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert int(recs[0][1]) & 0x4  # rc-only read can't align with --norc
+
+
+def test_cli_rg_and_headers(genome, tmp_path):
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [("q0", dna.decode(text[600:700]), "I" * 100)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--rg-id", "grp1", "--rg", "SM:sampleA"])
+    txt = out.read_text()
+    assert "@RG\tID:grp1\tSM:sampleA" in txt
+    assert "RG:Z:grp1" in txt
+
+
+def test_cli_paired(genome, tmp_path):
+    d, text, idx = genome
+    fq1, fq2 = tmp_path / "r1.fq", tmp_path / "r2.fq"
+    pos = 7000
+    s1 = dna.decode(text[pos : pos + 100])
+    s2 = dna.decode(dna.revcomp(text[pos + 200 : pos + 300]))
+    make_fastq(str(fq1), [("p0/1", s1, "I" * 100)])
+    make_fastq(str(fq2), [("p0/2", s2, "I" * 100)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-1", str(fq1), "-2", str(fq2),
+             "-S", str(out)])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 2
+    assert recs[0][0] == "p0" and recs[1][0] == "p0"
+    assert int(recs[0][1]) & 0x2 and int(recs[1][1]) & 0x2
+    assert int(recs[0][8]) == 300 and int(recs[1][8]) == -300
+
+
+def test_cli_local_unsupported(genome, tmp_path):
+    d, text, idx = genome
+    with pytest.raises(SystemExit):
+        run_cli(["align", "-x", idx, "-U", "/dev/null", "--local"])
