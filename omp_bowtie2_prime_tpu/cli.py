@@ -230,6 +230,10 @@ def cmd_align(args):
                         w.summary.add(0)
     dt = time.time() - t0
     print(w.summary.render(), file=sys.stderr)
+    if args.time or args.met_stderr:
+        # phase profile (MyTimer analog) + pipeline counters
+        aligner.timers.report()
+        aligner.metrics.report()
     if args.time:
         print(f"Time searching: {dt:.2f}s "
               f"({nreads/max(dt,1e-9):.1f} reads/s)", file=sys.stderr)
@@ -317,6 +321,7 @@ def main(argv=None):
     a.add_argument("--no-hd", action="store_true")
     a.add_argument("--no-sq", action="store_true")
     a.add_argument("-t", "--time", action="store_true")
+    a.add_argument("--met-stderr", action="store_true")
     a.add_argument("--reorder", action="store_true")  # always ordered
     a.add_argument("-p", "--threads", type=int, default=1)  # batching model
     a.add_argument("--batch", type=int, default=8192)

@@ -31,6 +31,7 @@ from ..index.format import DeviceIndex, FMIndex
 from ..ops import seed_search, sw, walk
 from ..utils import dna
 from ..utils.mapq import mapq_v2_e2e
+from ..utils.metrics import PhaseTimers, PipelineMetrics
 from ..utils.scoring import Scoring, SimpleFunc, SIMPLE_FUNC_SQRT
 from ..utils import cigar as cigar_util
 
@@ -136,6 +137,8 @@ class TPUAligner:
         self.mm_tab = self.sc.mm_table()
         self.swp = sw.SWParams.from_scoring(self.sc)
         o = self.opts
+        self.timers = PhaseTimers()
+        self.metrics = PipelineMetrics()
         self._search_fn = jax.jit(seed_search.search_seeds)
         self._search_resolve_fn = jax.jit(
             seed_search.search_resolve_seeds, static_argnums=(3, 4)
@@ -358,6 +361,7 @@ class TPUAligner:
         batch keeps reads for nSeedRounds=2 rounds (bt2_search.cpp:2436,
         2572-2584)."""
         n = len(reads)
+        self.metrics.add(reads=n)
         results = [AlnResult(status="unaligned") for _ in range(n)]
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
         minscs = self.min_scores(reads)
@@ -367,7 +371,9 @@ class TPUAligner:
             if not active:
                 break
             cands = self.collect_candidates(reads, minscs, active, roundi)
-            self._finalize_unpaired(reads, minscs, cands, results)
+            self.metrics.add(candidates=sum(len(c) for c in cands))
+            with self.timers.phase("finishRead"):
+                self._finalize_unpaired(reads, minscs, cands, results)
             active = [ri for ri in active if results[ri].status != "aligned"]
         return results
 
@@ -393,13 +399,17 @@ class TPUAligner:
         empty = [{} for _ in range(n)]
 
         # P2 + P4/P6 fused: seeds, search and SA resolution in one dispatch
-        seeds, meta = self._instantiate_seeds(reads, active, roundi)
+        with self.timers.phase("instantiateSeeds"):
+            seeds, meta = self._instantiate_seeds(reads, active, roundi)
         if len(meta) == 0:
             return empty
-        tops, bots, offs_of = self._search_resolve(seeds)
+        with self.timers.phase("searchResolve"):
+            tops, bots, offs_of = self._search_resolve(seeds)
+        self.metrics.add(seeds=len(meta))
 
         # P5: rank — per read, ranges sorted by width ascending
         # (ref: rankSeedHits, aligner_seed.h:1000-1062)
+        _t_rank = self.timers.phase("rankAndFrame"); _t_rank.__enter__()
         per_read_ranges = [[] for _ in range(n)]
         for si, (ri, fw, off) in enumerate(meta):
             w = int(bots[si] - tops[si])
@@ -462,11 +472,18 @@ class TPUAligner:
                 if budget <= 0:
                     break
 
+        _t_rank.__exit__(None, None, None)
+        self.metrics.add(
+            ranges_nonzero=sum(len(r) for r in per_read_ranges),
+            dps=len(problems),
+            dp_cells=sum(len(pr["read"]) * pr["wlen"] for pr in problems),
+        )
         if not problems:
             return empty
 
         # P7 + P8a fused: batched DP with device backtrace walk
-        best, bestcol, ops, startcols = self._run_dp_bt(problems)
+        with self.timers.phase("extendDP"):
+            best, bestcol, ops, startcols = self._run_dp_bt(problems)
 
         # collect valid-scoring candidates, deduped by (fw, end column)
         cands = [{} for _ in range(n)]
@@ -498,6 +515,7 @@ class TPUAligner:
             return
         # candidates from the fused DP already carry their op strings:
         # finishing them is pure host work
+        self.metrics.add(backtraces=len(todo))
         rest = []
         for c in todo:
             if c.ops_row is not None:

@@ -1,0 +1,72 @@
+"""Tracing/metrics: phase wall-clock profiler + pipeline counters.
+
+The analog of the reference's MyTimer per-phase accumulator
+(bt2_search.cpp:2244-2280, printed as "Timer: <phase> <secs>" lines after
+the batched worker finishes) and its ReportingMetrics / PerReadMetrics
+counters (aln_sink.h:44-235, read.h:364-440). Phases here are the device
+pipeline stages; counters aggregate per align_batch call.
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+from collections import defaultdict
+from contextlib import contextmanager
+
+
+class PhaseTimers:
+    """Accumulates wall seconds per named phase (MyTimer analog)."""
+
+    def __init__(self):
+        self.acc = defaultdict(float)
+        self.calls = defaultdict(int)
+
+    @contextmanager
+    def phase(self, name: str):
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self.acc[name] += time.perf_counter() - t0
+            self.calls[name] += 1
+
+    def reset(self):
+        self.acc.clear()
+        self.calls.clear()
+
+    def render(self) -> str:
+        lines = []
+        for name, secs in sorted(self.acc.items(), key=lambda kv: -kv[1]):
+            lines.append(f"Timer: {name} {secs:.3f}s ({self.calls[name]}x)")
+        return "\n".join(lines)
+
+    def report(self, out=sys.stderr):
+        if self.acc:
+            print(self.render(), file=out)
+
+
+class PipelineMetrics:
+    """Aggregate pipeline counters (PerReadMetrics/SSEMetrics analog:
+    seeds instantiated, nonzero ranges, SA elements resolved, DP problems,
+    DP cells, candidates, backtraces)."""
+
+    FIELDS = (
+        "reads", "seeds", "ranges_nonzero", "elts_resolved", "dps",
+        "dp_cells", "candidates", "backtraces",
+    )
+
+    def __init__(self):
+        for f in self.FIELDS:
+            setattr(self, f, 0)
+
+    def add(self, **kw):
+        for k, v in kw.items():
+            setattr(self, k, getattr(self, k) + int(v))
+
+    def render(self) -> str:
+        parts = [f"{f}={getattr(self, f)}" for f in self.FIELDS]
+        return "Metrics: " + " ".join(parts)
+
+    def report(self, out=sys.stderr):
+        print(self.render(), file=out)
