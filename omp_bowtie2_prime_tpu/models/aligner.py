@@ -113,6 +113,14 @@ class Candidate:
 _EMPTY_OFFS = np.empty(0, np.int32)
 
 
+def _put_factory(placer):
+    import jax.numpy as jnp
+
+    if placer is None:
+        return jnp.asarray
+    return lambda a: placer.put_batch(jnp.asarray(a))
+
+
 def _prefetch(*arrs):
     """Start async device->host copies so chunked results stream back
     overlapped instead of paying one tunnel round-trip per np.asarray."""
@@ -125,14 +133,25 @@ def _prefetch(*arrs):
 
 
 class TPUAligner:
-    def __init__(self, fm: FMIndex, scoring: Scoring | None = None, opts: AlignOpts | None = None):
+    def __init__(self, fm: FMIndex, scoring: Scoring | None = None,
+                 opts: AlignOpts | None = None, mesh=None):
+        """mesh: optional jax.sharding.Mesh with a 'data' axis — device
+        phases then run SPMD data-parallel across its devices with the FM
+        index replicated (SURVEY §2.4's OpenMP-batch -> chip-mesh mapping)."""
         from ..utils.jaxcfg import enable_compile_cache
 
         enable_compile_cache()
         self.fm = fm
         self.sc = scoring or Scoring()
         self.opts = opts or AlignOpts()
+        self.placer = None
+        if mesh is not None:
+            from ..parallel.mesh import MeshPlacer
+
+            self.placer = MeshPlacer(mesh)
         self.idx = DeviceIndex.from_host(fm)
+        if self.placer is not None:
+            self.idx = self.placer.put_index(self.idx)
         self.text = dna.unpack_2bit(fm.ref_words, fm.n)
         self.mm_tab = self.sc.mm_table()
         self.swp = sw.SWParams.from_scoring(self.sc)
@@ -146,6 +165,7 @@ class TPUAligner:
         self._resolve_fn = jax.jit(walk.resolve_rows)
         self._sw_fn = jax.jit(sw.sw_e2e_batch, static_argnums=5)
         self._sw_bt_fn = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
+        self._put = _put_factory(self.placer)
 
     # ---------------- P2: seed instantiation ----------------
 
@@ -206,7 +226,7 @@ class TPUAligner:
             valid = np.zeros(o.seed_batch, bool)
             valid[: hi - lo] = True
             futs.append(
-                (lo, hi, _prefetch(*self._search_fn(self.idx, jnp.asarray(chunk), jnp.asarray(valid))))
+                (lo, hi, _prefetch(*self._search_fn(self.idx, self._put(chunk), self._put(valid))))
             )
         for lo, hi, (t, b) in futs:
             tops[lo:hi] = np.asarray(t)[: hi - lo]
@@ -232,7 +252,7 @@ class TPUAligner:
             valid = np.zeros(o.seed_batch, bool)
             valid[: hi - lo] = True
             futs.append((ci, lo, hi, _prefetch(*self._search_resolve_fn(
-                self.idx, jnp.asarray(chunk), jnp.asarray(valid),
+                self.idx, self._put(chunk), self._put(valid),
                 o.range_cap, 4,
             ))))
         for ci, lo, hi, (t, b, st, of) in futs:
@@ -266,7 +286,7 @@ class TPUAligner:
             valid = np.zeros(o.row_batch, bool)
             valid[: hi - lo] = True
             futs.append(
-                (lo, hi, _prefetch(self._resolve_fn(self.idx, jnp.asarray(chunk), jnp.asarray(valid))))
+                (lo, hi, _prefetch(self._resolve_fn(self.idx, self._put(chunk), self._put(valid))))
             )
         for lo, hi, r in futs:
             offs[lo:hi] = np.asarray(r)[: hi - lo]
@@ -301,11 +321,11 @@ class TPUAligner:
                 refs[k, :wl] = self.text[ws : ws + wl]
                 wlens[k] = wl
             futs.append((lo, hi, _prefetch(*self._sw_fn(
-                jnp.asarray(reads),
-                jnp.asarray(pens),
-                jnp.asarray(rdlens),
-                jnp.asarray(refs),
-                jnp.asarray(wlens),
+                self._put(reads),
+                self._put(pens),
+                self._put(rdlens),
+                self._put(refs),
+                self._put(wlens),
                 self.swp,
             ))))
         for lo, hi, (b, bc, _) in futs:
@@ -341,8 +361,8 @@ class TPUAligner:
                 refs[k, :wl] = self.text[ws : ws + wl]
                 wlens[k] = wl
             futs.append((lo, hi, _prefetch(*self._sw_bt_fn(
-                jnp.asarray(reads), jnp.asarray(pens), jnp.asarray(rdlens),
-                jnp.asarray(refs), jnp.asarray(wlens), self.swp,
+                self._put(reads), self._put(pens), self._put(rdlens),
+                self._put(refs), self._put(wlens), self.swp,
             ))))
         for lo, hi, (b, bc, ops, stc) in futs:
             best[lo:hi] = np.asarray(b)[: hi - lo]

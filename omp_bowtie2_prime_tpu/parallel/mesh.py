@@ -2,14 +2,15 @@
 
 The reference's parallelism is OpenMP data-parallel over a resident read
 batch (bt2_search.cpp:2302-2304, SURVEY §2.4). The TPU-native mapping:
-every device phase (seed search, SA walk, DP) is embarrassingly parallel
-over its leading batch axis, so the whole align step shards over a 1-D
-'data' mesh with the FM index replicated per device; XLA inserts no
-collectives (pure SPMD data parallelism over ICI-connected chips).
+every device phase (fused seed-search+SA-resolve, fused DP+backtrace) is
+embarrassingly parallel over its leading batch axis, so the whole align
+step shards over a 1-D 'data' mesh with the FM index replicated per
+device; XLA inserts no collectives (pure SPMD data parallelism over
+ICI-connected chips).
 
 Multi-host: each host feeds its own FASTQ shard (deterministic merge by
 read id — the analog of the reference's OutputQueue reorder contract,
-outq.h:31-45).
+outq.h:31-45). See parallel/distributed.py.
 """
 
 from __future__ import annotations
@@ -26,37 +27,36 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
     return Mesh(np.array(devs), ("data",))
 
 
-def shard_batch_fn(fn, mesh: Mesh, static_argnums=()):
-    """Wrap a device phase fn(idx, *batch_args) so the batch args shard
-    over the 'data' axis and the index pytree replicates."""
-    batched = NamedSharding(mesh, P("data"))
-    repl = NamedSharding(mesh, P())
+class MeshPlacer:
+    """Places phase inputs for SPMD data parallelism: batch-leading arrays
+    shard over 'data', the index pytree replicates (placed once)."""
 
-    jf = jax.jit(fn, static_argnums=static_argnums)
+    def __init__(self, mesh: Mesh):
+        self.mesh = mesh
+        self.batched = NamedSharding(mesh, P("data"))
+        self.repl = NamedSharding(mesh, P())
+        self.ndev = mesh.devices.size
 
-    def wrapper(idx, *args):
-        idx_s = jax.tree.map(lambda a: jax.device_put(a, repl), idx)
-        placed = []
-        for a in args:
-            if hasattr(a, "ndim") and a.ndim >= 1:
-                placed.append(jax.device_put(a, batched))
-            else:
-                placed.append(a)
-        return jf(idx_s, *placed)
+    def put_index(self, idx):
+        return jax.tree.map(lambda a: jax.device_put(a, self.repl), idx)
 
-    return wrapper
+    def put_batch(self, a):
+        return jax.device_put(a, self.batched)
 
 
-def full_align_step(idx, seeds, seed_valid, rows, row_valid,
-                    reads, pens, rdlens, refs, wlens, swp):
-    """One fused device step over all three phases (compile/shard target
-    for the multi-chip dry run; the host pipeline calls the phases
-    separately because their batch sizes differ)."""
-    from ..ops.seed_search import search_seeds
-    from ..ops.walk import resolve_rows
-    from ..ops.sw import sw_e2e_batch
+def full_align_step(idx, seeds, seed_valid, reads, pens, rdlens, refs,
+                    wlens, swp, range_cap: int = 16):
+    """The FULL production device step (fused search+resolve and fused
+    DP+device-backtrace) as one jittable function — the compile/shard
+    target for the multi-chip dry run; the host pipeline calls the two
+    phases separately because their batch sizes differ."""
+    from ..ops.seed_search import search_resolve_seeds
+    from ..ops.sw import sw_e2e_backtrace_batch
 
-    top, bot = search_seeds(idx, seeds, seed_valid)
-    offs = resolve_rows(idx, rows, row_valid)
-    best, bestcol, _ = sw_e2e_batch(reads, pens, rdlens, refs, wlens, swp)
-    return top, bot, offs, best, bestcol
+    top, bot, starts, offs = search_resolve_seeds(
+        idx, seeds, seed_valid, range_cap
+    )
+    best, bestcol, ops, startcol = sw_e2e_backtrace_batch(
+        reads, pens, rdlens, refs, wlens, swp
+    )
+    return top, bot, starts, offs, best, bestcol, ops, startcol
