@@ -100,6 +100,7 @@ def cmd_align(args):
     from .io.sam import SamWriter
     from .models.aligner import TPUAligner, AlignOpts
     from .models.paired import PairedAligner
+    from .models.pipeline import run_pipeline
     from .utils.cigar import cigar_string
     from .utils.pe import PEPolicy, policy_from_flags
     from .utils.presets import PRESETS, PRESETS_LOCAL, DEFAULT_PRESET
@@ -174,7 +175,6 @@ def cmd_align(args):
     from .utils.dna import decode as _dec
 
     t0 = time.time()
-    nreads = 0
     if paired_src is not None:
         m1fw, m2fw = {"fr": (True, False), "rf": (False, True),
                       "ff": (True, True)}[args.orient]
@@ -189,10 +189,9 @@ def cmd_align(args):
         pal = PairedAligner(aligner, pe, mixed=not args.no_mixed,
                             discord=not args.no_discordant)
         src = _transform_reads(paired_src, args, True)
-        for batch in batch_iterator(src, args.batch):
-            results = pal.align_pairs(batch)
+
+        def emit_pairs(batch, results):
             for (rd1, rd2), pres in zip(batch, results):
-                nreads += 2
                 both_unal = (pres.m1.status != "aligned"
                              and pres.m2.status != "aligned")
                 if not (args.no_unal and both_unal):
@@ -200,12 +199,15 @@ def cmd_align(args):
                                  pres.tlen1, pres.tlen2)
                 else:
                     w.summary.add_pair(pres.cat, 0, 0)
+
+        nreads = 2 * run_pipeline(
+            batch_iterator(src, args.batch), pal.align_pairs, emit_pairs
+        )
     else:
         src = _transform_reads(open_reads(args.reads), args, False)
-        for batch in batch_iterator(src, args.batch):
-            results = aligner.align_batch(batch)
+
+        def emit_unpaired(batch, results):
             for rd, res in zip(batch, results):
-                nreads += 1
                 if res.status == "aligned":
                     if al_out:
                         fq_dump(al_out, rd)
@@ -228,6 +230,10 @@ def cmd_align(args):
                         w.write_unaligned(rd)
                     else:
                         w.summary.add(0)
+
+        nreads = run_pipeline(
+            batch_iterator(src, args.batch), aligner.align_batch, emit_unpaired
+        )
     dt = time.time() - t0
     print(w.summary.render(), file=sys.stderr)
     if args.time or args.met_stderr:
