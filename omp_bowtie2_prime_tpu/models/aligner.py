@@ -170,43 +170,66 @@ class TPUAligner:
     # ---------------- P2: seed instantiation ----------------
 
     def _instantiate_seeds(self, reads, indices=None, roundi: int = 0):
-        """Returns (seeds [S, seed_len] int8, meta list of (read_i, fw, off)).
+        """Returns (seeds [S, seed_len] int8, meta (ri, fw, off) int arrays).
 
         Offsets every interval from the 5' end of each orientation; round
         r>0 shifts the start by interval*r/nrounds (ref: prepareOneSeed
         call sites, bt2_search.cpp:2538-2584; instantiateSeeds,
-        aligner_seed.cpp:397-447)."""
-        sl = self.opts.seed_len
+        aligner_seed.cpp:301-313, 397-447). Vectorized per read-length
+        group: fw seeds at offsets start, start+ival, ...; rc seeds
+        extracted mirrored (offset rdlen-depth-sl in the rc read).
+        """
+        o = self.opts
+        sl = o.seed_len
         if indices is None:
             indices = range(len(reads))
-        seeds, meta = [], []
+        groups: dict[int, list] = {}
         for ri in indices:
-            rd = reads[ri]
-            ln = len(rd.seq)
+            groups.setdefault(len(reads[ri].seq), []).append(ri)
+        seed_chunks, ri_chunks, fw_chunks, off_chunks = [], [], [], []
+        for ln, ris in sorted(groups.items()):
             if ln < sl:
                 continue
-            ival = max(1, int(self.opts.ival.f(float(ln))))
-            nrounds = min(self.opts.nrounds, ival)
+            ival = max(1, int(o.ival.f(float(ln))))
+            nrounds = min(o.nrounds, ival)
             if roundi >= nrounds:
                 continue
             start = (ival * roundi) // nrounds
             if start > 0 and sl + start > ln:
                 continue
-            rc = None if self.opts.norc else dna.revcomp(rd.seq)
-            for depth in range(start, ln - sl + 1, ival):
-                if not self.opts.nofw:
-                    seeds.append(rd.seq[depth : depth + sl])
-                    meta.append((ri, True, depth))
-                # rc seeds are extracted mirrored: offset in the rc read is
-                # rdlen - depth - seed_len (ref: instantiateSeq,
-                # aligner_seed.cpp:301-313)
-                if rc is not None:
-                    rc_off = ln - depth - sl
-                    seeds.append(rc[rc_off : rc_off + sl])
-                    meta.append((ri, False, rc_off))
-        if not seeds:
-            return np.zeros((0, sl), np.int8), []
-        return np.stack(seeds).astype(np.int8), meta
+            depths = np.arange(start, ln - sl + 1, ival)
+            nd = len(depths)
+            if nd == 0:
+                continue
+            seqs = np.stack([reads[ri].seq for ri in ris])  # [G, ln]
+            ris_a = np.asarray(ris, np.int32)
+            win = depths[:, None] + np.arange(sl)[None, :]  # [nd, sl]
+            if not o.nofw:
+                fw_seeds = seqs[:, win].reshape(-1, sl)  # [G*nd, sl]
+                seed_chunks.append(fw_seeds)
+                ri_chunks.append(np.repeat(ris_a, nd))
+                fw_chunks.append(np.ones(len(ris_a) * nd, bool))
+                off_chunks.append(np.tile(depths, len(ris_a)))
+            if not o.norc:
+                rcs = dna.revcomp_batch(seqs)
+                rc_offs = ln - depths - sl
+                rwin = rc_offs[:, None] + np.arange(sl)[None, :]
+                rc_seeds = rcs[:, rwin].reshape(-1, sl)
+                seed_chunks.append(rc_seeds)
+                ri_chunks.append(np.repeat(ris_a, nd))
+                fw_chunks.append(np.zeros(len(ris_a) * nd, bool))
+                off_chunks.append(np.tile(rc_offs, len(ris_a)))
+        if not seed_chunks:
+            return np.zeros((0, sl), np.int8), (
+                np.zeros(0, np.int32), np.zeros(0, bool), np.zeros(0, np.int32)
+            )
+        seeds = np.concatenate(seed_chunks).astype(np.int8)
+        meta = (
+            np.concatenate(ri_chunks),
+            np.concatenate(fw_chunks),
+            np.concatenate(off_chunks).astype(np.int32),
+        )
+        return seeds, meta
 
     # ---------------- device phase helpers (padded chunking) ----------------
 
@@ -420,21 +443,24 @@ class TPUAligner:
 
         # P2 + P4/P6 fused: seeds, search and SA resolution in one dispatch
         with self.timers.phase("instantiateSeeds"):
-            seeds, meta = self._instantiate_seeds(reads, active, roundi)
-        if len(meta) == 0:
+            seeds, (m_ri, m_fw, m_off) = self._instantiate_seeds(
+                reads, active, roundi
+            )
+        if len(seeds) == 0:
             return empty
         with self.timers.phase("searchResolve"):
             tops, bots, offs_of = self._search_resolve(seeds)
-        self.metrics.add(seeds=len(meta))
+        self.metrics.add(seeds=len(seeds))
 
         # P5: rank — per read, ranges sorted by width ascending
         # (ref: rankSeedHits, aligner_seed.h:1000-1062)
         _t_rank = self.timers.phase("rankAndFrame"); _t_rank.__enter__()
         per_read_ranges = [[] for _ in range(n)]
-        for si, (ri, fw, off) in enumerate(meta):
-            w = int(bots[si] - tops[si])
-            if w > 0:
-                per_read_ranges[ri].append((w, si, fw, off))
+        widths = bots - tops
+        for si in np.flatnonzero(widths > 0):
+            per_read_ranges[m_ri[si]].append(
+                (int(widths[si]), int(si), bool(m_fw[si]), int(m_off[si]))
+            )
 
         # candidates: dedupe by (read, fw, diagonal)
         cand_seen = set()

@@ -17,6 +17,27 @@ def cigar_string(cigar: list) -> str:
 def alignment_stats(read_codes, ref_window, start_col, cigar):
     """Replay the alignment; returns dict with md, nm, xm, xo, xg, xn,
     ref_span (ref chars consumed)."""
+    import numpy as np
+
+    if len(cigar) == 1 and cigar[0][0] == "M":
+        # vectorized fast path: gapless alignment (the overwhelming
+        # majority of records)
+        n = cigar[0][1]
+        rd = np.asarray(read_codes[:n])
+        rf = np.asarray(ref_window[start_col : start_col + n])
+        bad = np.flatnonzero((rd != rf) | (rd >= 4) | (rf >= 4))
+        if len(bad) == 0:
+            return {"md": str(n), "nm": 0, "xm": 0, "xo": 0, "xg": 0,
+                    "xn": 0, "ref_span": n}
+        runs = np.diff(np.concatenate([[-1], bad])) - 1
+        parts = []
+        for r, b in zip(runs, bad):
+            parts.append(str(r))
+            parts.append(dna.decode([int(rf[b])]))
+        parts.append(str(n - int(bad[-1]) - 1))
+        return {"md": "".join(parts), "nm": len(bad), "xm": len(bad),
+                "xo": 0, "xg": 0, "xn": int(np.sum(rf[bad] >= 4)),
+                "ref_span": n}
     i = 0
     j = int(start_col)
     md_parts = []

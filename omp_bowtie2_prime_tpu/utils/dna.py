@@ -45,6 +45,11 @@ def comp(codes: np.ndarray) -> np.ndarray:
     return _COMP[codes]
 
 
+def revcomp_batch(codes: np.ndarray) -> np.ndarray:
+    """Row-wise reverse complement of a [G, L] batch."""
+    return _COMP[codes[:, ::-1]]
+
+
 def pack_2bit(codes: np.ndarray, word_bases: int = 16) -> np.ndarray:
     """Pack base codes (must be 0..3) into uint32 words, LSB-first.
 
