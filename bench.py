@@ -15,7 +15,7 @@ import time
 
 BASELINE_READS_PER_SEC = 8000.0
 
-IDX = "/tmp/bt2tpu_bench_lambda.npz"
+IDX = "/tmp/bt2tpu_bench_lambda_v2.npz"
 READS = "/root/reference/example/reads/reads_1.fq"
 FASTA = "/root/reference/example/reference/lambda_virus.fa"
 

@@ -295,7 +295,7 @@ def main(argv=None):
     b.add_argument("fasta", nargs="+")
     b.add_argument("out")
     b.add_argument("--ftab-chars", type=int, default=10)
-    b.add_argument("--sa-rate", type=int, default=16)
+    b.add_argument("--sa-rate", type=int, default=8)
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("align", help="align reads, emit SAM")

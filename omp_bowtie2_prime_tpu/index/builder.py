@@ -79,7 +79,7 @@ def build_index_from_text(
     text: np.ndarray,
     refmap,
     ftab_k: int = 10,
-    srate: int = 16,
+    srate: int = 8,
 ) -> FMIndex:
     """Build the FM index over a joined ACGT text (codes 0..3)."""
     text = np.asarray(text, dtype=np.int8)
@@ -137,7 +137,7 @@ def build_index_from_text(
     )
 
 
-def build_index(fasta_paths, ftab_k: int = 10, srate: int = 16) -> FMIndex:
+def build_index(fasta_paths, ftab_k: int = 10, srate: int = 8) -> FMIndex:
     """FASTA file(s) -> FMIndex (the bowtie2-build equivalent entry point)."""
     names, seqs = parse_fasta(fasta_paths)
     joined, refmap = join_references(names, seqs)

@@ -60,6 +60,7 @@ class AlignOpts:
     # on-chip time of these kernels)
     seed_batch: int = 32768
     row_batch: int = 32768
+    resolve_expand: int = 2  # compaction slots per seed (retry wider on spill)
     dp_batch: int = 2048
     dp_cols: int = 200  # device window capacity (cols)
 
@@ -244,7 +245,7 @@ class TPUAligner:
         futs = []
         for lo in range(0, S, o.seed_batch):
             hi = min(lo + o.seed_batch, S)
-            chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int32)
+            chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int8)
             chunk[: hi - lo] = seeds[lo:hi]
             valid = np.zeros(o.seed_batch, bool)
             valid[: hi - lo] = True
@@ -270,28 +271,40 @@ class TPUAligner:
         futs = []
         for ci, lo in enumerate(range(0, S, o.seed_batch)):
             hi = min(lo + o.seed_batch, S)
-            chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int32)
+            chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int8)
             chunk[: hi - lo] = seeds[lo:hi]
             valid = np.zeros(o.seed_batch, bool)
             valid[: hi - lo] = True
-            futs.append((ci, lo, hi, _prefetch(*self._search_resolve_fn(
+            futs.append((ci, lo, hi, chunk, valid, _prefetch(*self._search_resolve_fn(
                 self.idx, self._put(chunk), self._put(valid),
-                o.range_cap, 4,
+                o.range_cap, o.resolve_expand,
             ))))
-        for ci, lo, hi, (t, b, st, of) in futs:
+        rmax = o.seed_batch * o.resolve_expand
+        for ci, lo, hi, chunk, valid, (t, b, st, of) in futs:
             tops[lo:hi] = np.asarray(t)[: hi - lo]
             bots[lo:hi] = np.asarray(b)[: hi - lo]
-            chunk_starts[ci] = np.asarray(st)
-            chunk_offs[ci] = np.asarray(of)
+            st = np.asarray(st)
+            # compaction-buffer overflow (sum of min(width, cap) > rmax):
+            # retry the chunk with a wider expansion — rare, repeat-heavy
+            w_last = min(int(bots[hi - 1] - tops[hi - 1]), o.range_cap)                 if hi > lo else 0
+            if hi > lo and int(st[hi - lo - 1]) + w_last > rmax:
+                t2, b2, st2, of2 = self._search_resolve_fn(
+                    self.idx, self._put(chunk), self._put(valid),
+                    o.range_cap, o.range_cap,
+                )
+                chunk_starts[ci] = np.asarray(st2)
+                chunk_offs[ci] = np.asarray(of2)
+            else:
+                chunk_starts[ci] = st
+                chunk_offs[ci] = np.asarray(of)
 
-        rmax = o.seed_batch * 4
         cap = o.range_cap
 
         def offs_of(si: int) -> np.ndarray:
             ci, li = divmod(si, o.seed_batch)
             s = int(chunk_starts[ci][li])
             w = min(int(bots[si] - tops[si]), cap)
-            if s + w > rmax:  # compaction buffer spill: treat unresolved
+            if s + w > len(chunk_offs[ci]):  # spill even after retry
                 return _EMPTY_OFFS
             return chunk_offs[ci][s : s + w]
 
@@ -315,6 +328,38 @@ class TPUAligner:
             offs[lo:hi] = np.asarray(r)[: hi - lo]
         return offs
 
+    def _pack_dp_inputs(self, problems, L: int, C: int):
+        """Vectorized DP problem assembly: gather oriented read rows from
+        the per-batch matrices and reference windows from the 2-bit text in
+        bulk numpy ops (no per-problem Python)."""
+        n = len(problems)
+        src = np.fromiter((p["src"] for p in problems), np.int64, n)
+        ws = np.fromiter((p["wstart"] for p in problems), np.int64, n)
+        wl = np.fromiter((p["wlen"] for p in problems), np.int32, n)
+        reads = self._mat_reads[src]
+        pens = self._mat_pens[src]
+        rdlens = self._mat_lens[src // 2]
+        cols_idx = np.minimum(ws[:, None] + np.arange(C)[None, :],
+                              self.fm.n - 1)
+        refs = self.text[cols_idx]  # int8
+        refs[np.arange(C)[None, :] >= wl[:, None]] = 4
+        return reads, pens, rdlens, refs, wl
+
+    @staticmethod
+    def _dp_chunk(packed, lo, hi, B):
+        reads, pens, rdlens, refs, wl = packed
+        L, C = reads.shape[1], refs.shape[1]
+
+        def pad(a, fill):
+            if hi - lo == B:
+                return a[lo:hi]
+            out = np.full((B,) + a.shape[1:], fill, a.dtype)
+            out[: hi - lo] = a[lo:hi]
+            return out
+
+        return (pad(reads, 4), pad(pens, 0), pad(rdlens, 0),
+                pad(refs, 4), pad(wl, 0))
+
     def _run_dp(self, problems, cols: int | None = None):
         """problems: list of dicts with read(oriented codes), pens, window
         (wstart, wlen). Returns per-problem (best, bestcol). `cols` widens
@@ -326,30 +371,16 @@ class TPUAligner:
         best = np.full(n, sw.NEG, np.int64)
         bestcol = np.zeros(n, np.int32)
         L, C = o.l_max, (cols or o.dp_cols)
+        packed = self._pack_dp_inputs(problems, L, C)
         futs = []
         for lo in range(0, n, o.dp_batch):
             hi = min(lo + o.dp_batch, n)
-            B = o.dp_batch
-            reads = np.full((B, L), 4, np.int32)
-            pens = np.zeros((B, L), np.int32)
-            rdlens = np.zeros(B, np.int32)
-            refs = np.full((B, C), 4, np.int32)
-            wlens = np.zeros(B, np.int32)
-            for k, pr in enumerate(problems[lo:hi]):
-                ln = len(pr["read"])
-                reads[k, :ln] = pr["read"]
-                pens[k, :ln] = pr["pens"]
-                rdlens[k] = ln
-                ws, wl = pr["wstart"], pr["wlen"]
-                refs[k, :wl] = self.text[ws : ws + wl]
-                wlens[k] = wl
+            reads, pens, rdlens, refs, wlens = self._dp_chunk(
+                packed, lo, hi, o.dp_batch
+            )
             futs.append((lo, hi, _prefetch(*self._sw_fn(
-                self._put(reads),
-                self._put(pens),
-                self._put(rdlens),
-                self._put(refs),
-                self._put(wlens),
-                self.swp,
+                self._put(reads), self._put(pens), self._put(rdlens),
+                self._put(refs), self._put(wlens), self.swp,
             ))))
         for lo, hi, (b, bc, _) in futs:
             best[lo:hi] = np.asarray(b)[: hi - lo]
@@ -366,23 +397,13 @@ class TPUAligner:
         startcols = np.zeros(n, np.int32)
         all_ops: list = [None] * n
         L, C = o.l_max, (cols or o.dp_cols)
+        packed = self._pack_dp_inputs(problems, L, C)
         futs = []
         for lo in range(0, n, o.dp_batch):
             hi = min(lo + o.dp_batch, n)
-            B = o.dp_batch
-            reads = np.full((B, L), 4, np.int32)
-            pens = np.zeros((B, L), np.int32)
-            rdlens = np.zeros(B, np.int32)
-            refs = np.full((B, C), 4, np.int32)
-            wlens = np.zeros(B, np.int32)
-            for k, pr in enumerate(problems[lo:hi]):
-                ln = len(pr["read"])
-                reads[k, :ln] = pr["read"]
-                pens[k, :ln] = pr["pens"]
-                rdlens[k] = ln
-                ws, wl = pr["wstart"], pr["wlen"]
-                refs[k, :wl] = self.text[ws : ws + wl]
-                wlens[k] = wl
+            reads, pens, rdlens, refs, wlens = self._dp_chunk(
+                packed, lo, hi, o.dp_batch
+            )
             futs.append((lo, hi, _prefetch(*self._sw_bt_fn(
                 self._put(reads), self._put(pens), self._put(rdlens),
                 self._put(refs), self._put(wlens), self.swp,
@@ -405,6 +426,7 @@ class TPUAligner:
         2572-2584)."""
         n = len(reads)
         self.metrics.add(reads=n)
+        self.build_read_matrices(reads)
         results = [AlnResult(status="unaligned") for _ in range(n)]
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
         minscs = self.min_scores(reads)
@@ -419,6 +441,34 @@ class TPUAligner:
                 self._finalize_unpaired(reads, minscs, cands, results)
             active = [ri for ri in active if results[ri].status != "aligned"]
         return results
+
+    def build_read_matrices(self, reads) -> None:
+        """Per-batch oriented read/penalty matrices [2n, l_max] (row
+        2*ri+0 = fw, 2*ri+1 = rc), built vectorized by length group. DP
+        problem assembly then reduces to numpy row gathers."""
+        o = self.opts
+        n = len(reads)
+        L = o.l_max
+        mat_r = np.full((2 * n, L), 4, np.int8)
+        mat_p = np.zeros((2 * n, L), np.uint8)
+        lens = np.zeros(n, np.int32)
+        groups: dict[int, list] = {}
+        for ri, rd in enumerate(reads):
+            ln = len(rd.seq)
+            lens[ri] = ln
+            groups.setdefault(min(ln, L), []).append(ri)
+        for ln, ris in groups.items():
+            seqs = np.stack([reads[ri].seq[:ln] for ri in ris]).astype(np.int8)
+            quals = np.stack([reads[ri].qual[:ln] for ri in ris])
+            pens = self.mm_tab[np.minimum(quals, 255)]
+            rows = 2 * np.asarray(ris, np.int64)
+            mat_r[rows, :ln] = seqs
+            mat_p[rows, :ln] = pens
+            mat_r[rows + 1, :ln] = dna.revcomp_batch(seqs)
+            mat_p[rows + 1, :ln] = pens[:, ::-1]
+        self._mat_reads = mat_r
+        self._mat_pens = mat_p
+        self._mat_lens = lens
 
     def min_scores(self, reads) -> np.ndarray:
         """Per-read clamped minimum scores (bt2_search.cpp:2476-2491)."""
@@ -482,8 +532,6 @@ class TPUAligner:
             width = ln + 2 * maxgaps
             if width > o.c_strict:
                 continue  # reference col envelope (aligner_sw.cpp:138-142)
-            oriented = {True: rd.seq, False: None}
-            pens_c = {}
             budget = o.max_elts_per_read
             dp_count = 0
             for w, si, fw, soff in ranges:
@@ -503,14 +551,9 @@ class TPUAligner:
                     wlen = wend_cl - wstart_cl
                     if wlen <= 0:
                         continue
-                    if fw not in pens_c:
-                        if not fw and oriented[False] is None:
-                            oriented[False] = dna.revcomp(rd.seq)
-                        q = rd.qual if fw else rd.qual[::-1]
-                        pens_c[fw] = self.mm_tab[np.minimum(q, 255)]
                     dp_count += 1
                     problems.append(dict(
-                        read=oriented[fw], pens=pens_c[fw],
+                        src=2 * ri + (0 if fw else 1),
                         wstart=wstart_cl, wlen=wlen,
                     ))
                     prob_meta.append((ri, fw))
@@ -522,7 +565,10 @@ class TPUAligner:
         self.metrics.add(
             ranges_nonzero=sum(len(r) for r in per_read_ranges),
             dps=len(problems),
-            dp_cells=sum(len(pr["read"]) * pr["wlen"] for pr in problems),
+            dp_cells=sum(
+                int(self._mat_lens[pr["src"] // 2]) * pr["wlen"]
+                for pr in problems
+            ),
         )
         if not problems:
             return empty
@@ -587,24 +633,13 @@ class TPUAligner:
             B = min(o.dp_batch, 1024)
             for lo in range(0, len(group), B):
                 chunk = group[lo : lo + B]
-                reads = np.full((B, L), 4, np.int32)
-                pens = np.zeros((B, L), np.int32)
-                rdlens = np.zeros(B, np.int32)
-                refs = np.full((B, W), 4, np.int32)
-                wlens = np.zeros(B, np.int32)
-                for k, c in enumerate(chunk):
-                    pr = c.problem
-                    ln = len(pr["read"])
-                    reads[k, :ln] = pr["read"]
-                    pens[k, :ln] = pr["pens"]
-                    rdlens[k] = ln
-                    refs[k, : pr["wlen"]] = self.text[
-                        pr["wstart"] : pr["wstart"] + pr["wlen"]
-                    ]
-                    wlens[k] = pr["wlen"]
+                packed = self._pack_dp_inputs([c.problem for c in chunk], L, W)
+                reads, pens, rdlens, refs, wlens = self._dp_chunk(
+                    packed, 0, len(chunk), B
+                )
                 futs.append((chunk, self._sw_bt_fn(
-                    jnp.asarray(reads), jnp.asarray(pens), jnp.asarray(rdlens),
-                    jnp.asarray(refs), jnp.asarray(wlens), self.swp,
+                    self._put(reads), self._put(pens), self._put(rdlens),
+                    self._put(refs), self._put(wlens), self.swp,
                 )))
         for chunk, (_, _, ops, startcol) in futs:
             ops = np.asarray(ops)
@@ -624,8 +659,11 @@ class TPUAligner:
             return  # straddles fragment boundary (bt2_idx.cpp:54-128)
         cand.refid, cand.refoff = mapped
         cand.cigar = cigar
+        src = pr["src"]
+        rdlen = int(self._mat_lens[src // 2])
+        read = self._mat_reads[src][:rdlen]
         refw = self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]]
-        cand.stats = cigar_util.alignment_stats(pr["read"], refw, start_col, cigar)
+        cand.stats = cigar_util.alignment_stats(read, refw, start_col, cigar)
         cand.valid = True
 
     @staticmethod

@@ -153,10 +153,9 @@ class PairedAligner:
                 wlen = we - ws
                 if wlen < len(other_rd.seq) or wlen > self._rescue_cols():
                     continue
-                oriented = other_rd.seq if ofw else dna.revcomp(other_rd.seq)
-                q = other_rd.qual if ofw else other_rd.qual[::-1]
-                pens = self.al.mm_tab[np.minimum(q, 255)]
-                problems.append(dict(read=oriented, pens=pens, wstart=ws, wlen=wlen))
+                other_i = 2 * pi + (1 if is1 else 0)
+                src = 2 * other_i + (0 if ofw else 1)
+                problems.append(dict(src=src, wstart=ws, wlen=wlen))
                 meta.append((pi, is1, ofw))
         return problems, meta
 
@@ -175,6 +174,7 @@ class PairedAligner:
         for rd1, rd2 in pairs:
             reads.extend((rd1, rd2))
         minscs = al.min_scores(reads)
+        al.build_read_matrices(reads)
 
         # accumulated candidates per mate-read across rounds
         acc = [dict() for _ in range(2 * npairs)]

@@ -71,6 +71,9 @@ def sw_e2e_batch(
     hlast[b, j] = best score of an alignment consuming the whole read and
     exactly j reference chars from the window start... (j = end column).
     """
+    reads = reads.astype(jnp.int32)
+    pen_mm = pen_mm.astype(jnp.int32)
+    refs = refs.astype(jnp.int32)
     B, L = reads.shape
     W = refs.shape[1]
     C = W + 1  # columns incl. virtual empty-ref column 0
@@ -151,6 +154,9 @@ def sw_e2e_tb_batch(
 
     Walk cost on host is O(L + W) per problem with no score matrices.
     """
+    reads = reads.astype(jnp.int32)
+    pen_mm = pen_mm.astype(jnp.int32)
+    refs = refs.astype(jnp.int32)
     B, L = reads.shape
     W = refs.shape[1]
     C = W + 1
