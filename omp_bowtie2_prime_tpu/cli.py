@@ -153,8 +153,10 @@ def cmd_align(args):
         paired_src = read_tab6(args.tab6)
     elif args.tab5:
         paired_src = read_tab5(args.tab5)
+    elif args.cmdline:
+        pass
     elif not args.reads:
-        print("error: no input reads (-U, -1/-2, --interleaved, --tab5/6)",
+        print("error: no input reads (-U, -1/-2, --interleaved, --tab5/6, -c)",
               file=sys.stderr)
         sys.exit(1)
 
@@ -163,7 +165,7 @@ def cmd_align(args):
     w = SamWriter(
         out, fm.refmap.refnames, fm.refmap.reflens, prog_args=cl,
         rg_id=args.rg_id, rg_fields=args.rg or [],
-        no_hd=args.no_hd, no_sq=args.no_sq,
+        no_hd=args.no_hd, no_sq=args.no_sq, xeq=args.xeq,
     )
     w.write_header()
     un_out = open(args.un, "w") if args.un else None
@@ -204,7 +206,17 @@ def cmd_align(args):
             batch_iterator(src, args.batch), pal.align_pairs, emit_pairs
         )
     else:
-        src = _transform_reads(open_reads(args.reads), args, False)
+        if args.cmdline:
+            from .io.fastq import cmdline_reads
+
+            rsrc = cmdline_reads(args.cmdline)
+        else:
+            fmt = ("fasta" if args.fmt_fasta else
+                   "raw" if args.fmt_raw else
+                   "qseq" if args.fmt_qseq else
+                   "fastq" if args.fmt_fastq else None)
+            rsrc = open_reads(args.reads, fmt=fmt)
+        src = _transform_reads(rsrc, args, False)
 
         def emit_unpaired(batch, results):
             for rd, res in zip(batch, results):
@@ -213,14 +225,14 @@ def cmd_align(args):
                         fq_dump(al_out, rd)
                     w.write_aligned(
                         rd, res.fw, fm.refmap.refnames[res.refid],
-                        res.refoff, res.mapq, cigar_string(res.cigar),
+                        res.refoff, res.mapq, w.cigar_str(res),
                         res.score, res.secbest, res.stats,
                         nhits_for_summary=res.nhits,
                     )
                     for ex in res.extra:
                         w.write_aligned(
                             rd, ex.fw, fm.refmap.refnames[ex.refid],
-                            ex.refoff, ex.mapq, cigar_string(ex.cigar),
+                            ex.refoff, ex.mapq, w.cigar_str(ex),
                             ex.score, ex.secbest, ex.stats, secondary=True,
                         )
                 else:
@@ -307,8 +319,11 @@ def main(argv=None):
     a.add_argument("--interleaved", default=None)
     a.add_argument("--tab5", default=None)
     a.add_argument("--tab6", default=None)
-    a.add_argument("-q", dest="fmt_fastq", action="store_true")  # sniffed
-    a.add_argument("-f", dest="fmt_fasta", action="store_true")  # sniffed
+    a.add_argument("-q", dest="fmt_fastq", action="store_true")
+    a.add_argument("-f", dest="fmt_fasta", action="store_true")
+    a.add_argument("-r", dest="fmt_raw", action="store_true")
+    a.add_argument("--qseq", dest="fmt_qseq", action="store_true")
+    a.add_argument("-c", "--cmdline", default=None)
     a.add_argument("-u", "--upto", type=int, default=None)
     a.add_argument("-s", "--skip", dest="skip_reads", type=int, default=0)
     a.add_argument("-5", "--trim5", type=int, default=0)
@@ -326,6 +341,7 @@ def main(argv=None):
     a.add_argument("--rg", action="append", default=None)
     a.add_argument("--no-hd", action="store_true")
     a.add_argument("--no-sq", action="store_true")
+    a.add_argument("--xeq", action="store_true")
     a.add_argument("-t", "--time", action="store_true")
     a.add_argument("--met-stderr", action="store_true")
     a.add_argument("--reorder", action="store_true")  # always ordered

@@ -75,8 +75,63 @@ def read_fasta_reads(path: str, start_id: int = 0) -> Iterator[Read]:
             yield Read(rdid, name, seq, np.full(len(seq), 30, np.uint8))
 
 
-def open_reads(path: str, start_id: int = 0) -> Iterator[Read]:
-    """Sniff FASTQ vs FASTA from the first byte."""
+def read_raw(path: str, start_id: int = 0) -> Iterator[Read]:
+    """-r: one sequence per line, no names/quals (RawPatternSource,
+    pat.h/pat.cpp)."""
+    rdid = start_id
+    with _open(path) as f:
+        for line in f:
+            s = line.strip()
+            if not s:
+                continue
+            seq = dna.encode(s)
+            yield Read(rdid, str(rdid), seq, np.full(len(seq), 30, np.uint8))
+            rdid += 1
+
+
+def read_qseq(path: str, start_id: int = 0) -> Iterator[Read]:
+    """--qseq: 11-column Illumina qseq records (QseqPatternSource,
+    read_qseq.cpp): machine run lane tile x y index readnum seq qual
+    filter; '.' means N."""
+    rdid = start_id
+    with _open(path) as f:
+        for line in f:
+            parts = line.rstrip("\n").split("\t")
+            if len(parts) < 11:
+                continue
+            name = "_".join(parts[:6]) + "/" + parts[7]
+            seq = dna.encode(parts[8].replace(".", "N"))
+            q = np.maximum(
+                np.frombuffer(parts[9].encode(), np.uint8), 33
+            ) - 33
+            yield Read(rdid, name, seq, q.astype(np.uint8))
+            rdid += 1
+
+
+def cmdline_reads(csv: str, start_id: int = 0) -> Iterator[Read]:
+    """-c: comma-separated sequences given on the command line
+    (CStringPatternSource, pat.h)."""
+    rdid = start_id
+    for s in csv.split(","):
+        s = s.strip()
+        if not s:
+            continue
+        seq = dna.encode(s)
+        yield Read(rdid, str(rdid), seq, np.full(len(seq), 30, np.uint8))
+        rdid += 1
+
+
+def open_reads(path: str, start_id: int = 0, fmt: str | None = None) -> Iterator[Read]:
+    """Open reads; fmt in {fastq, fasta, raw, qseq} or None to sniff
+    FASTQ vs FASTA from the first byte."""
+    if fmt == "raw":
+        return read_raw(path, start_id)
+    if fmt == "qseq":
+        return read_qseq(path, start_id)
+    if fmt == "fasta":
+        return read_fasta_reads(path, start_id)
+    if fmt == "fastq":
+        return read_fastq(path, start_id)
     with _open(path) as f:
         first = f.read(1)
     if first == ">":

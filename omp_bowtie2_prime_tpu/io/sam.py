@@ -174,7 +174,8 @@ class AlnSummary:
 class SamWriter:
     def __init__(self, out, refnames, reflens, prog_args: str = "",
                  yf_ln_quirk=True, rg_id: str | None = None,
-                 rg_fields: list | None = None, no_hd=False, no_sq=False):
+                 rg_fields: list | None = None, no_hd=False, no_sq=False,
+                 xeq=False):
         self.out = out
         self.refnames = list(refnames)
         self.reflens = list(int(x) for x in reflens)
@@ -185,6 +186,7 @@ class SamWriter:
         self.rg_fields = rg_fields or []
         self.no_hd = no_hd
         self.no_sq = no_sq
+        self.xeq = xeq  # --xeq: =/X CIGARs (sam.cpp CIGAR emission)
 
     def write_header(self):
         """@HD/@SQ/@RG/@PG lines (ref: SamConfig::printHeader,
@@ -206,6 +208,14 @@ class SamWriter:
                 + self._prog_args
                 + "\"\n"
             )
+
+    def cigar_str(self, res) -> str:
+        from ..utils.cigar import cigar_string, cigar_xeq
+
+        cig = res.cigar
+        if self.xeq and res.stats:
+            cig = cigar_xeq(cig, res.stats["md"])
+        return cigar_string(cig)
 
     def qual_str(self, qual: np.ndarray) -> str:
         return (np.asarray(qual, np.uint8) + 33).tobytes().decode("ascii")
@@ -279,8 +289,6 @@ class SamWriter:
         self.summary.add_pair(cat, 1 if a1 else 0, 1 if a2 else 0)
 
     def _write_mate(self, rd, res, ores, is1: bool, cat: str, yt: str, tlen: int):
-        from ..utils.cigar import cigar_string
-
         aligned = res.status == "aligned"
         oaligned = ores.status == "aligned"
         fl = FLAG_PAIRED | (FLAG_FIRST_IN_PAIR if is1 else FLAG_SECOND_IN_PAIR)
@@ -347,7 +355,7 @@ class SamWriter:
             rname=rname,
             pos=pos,
             mapq=res.mapq if aligned else 0,
-            cigar=cigar_string(res.cigar) if aligned else "*",
+            cigar=self.cigar_str(res) if aligned else "*",
             rnext=rnext,
             pnext=pnext,
             tlen=tlen if use_tlen else 0,

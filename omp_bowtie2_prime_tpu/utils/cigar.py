@@ -14,6 +14,53 @@ def cigar_string(cigar: list) -> str:
     return "".join(f"{n}{op}" for op, n in cigar)
 
 
+def cigar_xeq(cigar: list, md: str) -> list:
+    """Split M runs into =/X using the MD tag (--xeq; ref: sam.cpp CIGAR
+    emission with xeq, StackedAln::buildCigar). MD grammar:
+    [0-9]+(([A-Z]|\\^[A-Z]+)[0-9]+)*."""
+    # decode MD into a per-aligned-ref-position match/mismatch stream
+    events = []  # ('=', n) | ('X', 1) skipping ^deletions
+    i = 0
+    while i < len(md):
+        if md[i].isdigit():
+            j = i
+            while j < len(md) and md[j].isdigit():
+                j += 1
+            n = int(md[i:j])
+            if n:
+                events.append(["=", n])
+            i = j
+        elif md[i] == "^":
+            j = i + 1
+            while j < len(md) and md[j].isalpha():
+                j += 1
+            i = j  # deletion: not part of M columns
+        else:
+            events.append(["X", 1])
+            i += 1
+    out = []
+    ei = 0
+    rem = events[ei][1] if events else 0
+    for op, n in cigar:
+        if op != "M":
+            out.append((op, n))
+            continue
+        left = n
+        while left > 0:
+            take = min(left, rem)
+            sym = events[ei][0]
+            if out and out[-1][0] == sym:
+                out[-1] = (sym, out[-1][1] + take)
+            else:
+                out.append((sym, take))
+            left -= take
+            rem -= take
+            while rem == 0 and ei + 1 < len(events):
+                ei += 1
+                rem = events[ei][1]
+    return out
+
+
 def alignment_stats(read_codes, ref_window, start_col, cigar):
     """Replay the alignment; returns dict with md, nm, xm, xo, xg, xn,
     ref_span (ref chars consumed)."""
