@@ -47,6 +47,19 @@ def cmd_build(args):
     from .index.builder import build_index
 
     t0 = time.time()
+    if args.bt2:
+        # emit a bowtie2-compatible .bt2 index set instead of .npz
+        from .index.bt2io import save_bt2
+        from .index.fasta import parse_fasta, join_references
+
+        names, seqs = parse_fasta(args.fasta)
+        joined, refmap = join_references(names, seqs)
+        base = args.out[:-4] if args.out.endswith(".npz") else args.out
+        save_bt2(joined, refmap, base)
+        print(f"wrote {base}.[1234].bt2 + .rev.[12].bt2 "
+              f"({len(joined)} bases) in {time.time()-t0:.1f}s",
+              file=sys.stderr)
+        return
     fm = build_index(args.fasta, ftab_k=args.ftab_chars, srate=args.sa_rate)
     out = args.out if args.out.endswith(".npz") else args.out + ".npz"
     fm.save(out)
@@ -308,6 +321,8 @@ def main(argv=None):
     b.add_argument("out")
     b.add_argument("--ftab-chars", type=int, default=10)
     b.add_argument("--sa-rate", type=int, default=8)
+    b.add_argument("--bt2", action="store_true",
+                   help="write a bowtie2-compatible .bt2 index set")
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("align", help="align reads, emit SAM")

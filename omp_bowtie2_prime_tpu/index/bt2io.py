@@ -25,6 +25,178 @@ from .fasta import ReferenceMap
 from .format import FMIndex
 
 
+def _bt2_sa(text: np.ndarray) -> np.ndarray:
+    """SA of text under bowtie2's sentinel-sorts-LAST convention, via
+    SA-IS on text+[5,0] (5 > any base plays the $, 0 is the SA-IS
+    terminator; ties always break at the unique 5 first, so the order of
+    real suffixes matches $-last comparison). Returns [n+1] rows whose
+    last entry is n (the empty suffix)."""
+    from ..native import get_lib
+
+    lib = get_lib()
+    n = len(text)
+    s = np.empty(n + 2, np.uint8)
+    s[:n] = np.asarray(text) + 1
+    s[n] = 5
+    s[n + 1] = 0
+    if n + 2 < (1 << 31):
+        sa = np.empty(n + 2, np.int32)
+        rc = lib.bt_sais_u8_i32(s.ctypes.data, sa.ctypes.data,
+                                np.int32(n + 2), np.int32(6))
+    else:
+        sa = np.empty(n + 2, np.int64)
+        rc = lib.bt_sais_u8_i64(s.ctypes.data, sa.ctypes.data,
+                                np.int64(n + 2), np.int64(6))
+    if rc != 0:
+        raise RuntimeError("SA-IS failed")
+    assert sa[0] == n + 1  # terminator-only suffix sorts first; drop it
+    return sa[1:].astype(np.int64)
+
+
+def save_bt2(text: np.ndarray, refmap, basename: str, line_rate: int = 6,
+             off_rate: int = 4, ftab_chars: int = 10) -> None:
+    """Write a complete small .bt2 index set (.1/.2/.3/.4 + .rev.1/.rev.2)
+    consumable by bowtie2 itself — the writeFromMemory/buildToDisk analog
+    (bt2_idx.h:1771, 2922-3290; side layout bt2_idx.h:160-166; ftab/eftab
+    construction bt2_idx.h:3064-3098, 3217-3262; .3/.4 reference files
+    reference.cpp:594-640, RefRecord layout ref_read.h:79-101)."""
+    text = np.asarray(text, np.int8)
+    n = len(text)
+    # .3: RefRecords (off-from-previous-stretch-end, len, first)
+    with open(basename + ".3.bt2", "wb") as f3:
+        f3.write(struct.pack("<II", 1, len(refmap.frag_joined)))
+        prev_end = {}
+        for i in range(len(refmap.frag_joined)):
+            rid = int(refmap.frag_refid[i])
+            first = rid not in prev_end
+            gap = int(refmap.frag_ref[i]) - prev_end.get(rid, 0)
+            f3.write(struct.pack("<IIB", gap, int(refmap.frag_len[i]), first))
+            prev_end[rid] = int(refmap.frag_ref[i] + refmap.frag_len[i])
+    # .4: 2-bit packed joined text (LSB-first pairs, bitpack.h:30-39)
+    with open(basename + ".4.bt2", "wb") as f4:
+        nbytes = (n + 3) // 4
+        padded = np.zeros(nbytes * 4, np.uint8)
+        padded[:n] = text
+        b = (padded[0::4] | (padded[1::4] << 2) | (padded[2::4] << 4)
+             | (padded[3::4] << 6))
+        f4.write(b.astype(np.uint8).tobytes())
+
+    # forward + entire-reverse mirrors (bt2_build.cpp:662-696)
+    _write_bt2_pair(text, refmap, basename + ".1.bt2", basename + ".2.bt2",
+                    line_rate, off_rate, ftab_chars, flags=-1)
+    rev = text[::-1].copy()
+    _write_bt2_pair(rev, refmap, basename + ".rev.1.bt2",
+                    basename + ".rev.2.bt2", line_rate, off_rate,
+                    ftab_chars, flags=-5, reverse=True)
+
+
+def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
+                    flags, reverse=False):
+    n = len(text)
+    sa = _bt2_sa(text)
+    bwt = np.where(sa > 0, text[np.maximum(sa - 1, 0)], 0).astype(np.uint8)
+    zoff = int(np.flatnonzero(sa == 0)[0])
+
+    cnt = np.bincount(text, minlength=4).astype(np.uint64)
+    fchr = np.zeros(5, np.uint64)
+    fchr[1:] = np.cumsum(cnt)
+
+    # sides: sideBwtSz packed bytes + 4 occ-at-side-start counts
+    # (excluding the $-as-A at zoff; bt2_idx.h:1819-1846, 3150-3176)
+    side_sz = 1 << line_rate
+    side_bwt = side_sz - 16
+    bwt_sz = n // 4 + 1  # eh._bwtSz (bt2_idx.h:146)
+    num_sides = (bwt_sz + side_bwt - 1) // side_bwt
+    packed = np.zeros(num_sides * side_bwt, np.uint8)
+    bb = np.zeros(num_sides * side_bwt * 4, np.uint8)
+    bb[: n + 1] = bwt
+    bb[zoff] = 0
+    packed = (bb[0::4] | (bb[1::4] << 2) | (bb[2::4] << 4) | (bb[3::4] << 6))
+    # occ counts at each side start (over bases, excluding $ slot)
+    occ_mask = np.ones(n + 1, bool)
+    occ_mask[zoff] = False
+    per_row = np.zeros((4, num_sides * side_bwt * 4), np.int64)
+    for c in range(4):
+        col = np.zeros(num_sides * side_bwt * 4, np.int64)
+        col[: n + 1] = (bwt == c) & occ_mask
+        per_row[c] = np.cumsum(col) - col  # counts BEFORE each row
+    side_starts = np.arange(num_sides) * side_bwt * 4
+    occ_sides = per_row[:, side_starts].T.astype(np.uint32)  # [sides, 4]
+
+    # ftab/eftab (buildToDisk semantics, bt2_idx.h:3064-3098, 3217-3262)
+    k = ftab_chars
+    ftab_len = (1 << (2 * k)) + 1
+    long_m = (n - sa) >= k
+    long_rows = sa[long_m]
+    pos = long_rows[:, None] + np.arange(k)[None, :]
+    pow4 = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
+    sufint = (text[pos].astype(np.int64) @ pow4)
+    c_raw = np.bincount(sufint + 1, minlength=ftab_len).astype(np.int64)
+    absorb = np.zeros(ftab_len, np.int64)
+    long_pos = np.flatnonzero(long_m)
+    sufint_at = np.full(len(sa), -1, np.int64)
+    sufint_at[long_pos] = sufint
+    for p in np.flatnonzero(~long_m):
+        j = np.searchsorted(long_pos, p)
+        if j == len(long_pos):
+            absorb[ftab_len - 1] += 1
+        else:
+            absorb[sufint_at[long_pos[j]]] += 1
+    hi = np.cumsum(c_raw + absorb)
+    lo = hi - absorb
+    ftab = lo.astype(np.uint64)
+    eftab = np.zeros(2 * k, np.uint64)
+    ecur = 0
+    for i in np.flatnonzero(absorb > 0):
+        eftab[2 * ecur] = lo[i]
+        eftab[2 * ecur + 1] = lo[i] + absorb[i]
+        ftab[i] = np.uint64(ecur) ^ np.uint64(0xFFFFFFFF)
+        ecur += 1
+
+    u = "<I"  # small index: 32-bit TIndexOffU
+    with open(p1, "wb") as f:
+        f.write(struct.pack("<I", 1))
+        f.write(struct.pack(u, n))
+        f.write(struct.pack("<iiiii", line_rate, 2, off_rate, ftab_chars, flags))
+        f.write(struct.pack(u, len(refmap.refnames)))
+        for ln in refmap.reflens:
+            f.write(struct.pack(u, int(ln)))
+        # rstarts (joined start, refid, off within ref); reversed layout
+        # for the entire-reverse mirror
+        nfrag = len(refmap.frag_joined)
+        f.write(struct.pack(u, nfrag))
+        for i in (range(nfrag) if not reverse else range(nfrag - 1, -1, -1)):
+            if not reverse:
+                trip = (int(refmap.frag_joined[i]), int(refmap.frag_refid[i]),
+                        int(refmap.frag_ref[i]))
+            else:
+                j_start = n - int(refmap.frag_joined[i] + refmap.frag_len[i])
+                rid = int(refmap.frag_refid[i])
+                r_start = int(refmap.reflens[rid]) - int(
+                    refmap.frag_ref[i] + refmap.frag_len[i]
+                )
+                trip = (j_start, rid, max(r_start, 0))
+            f.write(struct.pack("<III", *trip))
+        # sides
+        side_buf = np.zeros(num_sides * side_sz, np.uint8)
+        sv = side_buf.reshape(num_sides, side_sz)
+        sv[:, :side_bwt] = packed.reshape(num_sides, side_bwt)
+        sv[:, side_bwt:] = occ_sides.view(np.uint8).reshape(num_sides, 16)
+        f.write(side_buf.tobytes())
+        f.write(struct.pack(u, zoff))
+        for c in range(5):
+            f.write(struct.pack(u, int(fchr[c])))
+        f.write(ftab.astype(np.uint32).tobytes())
+        f.write(eftab.astype(np.uint32).tobytes())
+        f.write("".join(nm + "\n" for nm in refmap.refnames).encode() + b"\x00")
+
+    # .2: offs — SA samples at rows si % 2^off_rate == 0
+    with open(p2, "wb") as f:
+        f.write(struct.pack("<I", 1))
+        step = 1 << off_rate
+        f.write(sa[::step].astype(np.uint32).tobytes())
+
+
 def _read_header(f, off_t):
     """Returns dict of header fields; f positioned after header."""
     one = struct.unpack("<I", f.read(4))[0]

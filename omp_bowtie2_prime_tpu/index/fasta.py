@@ -103,7 +103,7 @@ def parse_fasta(paths: str | list[str]) -> tuple[list[str], list[np.ndarray]]:
                     if names:
                         seqs.append(dna.encode("".join(cur)))
                         cur = []
-                    names.append(line[1:].split()[0] if len(line) > 1 else f"seq{len(names)}")
+                    names.append(line[1:] if len(line) > 1 else f"seq{len(names)}")  # full header; SAM output truncates at whitespace
                 else:
                     cur.append(line)
             if names and len(names) == len(seqs) + 1:

@@ -177,7 +177,10 @@ class SamWriter:
                  rg_fields: list | None = None, no_hd=False, no_sq=False,
                  xeq=False):
         self.out = out
-        self.refnames = list(refnames)
+        # SAM RNAME/@SQ truncate reference names at first whitespace
+        # (printRefName, sam.cpp)
+        self.refnames = [str(n).split()[0] if str(n).split() else str(n)
+                         for n in refnames]
         self.reflens = list(int(x) for x in reflens)
         self.yf_ln_quirk = yf_ln_quirk
         self.summary = AlnSummary()

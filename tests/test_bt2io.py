@@ -98,3 +98,26 @@ def test_bt2_import_aligns(tmp_path):
     res = al.align_batch(reads)
     for r, pos in zip(res, truth):
         assert r.status == "aligned" and r.refoff == pos
+
+
+def test_bt2_write_read_roundtrip(tmp_path):
+    """save_bt2 -> load_bt2_index round-trips text, names and fragments
+    (the writer's byte-level fidelity is separately validated against
+    bowtie2-build output and consumed by the reference binary)."""
+    from omp_bowtie2_prime_tpu.index.bt2io import load_bt2_index, save_bt2
+    from omp_bowtie2_prime_tpu.index.fasta import join_references
+
+    rng = np.random.default_rng(77)
+    seq1 = rng.integers(0, 4, 3000).astype(np.int8)
+    seq2 = rng.integers(0, 4, 2000).astype(np.int8)
+    seq2[500:520] = 4  # N gap -> two fragments
+    joined, refmap = join_references(["chrA desc text", "chrB"],
+                                     [seq1, seq2])
+    save_bt2(joined, refmap, str(tmp_path / "w"))
+    fm = load_bt2_index(str(tmp_path / "w"))
+    assert fm.n == len(joined)
+    assert fm.refmap.refnames == ["chrA desc text", "chrB"]
+    rec = dna.unpack_2bit(fm.ref_words, fm.n)
+    np.testing.assert_array_equal(rec, joined)
+    np.testing.assert_array_equal(fm.refmap.frag_len, refmap.frag_len)
+    np.testing.assert_array_equal(fm.refmap.frag_ref, refmap.frag_ref)
