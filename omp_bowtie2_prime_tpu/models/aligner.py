@@ -165,7 +165,21 @@ class TPUAligner:
         )
         self._resolve_fn = jax.jit(walk.resolve_rows)
         self._sw_fn = jax.jit(sw.sw_e2e_batch, static_argnums=5)
-        self._sw_bt_fn = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
+        # The hand-written Pallas DP kernel (ops/sw_pallas.py) is the
+        # default on TPU backends (output-identical to the XLA formulation,
+        # slightly faster end to end); BT2TPU_PALLAS=0 opts out, =1 forces.
+        import os as _os
+
+        _pl = _os.environ.get("BT2TPU_PALLAS")
+        use_pallas = _pl == "1" or (
+            _pl != "0" and jax.default_backend() in ("tpu", "axon")
+        )
+        if use_pallas:
+            from ..ops.sw_pallas import sw_e2e_backtrace_pallas
+
+            self._sw_bt_fn = jax.jit(sw_e2e_backtrace_pallas, static_argnums=5)
+        else:
+            self._sw_bt_fn = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
         self._put = _put_factory(self.placer)
 
     # ---------------- P2: seed instantiation ----------------

@@ -1,0 +1,212 @@
+"""Pallas TPU kernel for the banded end-to-end Smith-Waterman DP.
+
+The hand-scheduled variant of ops/sw.py's XLA formulation (same recurrence:
+row scan with prefix-max read-gap state; see that module's docstring and
+the reference kernels it replaces, aligner_swsse_ee_u8.cpp:398-536). The
+kernel tiles the problem batch onto the grid; each tile's H/F carries and
+the packed trace-bit tensor live in VMEM for the whole row loop, so HBM
+traffic is one input read + one packed-tb write per tile instead of one
+carry round-trip per row.
+
+Mosaic notes (worked around deliberately):
+  - column shifts use pltpu.roll + column masks (lane-dim concatenates of
+    odd widths miscompile when combined with multiple live loop carries);
+  - trace bits pack 8 DP rows x 4 bits per int32, stored [L/8, TB, C]
+    (dynamic stores index the leading untiled dim; uint8 tiles can't);
+  - per-row read chars are fetched by masked reduction (dynamic lane-dim
+    ref slices don't lower);
+  - argmax lowers only for f32, so first-argmax is a masked column min.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .sw import NEG, SWParams
+
+TB = 256  # problems per grid tile
+
+
+def _dp_kernel(reads_ref, pens_ref, rdlens_ref, refs_ref, wlens_ref,
+               best_ref, bestcol_ref, tb_ref, p: SWParams, L: int, C: int):
+    reads = reads_ref[:].astype(jnp.int32)  # [TB, L]
+    pens = pens_ref[:].astype(jnp.int32)
+    refs = refs_ref[:].astype(jnp.int32)  # [TB, C] (col 0 = dummy 4)
+    rdlens = rdlens_ref[:].astype(jnp.int32)  # [TB, 1]
+    wlens = wlens_ref[:].astype(jnp.int32)
+
+    B = reads.shape[0]
+    cols = jax.lax.broadcasted_iota(jnp.int32, (B, C), 1)
+    col0 = cols == 0
+    col_ok = cols <= wlens
+    k_ext = cols * p.rdg_ext
+    rdlens_bc = jnp.broadcast_to(rdlens, (B, C))
+
+    h0 = jnp.where(col_ok, 0, NEG).astype(jnp.int32)
+    f0 = jnp.full((B, C), NEG, jnp.int32)
+    hfin0 = jnp.full((B, C), NEG, jnp.int32)
+    lidx = jax.lax.broadcasted_iota(jnp.int32, (B, L), 1)
+
+    def sr(x, k):  # shift right by k columns, NEG fill
+        return jnp.where(cols < k, NEG, pltpu.roll(x, k, 1))
+
+    def body(i, carry):
+        h_prev, f_prev, hfin = carry
+        # fetch read char/penalty i-1 by masked reduction
+        sel = lidx == (i - 1)
+        rc = jnp.sum(jnp.where(sel, reads, 0), axis=1, keepdims=True)
+        pm = jnp.sum(jnp.where(sel, pens, 0), axis=1, keepdims=True)
+        s = jnp.where(
+            (rc >= 4) | (refs >= 4), -p.npen,
+            jnp.where(refs == rc, 0, -pm),
+        ).astype(jnp.int32)  # [B, C]; col 0 garbage (masked below)
+
+        gap_ok = (i > p.gbar) & (i <= rdlens_bc - p.gbar)
+        gmask = jnp.where(gap_ok, 0, NEG).astype(jnp.int32)
+
+        f = jnp.maximum(h_prev - p.rfg_open + gmask, f_prev - p.rfg_ext)
+        f = jnp.maximum(f, NEG)
+
+        diag = jnp.where(col0, NEG, sr(h_prev, 1) + s)
+        h_open = jnp.maximum(diag, f)
+
+        # prefix max via log-step rolls
+        scan = h_open + k_ext
+        sh = 1
+        while sh < C:
+            scan = jnp.maximum(scan, sr(scan, sh))
+            sh *= 2
+        e = jnp.where(
+            col0, NEG, sr(scan, 1) - p.rdg_open - k_ext + p.rdg_ext + gmask
+        )
+        e = jnp.maximum(e, NEG)
+
+        h = jnp.maximum(h_open, e)
+        h = jnp.where(col_ok, jnp.maximum(h, NEG), NEG)
+
+        b0 = (diag >= h).astype(jnp.int32)
+        b1 = (f >= h).astype(jnp.int32)
+        b2 = ((h_prev - p.rfg_open + gmask) >= f).astype(jnp.int32)
+        lo = jnp.where(col0, 0, (sr(h, 1) - p.rdg_open + gmask) >= e).astype(
+            jnp.int32
+        )
+        row_bits = b0 | (b1 << 1) | (b2 << 2) | (lo << 3)
+        # packed trace words: 8 DP rows x 4 bits per int32, [L/8, TB, C]
+        d = (i - 1) // 8
+        shift = 4 * ((i - 1) % 8)
+        word = (row_bits << shift)[None, :, :]
+        prev = tb_ref[pl.ds(d, 1), :, :]
+        tb_ref[pl.ds(d, 1), :, :] = jnp.where(shift == 0, word, prev | word)
+
+        hfin = jnp.where(cols * 0 + i == rdlens_bc, h, hfin)
+        return h, f, hfin
+
+    _, _, hfin = jax.lax.fori_loop(1, L + 1, body, (h0, f0, hfin0))
+    best = jnp.max(hfin, axis=1, keepdims=True)
+    best_ref[:] = best
+    # first-argmax via masked column-min (integer argmax doesn't lower)
+    bestcol_ref[:] = jnp.min(
+        jnp.where(hfin == jnp.broadcast_to(best, hfin.shape), cols,
+                  jnp.int32(1 << 30)),
+        axis=1, keepdims=True,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=5)
+def sw_e2e_tb_pallas(reads, pen_mm, rdlens, refs, wlens, p: SWParams):
+    """Pallas DP + packed trace bits.
+
+    Returns (best [B], bestcol [B], tbp [B, L/8, C] int32) where word
+    (l//8) holds rows 8k..8k+7, 4 bits each (bit layout as ops/sw.py
+    sw_e2e_tb_batch)."""
+    B, L = reads.shape
+    W = refs.shape[1]
+    C = W + 1
+    LP = (L + 7) // 8
+    assert B % TB == 0 and L % 8 == 0
+    # refs shifted so column j scores text char of DP column j (col 0 dummy)
+    refs_c = jnp.pad(refs.astype(jnp.int32), ((0, 0), (1, 0)),
+                     constant_values=4)
+    grid = (B // TB,)
+    kernel = functools.partial(_dp_kernel, p=p, L=L, C=C)
+    best, bestcol, tb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LP, TB, C), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((B, 1), jnp.int32),
+            jax.ShapeDtypeStruct((LP, B, C), jnp.int32),
+        ],
+    )(reads.astype(jnp.int32), pen_mm.astype(jnp.int32),
+      rdlens.astype(jnp.int32)[:, None], refs_c,
+      wlens.astype(jnp.int32)[:, None])
+    return best[:, 0], bestcol[:, 0], jnp.transpose(tb, (1, 0, 2))
+
+
+def sw_e2e_backtrace_pallas(reads, pen_mm, rdlens, refs, wlens, p: SWParams):
+    """Pallas DP + the same on-device walk as ops/sw.py, reading packed
+    trace words. Drop-in for sw.sw_e2e_backtrace_batch."""
+    best, bestcol, tbp = sw_e2e_tb_pallas(reads, pen_mm, rdlens, refs, wlens, p)
+    B, L = reads.shape
+    C = refs.shape[1] + 1
+    LP = tbp.shape[1]
+    MAXOPS = L + C
+    tbf = tbp.reshape(B, LP * C)
+
+    def step(k, carry):
+        i, j, state, ops = carry
+        done = i <= 0
+        li = jnp.clip(i - 1, 0, L - 1)
+        word = jnp.take_along_axis(
+            tbf, ((li // 8) * C + j)[:, None], axis=1
+        )[:, 0]
+        bits = (word >> (4 * (li % 8))) & 0xF
+        in_h = state == 0
+        m_ok = in_h & ((bits & 1) > 0) & (j > 0)
+        f_br = (state == 1) | (in_h & ~m_ok & ((bits & 2) > 0))
+        e_br = ~m_ok & ~f_br
+        op = jnp.where(done, 0, jnp.where(m_ok, 1, jnp.where(f_br, 2, 3)))
+        ops = jax.lax.dynamic_update_slice_in_dim(
+            ops, op.astype(jnp.uint8)[:, None], k, axis=1
+        )
+        ni = jnp.where(done | e_br, i, i - 1)
+        nj = jnp.where(done | f_br, j, j - 1)
+        nstate = jnp.where(
+            done, state,
+            jnp.where(
+                m_ok, 0,
+                jnp.where(
+                    f_br,
+                    jnp.where((bits & 4) > 0, 0, 1),
+                    jnp.where((bits & 8) > 0, 0, 2),
+                ),
+            ),
+        )
+        return ni, nj, nstate, ops
+
+    init = (
+        rdlens.astype(jnp.int32),
+        bestcol.astype(jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros((B, MAXOPS), jnp.uint8),
+    )
+    _, j_fin, _, ops = jax.lax.fori_loop(0, MAXOPS, step, init)
+    return best, bestcol, ops, j_fin
