@@ -174,12 +174,13 @@ class TPUAligner:
         use_pallas = _pl == "1" or (
             _pl != "0" and jax.default_backend() in ("tpu", "axon")
         )
+        self._sw_bt_xla = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
         if use_pallas:
             from ..ops.sw_pallas import sw_e2e_backtrace_pallas
 
             self._sw_bt_fn = jax.jit(sw_e2e_backtrace_pallas, static_argnums=5)
         else:
-            self._sw_bt_fn = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
+            self._sw_bt_fn = self._sw_bt_xla
         self._put = _put_factory(self.placer)
 
     # ---------------- P2: seed instantiation ----------------
@@ -411,6 +412,9 @@ class TPUAligner:
         startcols = np.zeros(n, np.int32)
         all_ops: list = [None] * n
         L, C = o.l_max, (cols or o.dp_cols)
+        # wide windows (mate rescue) exceed the Pallas tile's VMEM budget;
+        # the XLA formulation streams its carries and handles any width
+        bt_fn = self._sw_bt_fn if C <= o.dp_cols else self._sw_bt_xla
         packed = self._pack_dp_inputs(problems, L, C)
         futs = []
         for lo in range(0, n, o.dp_batch):
@@ -418,7 +422,7 @@ class TPUAligner:
             reads, pens, rdlens, refs, wlens = self._dp_chunk(
                 packed, lo, hi, o.dp_batch
             )
-            futs.append((lo, hi, _prefetch(*self._sw_bt_fn(
+            futs.append((lo, hi, _prefetch(*bt_fn(
                 self._put(reads), self._put(pens), self._put(rdlens),
                 self._put(refs), self._put(wlens), self.swp,
             ))))
@@ -645,13 +649,14 @@ class TPUAligner:
         futs = []
         for W, group in by_w.items():
             B = min(o.dp_batch, 1024)
+            bt_fn = self._sw_bt_fn if W <= o.dp_cols else self._sw_bt_xla
             for lo in range(0, len(group), B):
                 chunk = group[lo : lo + B]
                 packed = self._pack_dp_inputs([c.problem for c in chunk], L, W)
                 reads, pens, rdlens, refs, wlens = self._dp_chunk(
                     packed, 0, len(chunk), B
                 )
-                futs.append((chunk, self._sw_bt_fn(
+                futs.append((chunk, bt_fn(
                     self._put(reads), self._put(pens), self._put(rdlens),
                     self._put(refs), self._put(wlens), self.swp,
                 )))

@@ -4,7 +4,10 @@ the multichip path; see __graft_entry__.dryrun_multichip)."""
 
 import os
 
+# NOTE: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME is the
+# toggle it honors. Set both so tests really run on the virtual CPU mesh.
 os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
