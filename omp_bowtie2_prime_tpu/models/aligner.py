@@ -354,11 +354,23 @@ class TPUAligner:
         reads = self._mat_reads[src]
         pens = self._mat_pens[src]
         rdlens = self._mat_lens[src // 2]
-        cols_idx = np.minimum(ws[:, None] + np.arange(C)[None, :],
-                              self.fm.n - 1)
-        refs = self.text[cols_idx]  # int8
+        # window gather as a strided row view (a 2-D fancy index over the
+        # whole text is ~20x slower)
+        win = self._text_windows(C)
+        refs = win[np.minimum(ws, len(win) - 1)].copy()
         refs[np.arange(C)[None, :] >= wl[:, None]] = 4
         return reads, pens, rdlens, refs, wl
+
+    def _text_windows(self, C: int):
+        """Cached sliding-window view of the joined text (rows = all
+        C-wide reference windows)."""
+        cache = getattr(self, "_win_cache", None)
+        if cache is None:
+            cache = self._win_cache = {}
+        if C not in cache:
+            pad = np.concatenate([self.text, np.full(C, 4, np.int8)])
+            cache[C] = np.lib.stride_tricks.sliding_window_view(pad, C)
+        return cache[C]
 
     @staticmethod
     def _dp_chunk(packed, lo, hi, B):
