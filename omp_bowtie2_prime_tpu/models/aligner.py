@@ -636,16 +636,17 @@ class TPUAligner:
         if not todo:
             return
         # candidates from the fused DP already carry their op strings:
-        # finishing them is pure host work
+        # finishing them is host work, batched through the native finisher
+        # (csrc/sais.cpp bt_finish_batch) when available
         self.metrics.add(backtraces=len(todo))
-        rest = []
-        for c in todo:
-            if c.ops_row is not None:
+        have_ops = [c for c in todo if c.ops_row is not None]
+        if have_ops:
+            for c in have_ops:
                 c.resolved = True
-                self._finish_backtrace(c, c.ops_row, c.start_col)
-            else:
-                rest.append(c)
-        todo = rest
+            if not self._finish_candidates_native(have_ops):
+                for c in have_ops:
+                    self._finish_backtrace(c, c.ops_row, c.start_col)
+        todo = [c for c in todo if c.ops_row is None]
         if not todo:
             return
         o = self.opts
@@ -677,6 +678,51 @@ class TPUAligner:
             startcol = np.asarray(startcol)
             for k, c in enumerate(chunk):
                 self._finish_backtrace(c, ops[k], int(startcol[k]))
+
+    def _finish_candidates_native(self, cands: list) -> bool:
+        """Batched native CIGAR/MD/stats finish; False -> caller uses the
+        Python path (library unavailable)."""
+        from ..native import finish_batch
+
+        n = len(cands)
+        ops_mat = np.stack([c.ops_row for c in cands])
+        start_cols = np.fromiter((c.start_col for c in cands), np.int32, n)
+        wstarts = np.fromiter((c.problem["wstart"] for c in cands), np.int64, n)
+        srcs = np.fromiter((c.problem["src"] for c in cands), np.int64, n)
+        out = finish_batch(ops_mat, start_cols, wstarts, self._mat_reads,
+                           srcs, self.text)
+        if out is None:
+            return False
+        cig_ops, cig_cnt, md_buf, stats = out
+        spans = stats[:, 5]
+        joined = wstarts + start_cols
+        refid, refoff, valid = self.fm.refmap.joined_to_ref_batch(joined, spans)
+        for k, c in enumerate(cands):
+            ncig = int(stats[k, 6])
+            if ncig < 0:  # slot overflow: python fallback for this record
+                c.resolved = True
+                self._finish_backtrace(c, c.ops_row, int(start_cols[k]))
+                continue
+            if ncig == 0:
+                continue  # no alignment traced
+            c.joined_start = int(joined[k])
+            c.span = int(spans[k])
+            if not valid[k]:
+                continue  # fragment-boundary straddle (bt2_idx.cpp:54-128)
+            c.refid = int(refid[k])
+            c.refoff = int(refoff[k])
+            c.cigar = [
+                (chr(cig_ops[k, t]), int(cig_cnt[k, t])) for t in range(ncig)
+            ]
+            c.stats = {
+                "nm": int(stats[k, 0]), "xm": int(stats[k, 1]),
+                "xo": int(stats[k, 2]), "xg": int(stats[k, 3]),
+                "xn": int(stats[k, 4]),
+                "md": md_buf[k, : stats[k, 7]].tobytes().decode("ascii"),
+                "ref_span": int(spans[k]),
+            }
+            c.valid = True
+        return True
 
     def _finish_backtrace(self, cand: Candidate, ops_row, start_col: int) -> None:
         pr = cand.problem
