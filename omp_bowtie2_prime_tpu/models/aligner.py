@@ -315,15 +315,21 @@ class TPUAligner:
 
         cap = o.range_cap
 
-        def offs_of(si: int) -> np.ndarray:
-            ci, li = divmod(si, o.seed_batch)
-            s = int(chunk_starts[ci][li])
-            w = min(int(bots[si] - tops[si]), cap)
-            if s + w > len(chunk_offs[ci]):  # spill even after retry
-                return _EMPTY_OFFS
-            return chunk_offs[ci][s : s + w]
+        # flat offsets across chunks: the element slots of seed si live at
+        # glob_offs[glob_start[si] : glob_start[si] + min(width, cap)],
+        # capped at glob_end[si] (compaction spill -> no slots)
+        glob_offs = np.concatenate(chunk_offs) if chunk_offs else _EMPTY_OFFS
+        glob_start = np.zeros(S, np.int64)
+        glob_end = np.zeros(S, np.int64)
+        base = 0
+        for ci in range(nchunks):
+            lo = ci * o.seed_batch
+            hi = min(lo + o.seed_batch, S)
+            glob_start[lo:hi] = base + chunk_starts[ci][: hi - lo]
+            base += len(chunk_offs[ci])
+            glob_end[lo:hi] = base
 
-        return tops, bots, offs_of
+        return tops, bots, (glob_offs, glob_start, glob_end)
 
     def _resolve(self, rows: np.ndarray):
         o = self.opts
@@ -529,71 +535,103 @@ class TPUAligner:
         if len(seeds) == 0:
             return empty
         with self.timers.phase("searchResolve"):
-            tops, bots, offs_of = self._search_resolve(seeds)
+            tops, bots, (glob_offs, glob_start, glob_end) = \
+                self._search_resolve(seeds)
         self.metrics.add(seeds=len(seeds))
 
-        # P5: rank — per read, ranges sorted by width ascending
-        # (ref: rankSeedHits, aligner_seed.h:1000-1062)
+        # P5 + framing, fully vectorized with the reference's semantics:
+        # per read, ranges sorted by (width, !fw, off) ascending
+        # (rankSeedHits, aligner_seed.h:1000-1062); element stream capped at
+        # maxIters=400/read; candidates deduped by (read, fw, diagonal);
+        # DP problems capped at maxDp=300/read; windows = diag +- maxgaps
+        # clamped (frameSeedExtensionRect, dp_framer.cpp:81).
         _t_rank = self.timers.phase("rankAndFrame"); _t_rank.__enter__()
-        per_read_ranges = [[] for _ in range(n)]
-        widths = bots - tops
-        for si in np.flatnonzero(widths > 0):
-            per_read_ranges[m_ri[si]].append(
-                (int(widths[si]), int(si), bool(m_fw[si]), int(m_off[si]))
-            )
+        widths = (bots - tops).astype(np.int64)
 
-        # candidates: dedupe by (read, fw, diagonal)
-        cand_seen = set()
+        # per-read envelopes
+        lens_all = self._mat_lens.astype(np.int64)
+        mg_all = np.zeros(n, np.int64)
+        mg_cache = {}
+        for ri in active:
+            key = (int(lens_all[ri]), int(minscs[ri]))
+            if key not in mg_cache:
+                mg_cache[key] = sc.max_read_gaps(key[1], key[0])
+            mg_all[ri] = mg_cache[key]
+        read_ok = (lens_all <= o.l_max) & (
+            lens_all + 2 * mg_all <= o.c_strict
+        )
+
+        nz = np.flatnonzero((widths > 0) & read_ok[m_ri])
         problems = []
         prob_meta = []
-        maxgaps_cache = {}
-        for ri, ranges in enumerate(per_read_ranges):
-            if not ranges:
-                continue
-            ranges.sort(key=lambda r: (r[0], not r[2], r[3]))
-            rd = reads[ri]
-            ln = len(rd.seq)
-            if ln > o.l_max:
-                continue  # reference DP-row envelope: read too long for DP
-            mg_key = (ln, int(minscs[ri]))
-            if mg_key not in maxgaps_cache:
-                maxgaps_cache[mg_key] = sc.max_read_gaps(int(minscs[ri]), ln)
-            maxgaps = maxgaps_cache[mg_key]
-            width = ln + 2 * maxgaps
-            if width > o.c_strict:
-                continue  # reference col envelope (aligner_sw.cpp:138-142)
-            budget = o.max_elts_per_read
-            dp_count = 0
-            for w, si, fw, soff in ranges:
-                take = min(w, o.range_cap, budget)
-                joffs = offs_of(si)
-                for joff in joffs[:take]:
-                    if joff < 0:
-                        continue
-                    cand = int(joff) - soff
-                    if (ri, fw, cand) in cand_seen:
-                        continue
-                    cand_seen.add((ri, fw, cand))
-                    if dp_count >= o.max_dp_per_read:
-                        continue
-                    wstart_cl = max(0, cand - maxgaps)
-                    wend_cl = min(self.fm.n, cand + ln + maxgaps)
-                    wlen = wend_cl - wstart_cl
-                    if wlen <= 0:
-                        continue
-                    dp_count += 1
-                    problems.append(dict(
-                        src=2 * ri + (0 if fw else 1),
-                        wstart=wstart_cl, wlen=wlen,
-                    ))
-                    prob_meta.append((ri, fw))
-                budget -= take
-                if budget <= 0:
-                    break
+        if len(nz):
+            w_nz = widths[nz]
+            ri_nz = m_ri[nz].astype(np.int64)
+            fw_nz = m_fw[nz]
+            # range order within each read: (width, !fw, off) ascending
+            order = np.lexsort((m_off[nz], ~fw_nz, w_nz, ri_nz))
+            sid = nz[order]
+            ri_s = ri_nz[order]
+            take = np.minimum(w_nz[order], o.range_cap)
+            # compaction spill -> no slots for that seed
+            take = np.where(
+                glob_start[sid] + take > glob_end[sid], 0, take
+            )
+            # element-stream cap per read (maxIters)
+            csum = np.cumsum(take)
+            read_first = np.concatenate([[True], ri_s[1:] != ri_s[:-1]])
+            base_of_read = np.where(read_first, csum - take, 0)
+            np.maximum.accumulate(base_of_read, out=base_of_read)
+            elt_base = csum - take - base_of_read
+            take_eff = np.clip(o.max_elts_per_read - elt_base, 0, take)
+            total = int(take_eff.sum())
+            if total:
+                rep = np.repeat(np.arange(len(sid)), take_eff)
+                excl = np.concatenate([[0], np.cumsum(take_eff)[:-1]])
+                intra = np.arange(total) - excl[rep]
+                joff = glob_offs[glob_start[sid[rep]] + intra].astype(np.int64)
+                ri_e = ri_s[rep]
+                fw_e = fw_nz[order][rep]
+                soff_e = m_off[nz][order][rep].astype(np.int64)
+                ok = joff >= 0
+                cand = joff - soff_e
+                # dedupe by (read, fw, diagonal), first occurrence wins
+                key = ((ri_e * 2 + fw_e) * np.int64(self.fm.n + 2)
+                       + cand + 1)
+                key = np.where(ok, key, -1)
+                _, first = np.unique(key, return_index=True)
+                keep = np.zeros(total, bool)
+                keep[first] = True
+                keep &= ok
+                # window framing + wlen filter
+                mg_e = mg_all[ri_e]
+                ln_e = lens_all[ri_e]
+                wstart = np.maximum(0, cand - mg_e)
+                wend = np.minimum(self.fm.n, cand + ln_e + mg_e)
+                keep &= (wend - wstart) > 0
+                kidx = np.flatnonzero(keep)
+                # DP cap per read (maxDp), in stream order
+                ri_k = ri_e[kidx]
+                kfirst = np.concatenate([[True], ri_k[1:] != ri_k[:-1]])
+                pos = np.arange(len(kidx))
+                start_pos = np.where(kfirst, pos, 0)
+                np.maximum.accumulate(start_pos, out=start_pos)
+                kidx = kidx[(pos - start_pos) < o.max_dp_per_read]
+                srcs = 2 * ri_e[kidx] + np.where(fw_e[kidx], 0, 1)
+                ws_k = wstart[kidx]
+                wl_k = (wend - wstart)[kidx]
+                fw_k = fw_e[kidx]
+                ri_f = ri_e[kidx]
+                problems = [
+                    dict(src=int(srcs[t]), wstart=int(ws_k[t]),
+                         wlen=int(wl_k[t]))
+                    for t in range(len(kidx))
+                ]
+                prob_meta = list(zip(ri_f.tolist(), fw_k.tolist()))
 
         _t_rank.__exit__(None, None, None)
         self.metrics.add(
-            ranges_nonzero=sum(len(r) for r in per_read_ranges),
+            ranges_nonzero=int(np.count_nonzero(widths > 0)),
             dps=len(problems),
             dp_cells=sum(
                 int(self._mat_lens[pr["src"] // 2]) * pr["wlen"]
