@@ -314,6 +314,8 @@ def _parse_trim_to(s: str):
 
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="bt2tpu")
+    ap.add_argument("--version", action="version",
+                    version="bt2tpu 0.1 (bowtie2 2.5.4-compatible, TPU-native)")
     sub = ap.add_subparsers(dest="cmd", required=True)
 
     b = sub.add_parser("build", help="build FM index from FASTA")

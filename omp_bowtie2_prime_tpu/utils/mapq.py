@@ -151,3 +151,42 @@ def mapq_v2_local(
     if bestdiff > 0:
         return 11 if best_over >= diff * _f32(0.5) else 2
     return 1 if best_over >= diff * _f32(0.5) else 0
+
+
+def mapq_v3(best: int, secbest, sc_min: int, sc_perfect: int) -> int:
+    """Simplified V3 table (ref: BowtieMapq3... unique.h:96-166), selected
+    with --mapqv 3: coarse buckets on bestOver and bestdiff."""
+    diff = max(1, sc_perfect - sc_min)
+    best_over = best - sc_min
+    if secbest is None:
+        if best_over >= diff * _f32(0.8):
+            return 42
+        if best_over >= diff * _f32(0.7):
+            return 40
+        if best_over >= diff * _f32(0.61):
+            return 24
+        if best_over >= diff * _f32(0.5):
+            return 23
+        if best_over >= diff * _f32(0.42):
+            return 8
+        if best_over >= diff * _f32(0.3):
+            return 3
+        return 0
+    bestdiff = abs(abs(best) - abs(secbest))
+    if bestdiff >= diff * _f32(0.9):
+        return 39 if best_over == diff else 33
+    if bestdiff >= diff * _f32(0.76):
+        return 38 if best_over == diff else 27
+    if bestdiff >= diff * _f32(0.61):
+        return 37 if best_over == diff else 26
+    if bestdiff >= diff * _f32(0.42):
+        return 36 if best_over == diff else 22
+    if bestdiff >= diff * _f32(0.3):
+        return 25 if best_over == diff else 19
+    if bestdiff >= diff * _f32(0.2):
+        return 14
+    if bestdiff >= diff * _f32(0.1):
+        return 10
+    if bestdiff > 0:
+        return 6
+    return 0
