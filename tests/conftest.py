@@ -1,13 +1,32 @@
 """Test config: run on CPU with 8 virtual devices so multi-chip sharding
 paths are exercised without TPU hardware (the driver separately dry-runs
-the multichip path; see __graft_entry__.dryrun_multichip)."""
+the multichip path; see __graft_entry__.dryrun_multichip).
+
+This environment's sitecustomize pre-imports jax on the TPU backend before
+conftest runs, so in-process env changes come too late: if the backend is
+not CPU, re-exec the whole pytest process with the platform pinned."""
 
 import os
+import sys
 
-# NOTE: the axon TPU plugin ignores JAX_PLATFORMS; JAX_PLATFORM_NAME is the
-# toggle it honors. Set both so tests really run on the virtual CPU mesh.
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["JAX_PLATFORM_NAME"] = "cpu"
+if os.environ.get("BT2TPU_TEST_REEXEC") != "1":
+    import jax as _jax
+
+    if _jax.default_backend() != "cpu":
+        env = dict(os.environ)
+        env["JAX_PLATFORM_NAME"] = "cpu"
+        env["JAX_PLATFORMS"] = "cpu"
+        env["BT2TPU_TEST_REEXEC"] = "1"
+        flags = env.get("XLA_FLAGS", "")
+        if "xla_force_host_platform_device_count" not in flags:
+            env["XLA_FLAGS"] = (
+                flags + " --xla_force_host_platform_device_count=8"
+            ).strip()
+        os.execvpe(
+            sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env
+        )
+
+os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
