@@ -2,29 +2,36 @@
 paths are exercised without TPU hardware (the driver separately dry-runs
 the multichip path; see __graft_entry__.dryrun_multichip).
 
-This environment's sitecustomize pre-imports jax on the TPU backend before
-conftest runs, so in-process env changes come too late: if the backend is
-not CPU, re-exec the whole pytest process with the platform pinned."""
+This environment's sitecustomize pre-imports AND initializes jax on the
+TPU backend before any test code runs, so in-process env/config changes
+are ignored: when the backend is wrong, re-exec the whole pytest process
+with the platform pinned (after restoring pytest's captured fds)."""
 
 import os
 import sys
 
-if os.environ.get("BT2TPU_TEST_REEXEC") != "1":
-    import jax as _jax
 
-    if _jax.default_backend() != "cpu":
-        env = dict(os.environ)
-        env["JAX_PLATFORM_NAME"] = "cpu"
-        env["JAX_PLATFORMS"] = "cpu"
-        env["BT2TPU_TEST_REEXEC"] = "1"
-        flags = env.get("XLA_FLAGS", "")
-        if "xla_force_host_platform_device_count" not in flags:
-            env["XLA_FLAGS"] = (
-                flags + " --xla_force_host_platform_device_count=8"
-            ).strip()
-        os.execvpe(
-            sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env
-        )
+def pytest_configure(config):
+    if os.environ.get("BT2TPU_TEST_REEXEC") == "1":
+        return
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return
+    capman = config.pluginmanager.getplugin("capturemanager")
+    if capman is not None:
+        capman.stop_global_capturing()
+    env = dict(os.environ)
+    env["JAX_PLATFORM_NAME"] = "cpu"
+    env["JAX_PLATFORMS"] = "cpu"
+    env["BT2TPU_TEST_REEXEC"] = "1"
+    flags = env.get("XLA_FLAGS", "")
+    if "xla_force_host_platform_device_count" not in flags:
+        env["XLA_FLAGS"] = (
+            flags + " --xla_force_host_platform_device_count=8"
+        ).strip()
+    os.execvpe(sys.executable, [sys.executable, "-m", "pytest", *sys.argv[1:]], env)
+
 
 os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
 _flags = os.environ.get("XLA_FLAGS", "")
