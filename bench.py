@@ -42,7 +42,7 @@ def main():
     # best of 3 passes: the remote-device tunnel shows intermittent
     # multi-second stalls unrelated to the workload
     best_dt = float("inf")
-    B = 8192
+    B = 16384  # one resident batch covers the 10K set
     for _ in range(3):
         t0 = time.time()
         res = []
