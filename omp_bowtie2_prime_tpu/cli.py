@@ -166,11 +166,15 @@ def cmd_align(args):
         paired_src = read_tab6(args.tab6)
     elif args.tab5:
         paired_src = read_tab5(args.tab5)
+    elif args.bam and args.bam_paired:
+        from .io.bam import read_bam_pairs
+
+        paired_src = read_bam_pairs(args.bam)
     elif args.cmdline:
         pass
-    elif not args.reads:
-        print("error: no input reads (-U, -1/-2, --interleaved, --tab5/6, -c)",
-              file=sys.stderr)
+    elif not args.reads and not args.bam:
+        print("error: no input reads (-U, -1/-2, --interleaved, --tab5/6, "
+              "-b, -c)", file=sys.stderr)
         sys.exit(1)
 
     out = open(args.sam, "w") if args.sam != "-" else sys.stdout
@@ -223,6 +227,10 @@ def cmd_align(args):
             from .io.fastq import cmdline_reads
 
             rsrc = cmdline_reads(args.cmdline)
+        elif args.bam:
+            from .io.bam import read_bam
+
+            rsrc = read_bam(args.bam)
         else:
             fmt = ("fasta" if args.fmt_fasta else
                    "raw" if args.fmt_raw else
@@ -341,6 +349,9 @@ def main(argv=None):
     a.add_argument("-r", dest="fmt_raw", action="store_true")
     a.add_argument("--qseq", dest="fmt_qseq", action="store_true")
     a.add_argument("-c", "--cmdline", default=None)
+    a.add_argument("-b", "--bam", default=None)
+    a.add_argument("--align-paired-reads", dest="bam_paired",
+                   action="store_true")
     a.add_argument("-u", "--upto", type=int, default=None)
     a.add_argument("-s", "--skip", dest="skip_reads", type=int, default=0)
     a.add_argument("-5", "--trim5", type=int, default=0)

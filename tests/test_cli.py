@@ -163,3 +163,37 @@ def test_cli_local_unsupported(genome, tmp_path):
     d, text, idx = genome
     with pytest.raises(SystemExit):
         run_cli(["align", "-x", idx, "-U", "/dev/null", "--local"])
+
+
+def test_bam_input(genome, tmp_path):
+    """BAM round-trip: write a minimal BGZF-free gzip BAM, align from it."""
+    import gzip
+    import struct
+
+    d, text, idx = genome
+    from omp_bowtie2_prime_tpu.utils import dna as _dna
+
+    seq = _dna.decode(text[900:1000])
+    # minimal BAM: header, one ref, one unaligned record
+    name = b"bq0"
+    l_seq = len(seq)
+    code = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15}
+    packed = bytearray()
+    for i in range(0, l_seq, 2):
+        hi = code[seq[i]] << 4
+        lo = code[seq[i + 1]] if i + 1 < l_seq else 0
+        packed.append(hi | lo)
+    rec = struct.pack("<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 0, 0, 4,
+                      l_seq, -1, -1, 0)
+    rec += name + b"\x00" + bytes(packed) + bytes([30] * l_seq)
+    body = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0)
+    body += struct.pack("<i", len(rec)) + rec
+    p = tmp_path / "in.bam"
+    with gzip.open(p, "wb") as f:
+        f.write(body)
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-b", str(p), "-S", str(out)])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 1
+    assert recs[0][0] == "bq0" and int(recs[0][3]) == 901
