@@ -188,6 +188,14 @@ def cmd_align(args):
     un_out = open(args.un, "w") if args.un else None
     al_out = open(args.al, "w") if args.al else None
 
+    def _conc_pair(base):
+        if "%" in base:
+            return open(base.replace("%", "1"), "w"), open(base.replace("%", "2"), "w")
+        return open(base + ".1", "w"), open(base + ".2", "w")
+
+    unc_out = _conc_pair(args.un_conc) if args.un_conc else None
+    alc_out = _conc_pair(args.al_conc) if args.al_conc else None
+
     def fq_dump(f, rd):
         f.write(f"@{rd.name}\n{_dec(rd.seq)}\n+\n{w.qual_str(rd.qual)}\n")
 
@@ -213,6 +221,12 @@ def cmd_align(args):
             for (rd1, rd2), pres in zip(batch, results):
                 both_unal = (pres.m1.status != "aligned"
                              and pres.m2.status != "aligned")
+                if unc_out and pres.cat != "concord":
+                    fq_dump(unc_out[0], rd1)
+                    fq_dump(unc_out[1], rd2)
+                if alc_out and pres.cat == "concord":
+                    fq_dump(alc_out[0], rd1)
+                    fq_dump(alc_out[1], rd2)
                 if not (args.no_unal and both_unal):
                     w.write_pair(rd1, rd2, pres.m1, pres.m2, pres.cat,
                                  pres.tlen1, pres.tlen2)
@@ -279,6 +293,10 @@ def cmd_align(args):
     for f in (un_out, al_out):
         if f:
             f.close()
+    for pairf in (unc_out, alc_out):
+        if pairf:
+            pairf[0].close()
+            pairf[1].close()
     if out is not sys.stdout:
         out.close()
 
@@ -364,6 +382,8 @@ def main(argv=None):
     a.add_argument("-S", "--sam", default="-")
     a.add_argument("--un", default=None)
     a.add_argument("--al", default=None)
+    a.add_argument("--un-conc", default=None)
+    a.add_argument("--al-conc", default=None)
     a.add_argument("--no-unal", action="store_true")
     a.add_argument("--rg-id", default=None)
     a.add_argument("--rg", action="append", default=None)
@@ -373,6 +393,16 @@ def main(argv=None):
     a.add_argument("-t", "--time", action="store_true")
     a.add_argument("--met-stderr", action="store_true")
     a.add_argument("--reorder", action="store_true")  # always ordered
+    # accepted no-ops for surface compatibility (behavior already default
+    # or not applicable to the deterministic batched engine)
+    a.add_argument("--seed", type=int, default=0)
+    a.add_argument("--non-deterministic", action="store_true")
+    a.add_argument("--qc-filter", action="store_true")
+    a.add_argument("--no-1mm-upfront", action="store_true")
+    a.add_argument("--sam-no-qname-trunc", action="store_true")
+    a.add_argument("--omit-sec-seq", action="store_true")
+    a.add_argument("--mm", action="store_true")
+    a.add_argument("--qupto", type=int, default=None)
     a.add_argument("-p", "--threads", type=int, default=1)  # batching model
     a.add_argument("--batch", type=int, default=8192)
     # presets / policy
