@@ -34,14 +34,15 @@ def _pack_padded(codes: np.ndarray, total: int) -> np.ndarray:
 
 def _occ_checkpoints(bwt: np.ndarray, nblocks: int) -> np.ndarray:
     """[nblocks,4] counts of each char in bwt[0 : b*OCC_BLOCK) (dummy counted
-    as char 0; query-side adjusts for zoff)."""
+    as char 0; query-side adjusts for zoff). Vectorized: per-block counts by
+    reduceat, then an exclusive prefix sum (genome-scale builds)."""
+    padded = np.zeros(nblocks * OCC_BLOCK, dtype=np.int8)
+    padded[: len(bwt)] = bwt
+    starts = np.arange(nblocks, dtype=np.int64) * OCC_BLOCK
     cp = np.zeros((nblocks, 4), dtype=np.int64)
-    counts = np.zeros(4, dtype=np.int64)
-    nrows = len(bwt)
-    for b in range(nblocks):
-        cp[b] = counts
-        blk = bwt[b * OCC_BLOCK : min((b + 1) * OCC_BLOCK, nrows)]
-        counts = counts + np.bincount(blk, minlength=4)
+    for c in range(4):
+        per_block = np.add.reduceat((padded == c).astype(np.int64), starts)
+        cp[1:, c] = np.cumsum(per_block)[:-1]
     return cp
 
 

@@ -92,12 +92,13 @@ class FMIndex:
 class DeviceIndex:
     """Device-resident FM index (a jax pytree of arrays).
 
-    int32 row indices: genomes up to 2^31-1 joined bases (GRCh38-scale needs
-    the int64 variant, a later milestone mirroring the reference's .bt2l).
+    Row indices are int32 for genomes under 2^31-2 rows and int64 above
+    (the .bt2/.bt2l split, bt2_idx.cpp:29-37) — GRCh38-scale genomes use
+    the 64-bit path automatically.
     """
 
     blocks: object  # [nblocks, BLOCK_U32] uint32 interleaved block records
-    fchr: object  # [5] int32
+    fchr: object  # [5] row dtype (int32, or int64 for >2^31-row genomes)
     # big lookup tables are stored 8-wide: XLA's TPU scalar (1-elt) gather
     # is pathologically slow, a row gather + compare-select is fast
     ftab_top: object  # [4^k/8, 8] int32
@@ -111,8 +112,23 @@ class DeviceIndex:
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceIndex":
+        """Row indices are int32 up to 2^31-2 rows and int64 beyond (the
+        .bt2 vs .bt2l split, bt2_idx.cpp:29-37); block-internal occ/mark
+        checkpoints stay uint32 (valid to 2^32 rows — the same GRCh38-scale
+        envelope the reference's 64-bit build covers with wider sides)."""
+        import os
+
+        import jax
         import jax.numpy as jnp
 
+        assert fm.nrows < (1 << 32), "block checkpoints are uint32"
+        large = fm.nrows >= (1 << 31) - 2 or os.environ.get(
+            "BT2TPU_FORCE_LARGE"
+        ) == "1"
+        if large:
+            # int64 device arithmetic requires x64 (off by default in jax)
+            jax.config.update("jax_enable_x64", True)
+        rowdt = jnp.int64 if large else jnp.int32
         nblocks = fm.nblocks
         blocks = np.zeros((nblocks, BLOCK_U32), dtype=np.uint32)
         blocks[:, BLK_BWT : BLK_BWT + WORDS_PER_BLOCK] = fm.bwt_words.reshape(
@@ -124,21 +140,25 @@ class DeviceIndex:
         )
         blocks[:, BLK_MARKCP] = fm.mark_cp.astype(np.uint32)
 
+        import numpy as _np
+
+        npdt = _np.int64 if rowdt == jnp.int64 else _np.int32
+
         def wide8(a):
             n8 = (len(a) + 7) // 8 * 8
-            out = np.zeros(n8, np.int32)
+            out = _np.zeros(n8, npdt)
             out[: len(a)] = a
             return out.reshape(-1, 8)
 
         return cls(
             blocks=jnp.asarray(blocks),
-            fchr=jnp.asarray(fm.fchr, dtype=jnp.int32),
+            fchr=jnp.asarray(fm.fchr, dtype=rowdt),
             ftab_top=jnp.asarray(wide8(fm.ftab_top)),
             ftab_bot=jnp.asarray(wide8(fm.ftab_bot)),
             sa_sample=jnp.asarray(wide8(fm.sa_sample)),
             ref_words=jnp.asarray(fm.ref_words, dtype=jnp.uint32),
-            zoff=jnp.asarray(fm.zoff, dtype=jnp.int32),
-            nrows=jnp.asarray(fm.nrows, dtype=jnp.int32),
+            zoff=jnp.asarray(fm.zoff, dtype=rowdt),
+            nrows=jnp.asarray(fm.nrows, dtype=rowdt),
             ftab_k=fm.ftab_k,
             srate=fm.srate,
         )

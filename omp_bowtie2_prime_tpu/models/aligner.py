@@ -278,8 +278,9 @@ class TPUAligner:
         (first min(width, range_cap) SA rows; -1 = unresolved)."""
         o = self.opts
         S = len(seeds)
-        tops = np.zeros(S, np.int32)
-        bots = np.zeros(S, np.int32)
+        npdt = np.asarray(self.idx.fchr).dtype
+        tops = np.zeros(S, npdt)
+        bots = np.zeros(S, npdt)
         nchunks = (S + o.seed_batch - 1) // o.seed_batch
         chunk_starts = [None] * nchunks
         chunk_offs = [None] * nchunks

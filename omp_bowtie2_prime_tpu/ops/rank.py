@@ -82,20 +82,21 @@ def wide_lookup(table8, i):
 
 def _gather_block(idx, rows):
     """ONE gather of the interleaved block record. Returns (blk [B, BLOCK_U32]
-    uint32, k [B] in-block offset)."""
+    uint32, k [B] int32 in-block offset)."""
     b = rows // OCC_BLOCK
-    k = rows % OCC_BLOCK
+    k = (rows % OCC_BLOCK).astype(jnp.int32)
     return idx.blocks[b], k
 
 
 def _occ_from_block(blk, k, c, rows, zoff):
+    rowdt = rows.dtype
     words = blk[..., BLK_BWT : BLK_BWT + WORDS_PER_BLOCK]
     cp = _select_minor(
-        blk[..., BLK_OCC : BLK_OCC + 4].astype(jnp.int32), c, 4
+        blk[..., BLK_OCC : BLK_OCC + 4].astype(rowdt), c, 4
     )
     limits = _pair_limit_mask(_word_limits(k))
-    cnt = cp + _count_pairs_eq(words, c, limits)
-    adj = ((c == 0) & (rows > zoff)).astype(jnp.int32)
+    cnt = cp + _count_pairs_eq(words, c, limits).astype(rowdt)
+    adj = ((c == 0) & (rows > zoff)).astype(rowdt)
     return cnt - adj
 
 

@@ -40,11 +40,13 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
 
     has_n = jnp.any(seeds >= 4, axis=-1)
     alive = valid & ~has_n
+    rowdt = idx.fchr.dtype
 
     # ftab jump on the last k chars (backward search starts at seed end)
     q = pack_kmer(seeds[:, L - k :])
-    top = jnp.where(alive, rank.wide_lookup(idx.ftab_top, q), 0)
-    bot = jnp.where(alive, rank.wide_lookup(idx.ftab_bot, q), 0)
+    zero = jnp.zeros((), rowdt)
+    top = jnp.where(alive, rank.wide_lookup(idx.ftab_top, q), zero)
+    bot = jnp.where(alive, rank.wide_lookup(idx.ftab_bot, q), zero)
 
     def step(i, carry):
         top, bot = carry
@@ -61,7 +63,8 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
         top, bot = jax.lax.fori_loop(0, L - k, step, (top, bot))
     bot = jnp.maximum(top, bot)
     empty = ~alive
-    return jnp.where(empty, 0, top), jnp.where(empty, 0, bot)
+    zero = jnp.zeros((), top.dtype)
+    return jnp.where(empty, zero, top), jnp.where(empty, zero, bot)
 
 
 def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
@@ -80,19 +83,20 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
     from .walk import resolve_rows
 
     top, bot = search_seeds(idx, seeds, valid)
+    rowdt = top.dtype
     S = seeds.shape[0]
     width = jnp.minimum(bot - top, cap)
     rmax = S * expand
     starts = jnp.cumsum(width) - width
-    k = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    k = jnp.arange(cap, dtype=rowdt)[None, :]
     rows2d = top[:, None] + k
     live = k < width[:, None]
     slots = starts[:, None] + k
     slots = jnp.where(live & (slots < rmax), slots, rmax)  # rmax = dump slot
-    rows_flat = jnp.zeros(rmax + 1, jnp.int32).at[slots.reshape(-1)].set(
+    rows_flat = jnp.zeros(rmax + 1, rowdt).at[slots.reshape(-1)].set(
         rows2d.reshape(-1)
     )[:rmax]
     total = jnp.minimum(starts[-1] + width[-1], rmax)
-    rvalid = jnp.arange(rmax, dtype=jnp.int32) < total
+    rvalid = jnp.arange(rmax, dtype=rowdt) < total
     offs = resolve_rows(idx, rows_flat, rvalid)
     return top, bot, starts, offs

@@ -22,7 +22,7 @@ def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     rows: int32 [B]; valid: bool [B]. Returns int32 [B] joined offsets,
     -1 for invalid lanes.
     """
-    rows = rows.astype(jnp.int32)
+    rows = rows.astype(idx.fchr.dtype)
     B = rows.shape[0]
 
     def step(_, carry):
@@ -40,9 +40,9 @@ def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
 
     init = (
         rows,
-        jnp.zeros(B, jnp.int32),
+        jnp.zeros(B, rows.dtype),
         jnp.zeros(B, jnp.bool_),
-        jnp.full(B, -1, jnp.int32),
+        jnp.full(B, -1, rows.dtype),
     )
     _, _, done, off = jax.lax.fori_loop(0, idx.srate, step, init)
     return jnp.where(valid, off, -1)
