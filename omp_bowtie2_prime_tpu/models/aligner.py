@@ -174,6 +174,8 @@ class TPUAligner:
         use_pallas = _pl == "1" or (
             _pl != "0" and jax.default_backend() in ("tpu", "axon")
         )
+        if str(jnp.asarray(self.idx.fchr).dtype) == "int64":
+            use_pallas = False  # large-index path uses the XLA DP kernel
         self._sw_bt_xla = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
         if use_pallas:
             from ..ops.sw_pallas import sw_e2e_backtrace_pallas
