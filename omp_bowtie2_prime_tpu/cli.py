@@ -154,6 +154,7 @@ def cmd_align(args):
         seed_len=seed_len, ival=ival, nrounds=nrounds, dps=dps,
         nofw=args.nofw, norc=args.norc,
         khits=args.khits, allhits=args.allhits,
+        mapqv=args.mapqv,
     )
     aligner = TPUAligner(fm, sc, opts)
 
@@ -287,6 +288,10 @@ def cmd_align(args):
         # phase profile (MyTimer analog) + pipeline counters
         aligner.timers.report()
         aligner.metrics.report()
+    if args.met_file:
+        with open(args.met_file, "w") as mf:
+            mf.write(aligner.timers.render() + "\n")
+            mf.write(aligner.metrics.render() + "\n")
     if args.time:
         print(f"Time searching: {dt:.2f}s "
               f"({nreads/max(dt,1e-9):.1f} reads/s)", file=sys.stderr)
@@ -392,6 +397,8 @@ def main(argv=None):
     a.add_argument("--xeq", action="store_true")
     a.add_argument("-t", "--time", action="store_true")
     a.add_argument("--met-stderr", action="store_true")
+    a.add_argument("--met-file", default=None)
+    a.add_argument("--mapq-v", dest="mapqv", type=int, default=2)
     a.add_argument("--reorder", action="store_true")  # always ordered
     # accepted no-ops for surface compatibility (behavior already default
     # or not applicable to the deterministic batched engine)

@@ -30,7 +30,7 @@ import numpy as np
 from ..index.format import DeviceIndex, FMIndex
 from ..ops import seed_search, sw, walk
 from ..utils import dna
-from ..utils.mapq import mapq_v2_e2e
+from ..utils.mapq import mapq_v2_e2e, mapq_v3
 from ..utils.metrics import PhaseTimers, PipelineMetrics
 from ..utils.scoring import Scoring, SimpleFunc, SIMPLE_FUNC_SQRT
 from ..utils import cigar as cigar_util
@@ -55,6 +55,7 @@ class AlignOpts:
     norc: bool = False  # --norc: skip reverse-complement seeds
     khits: int = 1  # -k: report up to this many alignments
     allhits: bool = False  # -a: report all found alignments
+    mapqv: int = 2  # --mapq-v: 2 = BowtieMapq2 (default), 3 = V3 table
     # chunk shapes: sized so a full CLI read-batch needs only a few device
     # dispatches (per-call latency through remote-device tunnels dwarfs the
     # on-chip time of these kernels)
@@ -159,12 +160,9 @@ class TPUAligner:
         o = self.opts
         self.timers = PhaseTimers()
         self.metrics = PipelineMetrics()
-        self._search_fn = jax.jit(seed_search.search_seeds)
         self._search_resolve_fn = jax.jit(
             seed_search.search_resolve_seeds, static_argnums=(3, 4)
         )
-        self._resolve_fn = jax.jit(walk.resolve_rows)
-        self._sw_fn = jax.jit(sw.sw_e2e_batch, static_argnums=5)
         # The hand-written Pallas DP kernel (ops/sw_pallas.py) is the
         # default on TPU backends (output-identical to the XLA formulation,
         # slightly faster end to end); BT2TPU_PALLAS=0 opts out, =1 forces.
@@ -251,29 +249,6 @@ class TPUAligner:
 
     # ---------------- device phase helpers (padded chunking) ----------------
 
-    def _search(self, seeds: np.ndarray):
-        """Async-dispatched chunking: all device calls are enqueued before
-        any result is materialized (the latency-hiding analog of the fork's
-        interleaved lockstep batches, aligner_seed.h:1427-1431)."""
-        o = self.opts
-        S = len(seeds)
-        tops = np.zeros(S, np.int32)
-        bots = np.zeros(S, np.int32)
-        futs = []
-        for lo in range(0, S, o.seed_batch):
-            hi = min(lo + o.seed_batch, S)
-            chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int8)
-            chunk[: hi - lo] = seeds[lo:hi]
-            valid = np.zeros(o.seed_batch, bool)
-            valid[: hi - lo] = True
-            futs.append(
-                (lo, hi, _prefetch(*self._search_fn(self.idx, self._put(chunk), self._put(valid))))
-            )
-        for lo, hi, (t, b) in futs:
-            tops[lo:hi] = np.asarray(t)[: hi - lo]
-            bots[lo:hi] = np.asarray(b)[: hi - lo]
-        return tops, bots
-
     def _search_resolve(self, seeds: np.ndarray):
         """Chunked fused search+resolve. Returns (tops, bots, offs_of) where
         offs_of(si) -> np array of resolved joined offsets for seed si
@@ -334,24 +309,6 @@ class TPUAligner:
 
         return tops, bots, (glob_offs, glob_start, glob_end)
 
-    def _resolve(self, rows: np.ndarray):
-        o = self.opts
-        R = len(rows)
-        offs = np.full(R, -1, np.int32)
-        futs = []
-        for lo in range(0, R, o.row_batch):
-            hi = min(lo + o.row_batch, R)
-            chunk = np.zeros(o.row_batch, np.int32)
-            chunk[: hi - lo] = rows[lo:hi]
-            valid = np.zeros(o.row_batch, bool)
-            valid[: hi - lo] = True
-            futs.append(
-                (lo, hi, _prefetch(self._resolve_fn(self.idx, self._put(chunk), self._put(valid))))
-            )
-        for lo, hi, r in futs:
-            offs[lo:hi] = np.asarray(r)[: hi - lo]
-        return offs
-
     def _pack_dp_inputs(self, problems, L: int, C: int):
         """Vectorized DP problem assembly: gather oriented read rows from
         the per-batch matrices and reference windows from the 2-bit text in
@@ -395,33 +352,6 @@ class TPUAligner:
 
         return (pad(reads, 4), pad(pens, 0), pad(rdlens, 0),
                 pad(refs, 4), pad(wl, 0))
-
-    def _run_dp(self, problems, cols: int | None = None):
-        """problems: list of dicts with read(oriented codes), pens, window
-        (wstart, wlen). Returns per-problem (best, bestcol). `cols` widens
-        the device window (e.g. mate-rescue windows span up to maxins
-        reference chars; the seed-extend path uses the reference's 200-col
-        envelope)."""
-        o = self.opts
-        n = len(problems)
-        best = np.full(n, sw.NEG, np.int64)
-        bestcol = np.zeros(n, np.int32)
-        L, C = o.l_max, (cols or o.dp_cols)
-        packed = self._pack_dp_inputs(problems, L, C)
-        futs = []
-        for lo in range(0, n, o.dp_batch):
-            hi = min(lo + o.dp_batch, n)
-            reads, pens, rdlens, refs, wlens = self._dp_chunk(
-                packed, lo, hi, o.dp_batch
-            )
-            futs.append((lo, hi, _prefetch(*self._sw_fn(
-                self._put(reads), self._put(pens), self._put(rdlens),
-                self._put(refs), self._put(wlens), self.swp,
-            ))))
-        for lo, hi, (b, bc, _) in futs:
-            best[lo:hi] = np.asarray(b)[: hi - lo]
-            bestcol[lo:hi] = np.asarray(bc)[: hi - lo]
-        return best, bestcol
 
     def _run_dp_bt(self, problems, cols: int | None = None):
         """Batched DP with fused device backtrace walk: returns
@@ -820,7 +750,8 @@ class TPUAligner:
                 perfect = sc.match_bonus * len(reads[ri].seq)
                 # -k>1 / -a report modes don't compute a meaningful MAPQ
                 # (BowtieMapq2's !canMax short-circuit, unique.h:200-205)
-                mq = 255 if multi else mapq_v2_e2e(
+                mapq_fn = mapq_v3 if o.mapqv == 3 else mapq_v2_e2e
+                mq = 255 if multi else mapq_fn(
                     cand.score, secbest, int(minscs[ri]), perfect
                 )
                 res = AlnResult(
