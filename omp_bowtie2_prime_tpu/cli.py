@@ -260,14 +260,14 @@ def cmd_align(args):
                     if al_out:
                         fq_dump(al_out, rd)
                     w.write_aligned(
-                        rd, res.fw, fm.refmap.refnames[res.refid],
+                        rd, res.fw, w.refnames[res.refid],
                         res.refoff, res.mapq, w.cigar_str(res),
                         res.score, res.secbest, res.stats,
                         nhits_for_summary=res.nhits,
                     )
                     for ex in res.extra:
                         w.write_aligned(
-                            rd, ex.fw, fm.refmap.refnames[ex.refid],
+                            rd, ex.fw, w.refnames[ex.refid],
                             ex.refoff, ex.mapq, w.cigar_str(ex),
                             ex.score, ex.secbest, ex.stats, secondary=True,
                         )
