@@ -154,7 +154,7 @@ def cmd_align(args):
         seed_len=seed_len, ival=ival, nrounds=nrounds, dps=dps,
         nofw=args.nofw, norc=args.norc,
         khits=args.khits, allhits=args.allhits,
-        mapqv=args.mapqv,
+        mapqv=args.mapqv, maxhalf=args.dpad,
     )
     aligner = TPUAligner(fm, sc, opts)
 
@@ -431,6 +431,7 @@ def main(argv=None):
     a.add_argument("--score-min", default=None)
     a.add_argument("--n-ceil", default=None)
     a.add_argument("--ignore-quals", action="store_true")
+    a.add_argument("--dpad", type=int, default=15)
     a.add_argument("--nofw", action="store_true")
     a.add_argument("--norc", action="store_true")
     # reporting

@@ -46,8 +46,13 @@ class AlignOpts:
     range_cap: int = 16  # SA elements resolved per seed range
     max_elts_per_read: int = 400  # maxIters (bt2_search.cpp:411)
     max_dp_per_read: int = 300  # maxDp (bt2_search.cpp:413)
+    maxhalf: int = 15  # --dpad: gap clamp per DP side (bt2_search.cpp:408)
     l_max: int = 160  # ALN_MAX_ROWS (aligner_result.h:42)
-    c_strict: int = 200  # ALN_MAX_COLS (aligner_result.h:43): DP bail width
+    # DP window cap. The reference's is 200 (ALN_MAX_COLS, its fixed SSE
+    # buffer, aligner_result.h:43) which makes >138bp reads unalignable
+    # (rect = rdlen + 4*maxhalf + 2, dp_framer.cpp:94-101); ours is a
+    # compile shape, sized so every read up to l_max fits with full slack
+    c_strict: int = 224
     minsc_clamp: int = -254  # u8-only build clamp (bt2_search.cpp:2487-2491)
     nrounds: int = 2  # -R / ROUNDS re-seeding rounds (bt2_search.cpp:433)
     dps: int = 15  # -D / DPS extension fail-streak budget (presets.cpp)
@@ -63,7 +68,10 @@ class AlignOpts:
     row_batch: int = 32768
     resolve_expand: int = 2  # compaction slots per seed (retry wider on spill)
     dp_batch: int = 2048
-    dp_cols: int = 200  # device window capacity (cols)
+    dp_cols: int = 200  # device window capacity, short-read bucket (cols)
+    # widest window the Pallas SW kernel takes before its VMEM tile
+    # budget is exceeded (rescue windows beyond this use the XLA DP)
+    pallas_cols_cap: int = 256
 
 
 @dataclasses.dataclass
@@ -353,11 +361,13 @@ class TPUAligner:
         return (pad(reads, 4), pad(pens, 0), pad(rdlens, 0),
                 pad(refs, 4), pad(wl, 0))
 
-    def _run_dp_bt(self, problems, cols: int | None = None):
+    def _run_dp_bt(self, problems, cols: int | None = None,
+                   batch: int | None = None):
         """Batched DP with fused device backtrace walk: returns
         (best, bestcol, ops list, startcols) for every problem."""
         o = self.opts
         n = len(problems)
+        dp_batch = batch or o.dp_batch
         best = np.full(n, sw.NEG, np.int64)
         bestcol = np.zeros(n, np.int32)
         startcols = np.zeros(n, np.int32)
@@ -365,13 +375,14 @@ class TPUAligner:
         L, C = o.l_max, (cols or o.dp_cols)
         # wide windows (mate rescue) exceed the Pallas tile's VMEM budget;
         # the XLA formulation streams its carries and handles any width
-        bt_fn = self._sw_bt_fn if C <= o.dp_cols else self._sw_bt_xla
+        bt_fn = (self._sw_bt_fn if C <= o.pallas_cols_cap
+                 else self._sw_bt_xla)
         packed = self._pack_dp_inputs(problems, L, C)
         futs = []
-        for lo in range(0, n, o.dp_batch):
-            hi = min(lo + o.dp_batch, n)
+        for lo in range(0, n, dp_batch):
+            hi = min(lo + dp_batch, n)
             reads, pens, rdlens, refs, wlens = self._dp_chunk(
-                packed, lo, hi, o.dp_batch
+                packed, lo, hi, dp_batch
             )
             futs.append((lo, hi, _prefetch(*bt_fn(
                 self._put(reads), self._put(pens), self._put(rdlens),
@@ -481,17 +492,31 @@ class TPUAligner:
         _t_rank = self.timers.phase("rankAndFrame"); _t_rank.__enter__()
         widths = (bots - tops).astype(np.int64)
 
-        # per-read envelopes
+        # per-read envelopes: two window tiers.  The reference rect pads
+        # each side by 2 * min(gap budget, maxhalf) diagonals ("LHS gap +
+        # LHS extra", dp_framer.cpp:94-101).  We frame with the NARROW
+        # half of that (min(budget, maxhalf)) first and escalate only
+        # provably-affected problems to the full rect: any path leaving a
+        # +-mg_n window carries > mg_n gap chars of one type, costing at
+        # least const + (mg_n+1)*linear, so a problem whose narrow best
+        # beats that bound is bitwise-identical under the wide rect.
         lens_all = self._mat_lens.astype(np.int64)
-        mg_all = np.zeros(n, np.int64)
+        mgn_all = np.zeros(n, np.int64)  # narrow slack (first pass)
+        mgw_all = np.zeros(n, np.int64)  # full reference-rect slack
+        thr_all = np.full(n, np.iinfo(np.int64).min, np.int64)
         mg_cache = {}
+        gap_const = min(sc.rdg_const, sc.rfg_const)
+        gap_lin = min(sc.rdg_linear, sc.rfg_linear)
         for ri in active:
             key = (int(lens_all[ri]), int(minscs[ri]))
             if key not in mg_cache:
-                mg_cache[key] = sc.max_read_gaps(key[1], key[0])
-            mg_all[ri] = mg_cache[key]
+                mg_n = min(sc.max_read_gaps(key[1], key[0]), o.maxhalf)
+                mg_cache[key] = (
+                    mg_n, 2 * mg_n, -(gap_const + (mg_n + 1) * gap_lin)
+                )
+            mgn_all[ri], mgw_all[ri], thr_all[ri] = mg_cache[key]
         read_ok = (lens_all <= o.l_max) & (
-            lens_all + 2 * mg_all <= o.c_strict
+            lens_all + 2 * mgw_all <= o.c_strict
         )
 
         nz = np.flatnonzero((widths > 0) & read_ok[m_ri])
@@ -536,8 +561,8 @@ class TPUAligner:
                 keep = np.zeros(total, bool)
                 keep[first] = True
                 keep &= ok
-                # window framing + wlen filter
-                mg_e = mg_all[ri_e]
+                # window framing + wlen filter (narrow tier)
+                mg_e = mgn_all[ri_e]
                 ln_e = lens_all[ri_e]
                 wstart = np.maximum(0, cand - mg_e)
                 wend = np.minimum(self.fm.n, cand + ln_e + mg_e)
@@ -555,9 +580,10 @@ class TPUAligner:
                 wl_k = (wend - wstart)[kidx]
                 fw_k = fw_e[kidx]
                 ri_f = ri_e[kidx]
+                dg_k = cand[kidx]
                 problems = [
                     dict(src=int(srcs[t]), wstart=int(ws_k[t]),
-                         wlen=int(wl_k[t]))
+                         wlen=int(wl_k[t]), diag=int(dg_k[t]))
                     for t in range(len(kidx))
                 ]
                 prob_meta = list(zip(ri_f.tolist(), fw_k.tolist()))
@@ -574,9 +600,89 @@ class TPUAligner:
         if not problems:
             return empty
 
-        # P7 + P8a fused: batched DP with device backtrace walk
+        # P7 + P8a fused: batched DP with device backtrace walk; problems
+        # bucket by window width so the dominant short-read bucket keeps
+        # the narrow compile shape
         with self.timers.phase("extendDP"):
-            best, bestcol, ops, startcols = self._run_dp_bt(problems)
+            wide_i = [i for i, pr in enumerate(problems)
+                      if pr["wlen"] > o.dp_cols]
+            if not wide_i:
+                best, bestcol, ops, startcols = self._run_dp_bt(problems)
+            else:
+                wide_set = set(wide_i)
+                narrow_i = [i for i in range(len(problems))
+                            if i not in wide_set]
+                n_all = len(problems)
+                best = np.full(n_all, sw.NEG, np.int64)
+                bestcol = np.zeros(n_all, np.int32)
+                startcols = np.zeros(n_all, np.int32)
+                ops = [None] * n_all
+                for idxs, cols in (
+                    (narrow_i, None),
+                    (wide_i, ((max(problems[i]["wlen"] for i in wide_i)
+                               + 31) // 32) * 32),
+                ):
+                    if not idxs:
+                        continue
+                    b, bc, op, stc = self._run_dp_bt(
+                        [problems[i] for i in idxs], cols=cols,
+                        batch=None if cols is None else 512,
+                    )
+                    for t, i in enumerate(idxs):
+                        best[i] = b[t]
+                        bestcol[i] = bc[t]
+                        startcols[i] = stc[t]
+                        ops[i] = op[t]
+
+        # fork-reach escalation: rerun with the full reference rect only
+        # the problems it could provably change — narrow best at/below the
+        # window-exit gap cost, or (in -k/-a enumeration) a minsc that
+        # admits such paths.  Replaced results are bitwise what an
+        # always-wide first pass would have produced.
+        multi = o.allhits or o.khits > 1
+        ri_arr = np.fromiter(
+            (m[0] for m in prob_meta), np.int64, len(prob_meta)
+        )
+        thr_p = thr_all[ri_arr]
+        esc = np.flatnonzero(
+            (mgw_all[ri_arr] > mgn_all[ri_arr])
+            & (thr_p >= minscs[ri_arr])
+            & ((best <= thr_p) | multi)
+        )
+        if len(esc):
+            wide_probs = []
+            for i in esc:
+                pr = problems[i]
+                mg_w = int(mgw_all[ri_arr[i]])
+                ws = max(0, pr["diag"] - mg_w)
+                we = min(
+                    self.fm.n,
+                    pr["diag"] + int(lens_all[ri_arr[i]]) + mg_w,
+                )
+                wide_probs.append(dict(src=pr["src"], wstart=ws,
+                                       wlen=int(we - ws), diag=pr["diag"]))
+            wmax = max(pr["wlen"] for pr in wide_probs)
+            wcols = None if wmax <= o.dp_cols else ((wmax + 31) // 32) * 32
+            # escalations are rare: pad to the Pallas batch tile (256),
+            # not the full dp_batch, so the extra dispatch stays ~free
+            wbatch = min(512, max(256, 1 << (len(wide_probs) - 1).bit_length()))
+            self.metrics.add(
+                dps_wide=len(wide_probs),
+                dp_cells=sum(
+                    int(self._mat_lens[pr["src"] // 2]) * pr["wlen"]
+                    for pr in wide_probs
+                ),
+            )
+            with self.timers.phase("extendDPWide"):
+                b, bc, op, stc = self._run_dp_bt(
+                    wide_probs, cols=wcols, batch=wbatch
+                )
+            for t, i in enumerate(esc):
+                problems[i] = wide_probs[t]
+                best[i] = b[t]
+                bestcol[i] = bc[t]
+                startcols[i] = stc[t]
+                ops[i] = op[t]
 
         # collect valid-scoring candidates, deduped by (fw, end column)
         cands = [{} for _ in range(n)]
@@ -633,7 +739,8 @@ class TPUAligner:
         futs = []
         for W, group in by_w.items():
             B = min(o.dp_batch, 1024)
-            bt_fn = self._sw_bt_fn if W <= o.dp_cols else self._sw_bt_xla
+            bt_fn = (self._sw_bt_fn if W <= o.pallas_cols_cap
+                     else self._sw_bt_xla)
             for lo in range(0, len(group), B):
                 chunk = group[lo : lo + B]
                 packed = self._pack_dp_inputs([c.problem for c in chunk], L, W)
@@ -656,7 +763,12 @@ class TPUAligner:
         from ..native import finish_batch
 
         n = len(cands)
-        ops_mat = np.stack([c.ops_row for c in cands])
+        # ops rows from different window buckets differ in length (L+C);
+        # zero-pad to the longest (0 = end-of-ops, so padding is inert)
+        maxlen = max(len(c.ops_row) for c in cands)
+        ops_mat = np.zeros((n, maxlen), np.uint8)
+        for i, c in enumerate(cands):
+            ops_mat[i, : len(c.ops_row)] = c.ops_row
         start_cols = np.fromiter((c.start_col for c in cands), np.int32, n)
         wstarts = np.fromiter((c.problem["wstart"] for c in cands), np.int64, n)
         srcs = np.fromiter((c.problem["src"] for c in cands), np.int64, n)
