@@ -155,6 +155,7 @@ def cmd_align(args):
         nofw=args.nofw, norc=args.norc,
         khits=args.khits, allhits=args.allhits,
         mapqv=args.mapqv, maxhalf=args.dpad,
+        seed_boost=args.seed_boost,
     )
     aligner = TPUAligner(fm, sc, opts)
 
@@ -424,6 +425,7 @@ def main(argv=None):
     a.add_argument("-N", type=int, default=0)
     a.add_argument("-D", "--dps", type=int, default=None)
     a.add_argument("-R", "--reseed", type=int, default=None)
+    a.add_argument("--seed-boost", type=int, default=300)
     a.add_argument("--mp", default=None)
     a.add_argument("--np", type=int, default=1)
     a.add_argument("--rdg", default=None)

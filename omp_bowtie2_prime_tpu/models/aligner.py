@@ -56,6 +56,10 @@ class AlignOpts:
     minsc_clamp: int = -254  # u8-only build clamp (bt2_search.cpp:2487-2491)
     nrounds: int = 2  # -R / ROUNDS re-seeding rounds (bt2_search.cpp:433)
     dps: int = 15  # -D / DPS extension fail-streak budget (presets.cpp)
+    # --seed-boost: a read re-seeds (next round) only if it had no seed
+    # hits at all or averaged >= this many SA elements per nonzero seed
+    # (averageHitsPerSeed, aligner_seed.h:802-807; gate bt2_search.cpp:2792)
+    seed_boost: int = 300
     nofw: bool = False  # --nofw: skip forward-orientation seeds
     norc: bool = False  # --norc: skip reverse-complement seeds
     khits: int = 1  # -k: report up to this many alignments
@@ -420,6 +424,16 @@ class TPUAligner:
             with self.timers.phase("finishRead"):
                 self._finalize_unpaired(reads, minscs, cands, results)
             active = [ri for ri in active if results[ri].status != "aligned"]
+            # --seed-boost gate (bt2_search.cpp:2792): only reads with no
+            # seed hits at all (averageHitsPerSeed = MAX) or a repetitive
+            # hit profile re-seed at the next round's offsets
+            sb = self.opts.seed_boost
+            if sb > 0:
+                active = [
+                    ri for ri in active
+                    if self._hit_nonz[ri] == 0
+                    or self._hit_elts[ri] // self._hit_nonz[ri] >= sb
+                ]
         return results
 
     def build_read_matrices(self, reads) -> None:
@@ -470,6 +484,9 @@ class TPUAligner:
         n = len(reads)
 
         empty = [{} for _ in range(n)]
+        # zero-hit reads count as averageHitsPerSeed = MAX (always re-seed)
+        self._hit_nonz = np.zeros(n, np.int64)
+        self._hit_elts = np.zeros(n, np.int64)
 
         # P2 + P4/P6 fused: seeds, search and SA resolution in one dispatch
         with self.timers.phase("instantiateSeeds"):
@@ -491,6 +508,14 @@ class TPUAligner:
         # clamped (frameSeedExtensionRect, dp_framer.cpp:81).
         _t_rank = self.timers.phase("rankAndFrame"); _t_rank.__enter__()
         widths = (bots - tops).astype(np.int64)
+
+        # per-read seed-hit stats for the --seed-boost re-seed gate
+        # (numElts_/nonzTot_, aligner_seed.h:802-807)
+        nzm = widths > 0
+        self._hit_nonz = np.bincount(m_ri[nzm], minlength=n)
+        self._hit_elts = np.bincount(
+            m_ri[nzm], weights=widths[nzm], minlength=n
+        ).astype(np.int64)
 
         # per-read envelopes: two window tiers.  The reference rect pads
         # each side by 2 * min(gap budget, maxhalf) diagonals ("LHS gap +
@@ -684,10 +709,33 @@ class TPUAligner:
                 startcols[i] = stc[t]
                 ops[i] = op[t]
 
+        # -D fail streak (maxDpStreak, bt2_search.cpp:417 + streak budget
+        # grows 10 per extra -k, :2208): after this many consecutive
+        # failed extensions the read's remaining problems are abandoned
+        # (EXTEND_EXCEEDED_SOFT_LIMIT, aligner_sw_driver.cpp:512-514).
+        # Post-hoc here: the DP already ran batched, but candidates past
+        # the stop point are discarded exactly as the reference's would
+        # never have been computed.
+        dropped = np.zeros(len(problems), bool)
+        streak_lim = o.dps + (o.khits - 1) * 10
+        if o.dps > 0:
+            cur_ri, fails, stopped = -1, 0, False
+            for pi, (ri, fw) in enumerate(prob_meta):
+                if ri != cur_ri:
+                    cur_ri, fails, stopped = ri, 0, False
+                if stopped:
+                    dropped[pi] = True
+                elif best[pi] < minscs[ri]:
+                    fails += 1
+                    if fails >= streak_lim:
+                        stopped = True
+                else:
+                    fails = 0
+
         # collect valid-scoring candidates, deduped by (fw, end column)
         cands = [{} for _ in range(n)]
         for pi, ((ri, fw), b, bc) in enumerate(zip(prob_meta, best, bestcol)):
-            if b < minscs[ri]:
+            if b < minscs[ri] or dropped[pi]:
                 continue
             endj = problems[pi]["wstart"] + int(bc)
             key = (fw, endj)

@@ -195,6 +195,17 @@ class PairedAligner:
             unresolved = self._concordance_pass(
                 pairs, unresolved, acc, best_pair, secbest_csc
             )
+            # --seed-boost gate (bt2_search.cpp:2792), per mate: the pair
+            # re-seeds only if some mate had no hits or a repetitive
+            # (averageHitsPerSeed >= thresh) profile
+            sb = self.al.opts.seed_boost
+            if sb > 0:
+                hn, he = al._hit_nonz, al._hit_elts
+                unresolved = [
+                    pi for pi in unresolved
+                    if any(hn[i] == 0 or he[i] // hn[i] >= sb
+                           for i in (2 * pi, 2 * pi + 1))
+                ]
 
         # batched mate rescue for pairs without a concordant combo
         if unresolved:
