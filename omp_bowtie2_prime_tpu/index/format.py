@@ -109,6 +109,10 @@ class DeviceIndex:
     nrows: object  # [] int32
     ftab_k: int = struct.field(pytree_node=False, default=10)
     srate: int = struct.field(pytree_node=False, default=16)
+    # tensor-parallel descriptor (axis_name, nblocks_local, nsa_local),
+    # set by parallel/tp_index.shard_index when blocks/sa_sample are
+    # sharded row-wise across a mesh axis; None = replicated index
+    tp: object = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def from_host(cls, fm: FMIndex) -> "DeviceIndex":

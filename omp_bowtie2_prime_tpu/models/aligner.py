@@ -172,9 +172,28 @@ class TPUAligner:
         o = self.opts
         self.timers = PhaseTimers()
         self.metrics = PipelineMetrics()
-        self._search_resolve_fn = jax.jit(
-            seed_search.search_resolve_seeds, static_argnums=(3, 4)
-        )
+        if self.placer is not None and self.placer.model_axis is not None:
+            # tensor-parallel index: seed search runs under shard_map so
+            # each rank/walk gather recombines the owner device's block
+            # record over ICI (parallel/tp_index.py)
+            from ..parallel.tp_index import tp_search_resolve_fn
+
+            _tp_fns: dict = {}
+
+            def _srf(idx, seeds, valid, cap, expand):
+                key = (cap, expand)
+                if key not in _tp_fns:
+                    _tp_fns[key] = tp_search_resolve_fn(
+                        idx, self.placer.mesh, cap, expand,
+                        self.placer.model_axis,
+                    )
+                return _tp_fns[key](idx, seeds, valid)
+
+            self._search_resolve_fn = _srf
+        else:
+            self._search_resolve_fn = jax.jit(
+                seed_search.search_resolve_seeds, static_argnums=(3, 4)
+            )
         # The hand-written Pallas DP kernel (ops/sw_pallas.py) is the
         # default on TPU backends (output-identical to the XLA formulation,
         # slightly faster end to end); BT2TPU_PALLAS=0 opts out, =1 forces.

@@ -82,10 +82,42 @@ def wide_lookup(table8, i):
 
 def _gather_block(idx, rows):
     """ONE gather of the interleaved block record. Returns (blk [B, BLOCK_U32]
-    uint32, k [B] int32 in-block offset)."""
+    uint32, k [B] int32 in-block offset).
+
+    Tensor-parallel path (idx.tp set, inside shard_map): each device holds
+    a contiguous 1/D slice of the block records (parallel/tp_index.py);
+    the owner gathers locally and one psum of the 68-byte record
+    reconstructs it on every device — the ICI analog of the reference's
+    shared-memory index (--mm/--shmem, SURVEY §2.4), except the index
+    exceeds ONE device's memory rather than one host's."""
     b = rows // OCC_BLOCK
     k = (rows % OCC_BLOCK).astype(jnp.int32)
-    return idx.blocks[b], k
+    if idx.tp is None:
+        return idx.blocks[b], k
+    ax, nblk_loc, _ = idx.tp
+    base = jax.lax.axis_index(ax).astype(b.dtype) * nblk_loc
+    lb = b - base
+    mine = (lb >= 0) & (lb < nblk_loc)
+    blk = idx.blocks[jnp.where(mine, lb, 0)]
+    blk = jnp.where(mine[..., None], blk, jnp.uint32(0))
+    return jax.lax.psum(blk, ax), k
+
+
+def sa_lookup(idx, r):
+    """idx.sa_sample[r] (wide8 layout), tensor-parallel aware: the SA
+    sample is the other large index array, sharded row-wise with the
+    same owner-gather + psum recombination."""
+    if idx.tp is None:
+        return wide_lookup(idx.sa_sample, r)
+    ax, _, nsa_loc = idx.tp
+    row = r // 8
+    base = jax.lax.axis_index(ax).astype(row.dtype) * nsa_loc
+    lrow = row - base
+    mine = (lrow >= 0) & (lrow < nsa_loc)
+    rec = idx.sa_sample[jnp.where(mine, lrow, 0)]
+    rec = jnp.where(mine[..., None], rec, 0)
+    rec = jax.lax.psum(rec, ax)
+    return _select_minor(rec, r % 8, 8)
 
 
 def _occ_from_block(blk, k, c, rows, zoff):

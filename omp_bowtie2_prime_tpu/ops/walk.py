@@ -30,7 +30,7 @@ def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         # fused mark-test + LF from one block gather (rank.walk_step)
         marked, r, nrow = rank.walk_step(idx, row)
         hit = marked & ~done & valid
-        off = jnp.where(hit, rank.wide_lookup(idx.sa_sample, r) + steps, off)
+        off = jnp.where(hit, rank.sa_lookup(idx, r) + steps, off)
         done = done | hit
         # step left where not yet done (safe: zoff is marked, so lf_row
         # is never evaluated "through" the sentinel for live lanes)

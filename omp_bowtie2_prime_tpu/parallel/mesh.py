@@ -28,16 +28,29 @@ def make_mesh(n_devices: int | None = None) -> Mesh:
 
 
 class MeshPlacer:
-    """Places phase inputs for SPMD data parallelism: batch-leading arrays
-    shard over 'data', the index pytree replicates (placed once)."""
+    """Places phase inputs for SPMD parallelism: batch-leading arrays
+    shard over 'data' (when present), the index replicates — or, when the
+    mesh has a 'model' axis, shards row-wise across it (tensor-parallel
+    index, parallel/tp_index.py) for genomes past one device's HBM."""
 
     def __init__(self, mesh: Mesh):
         self.mesh = mesh
-        self.batched = NamedSharding(mesh, P("data"))
+        names = mesh.axis_names
+        self.data_axis = "data" if "data" in names else None
+        self.model_axis = (
+            "model" if "model" in names and mesh.shape["model"] > 1 else None
+        )
+        self.batched = NamedSharding(
+            mesh, P(self.data_axis) if self.data_axis else P()
+        )
         self.repl = NamedSharding(mesh, P())
         self.ndev = mesh.devices.size
 
     def put_index(self, idx):
+        if self.model_axis is not None:
+            from .tp_index import shard_index
+
+            return shard_index(idx, self.mesh, self.model_axis)
         return jax.tree.map(lambda a: jax.device_put(a, self.repl), idx)
 
     def put_batch(self, a):
