@@ -348,8 +348,8 @@ class TPUAligner:
         src = np.fromiter((p["src"] for p in problems), np.int64, n)
         ws = np.fromiter((p["wstart"] for p in problems), np.int64, n)
         wl = np.fromiter((p["wlen"] for p in problems), np.int32, n)
-        reads = self._mat_reads[src]
-        pens = self._mat_pens[src]
+        reads = self._mat_reads[src, :L]
+        pens = self._mat_pens[src, :L]
         rdlens = self._mat_lens[src // 2]
         # window gather as a strided row view (a 2-D fancy index over the
         # whole text is ~20x slower)
@@ -385,7 +385,7 @@ class TPUAligner:
                 pad(refs, 4), pad(wl, 0))
 
     def _run_dp_bt(self, problems, cols: int | None = None,
-                   batch: int | None = None):
+                   batch: int | None = None, lmax: int | None = None):
         """Batched DP with fused device backtrace walk: returns
         (best, bestcol, ops list, startcols) for every problem."""
         o = self.opts
@@ -395,7 +395,7 @@ class TPUAligner:
         bestcol = np.zeros(n, np.int32)
         startcols = np.zeros(n, np.int32)
         all_ops: list = [None] * n
-        L, C = o.l_max, (cols or o.dp_cols)
+        L, C = (lmax or o.l_max), (cols or o.dp_cols)
         # wide windows (mate rescue) exceed the Pallas tile's VMEM budget;
         # the XLA formulation streams its carries and handles any width
         bt_fn = (self._sw_bt_fn if C <= o.pallas_cols_cap
@@ -644,9 +644,12 @@ class TPUAligner:
         if not problems:
             return empty
 
-        # P7 + P8a fused: batched DP with device backtrace walk; problems
-        # bucket by window width so the dominant short-read bucket keeps
-        # the narrow compile shape
+        # P7 + P8a fused: batched DP with device backtrace walk; ONE
+        # compile shape (l_max x dp_cols) for the dominant bucket.
+        # Splitting into read-length classes was tried and REVERTED: the
+        # small-shape Pallas kernel runs ~4x worse per cell and the extra
+        # per-bucket dispatches serialize, costing far more than the
+        # padding they save (measured 0.24s -> 0.64s on lambda 10K).
         with self.timers.phase("extendDP"):
             wide_i = [i for i, pr in enumerate(problems)
                       if pr["wlen"] > o.dp_cols]
