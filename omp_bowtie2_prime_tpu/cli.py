@@ -55,8 +55,10 @@ def cmd_build(args):
         names, seqs = parse_fasta(args.fasta)
         joined, refmap = join_references(names, seqs)
         base = args.out[:-4] if args.out.endswith(".npz") else args.out
-        save_bt2(joined, refmap, base)
-        print(f"wrote {base}.[1234].bt2 + .rev.[12].bt2 "
+        large = args.large_index or len(joined) >= (1 << 32) - 1
+        save_bt2(joined, refmap, base, large=large)
+        ext = "bt2l" if large else "bt2"
+        print(f"wrote {base}.[1234].{ext} + .rev.[12].{ext} "
               f"({len(joined)} bases) in {time.time()-t0:.1f}s",
               file=sys.stderr)
         return
@@ -355,6 +357,8 @@ def main(argv=None):
     b.add_argument("out")
     b.add_argument("--ftab-chars", type=int, default=10)
     b.add_argument("--sa-rate", type=int, default=8)
+    b.add_argument("--large-index", action="store_true",
+                   help="force the 64-bit .bt2l format (bt2_idx.cpp:29-37)")
     b.add_argument("--bt2", action="store_true",
                    help="write a bowtie2-compatible .bt2 index set")
     b.set_defaults(fn=cmd_build)

@@ -53,27 +53,39 @@ def _bt2_sa(text: np.ndarray) -> np.ndarray:
     return sa[1:].astype(np.int64)
 
 
-def save_bt2(text: np.ndarray, refmap, basename: str, line_rate: int = 6,
-             off_rate: int = 4, ftab_chars: int = 10) -> None:
-    """Write a complete small .bt2 index set (.1/.2/.3/.4 + .rev.1/.rev.2)
-    consumable by bowtie2 itself — the writeFromMemory/buildToDisk analog
-    (bt2_idx.h:1771, 2922-3290; side layout bt2_idx.h:160-166; ftab/eftab
-    construction bt2_idx.h:3064-3098, 3217-3262; .3/.4 reference files
-    reference.cpp:594-640, RefRecord layout ref_read.h:79-101)."""
+def save_bt2(text: np.ndarray, refmap, basename: str,
+             line_rate: int | None = None,
+             off_rate: int = 4, ftab_chars: int = 10,
+             large: bool = False) -> None:
+    """Write a complete .bt2 (small) or .bt2l (large, 64-bit TIndexOffU —
+    the --large-index / >4Gbp format, bt2_idx.cpp:29-37) index set
+    (.1/.2/.3/.4 + .rev.1/.rev.2) consumable by bowtie2 itself — the
+    writeFromMemory/buildToDisk analog (bt2_idx.h:1771, 2922-3290; side
+    layout bt2_idx.h:160-166: large sides hold 32 BWT bytes + 4 u64 occ
+    vs 48 + 4 u32; ftab/eftab construction bt2_idx.h:3064-3098,
+    3217-3262; .3/.4 reference files reference.cpp:594-640, RefRecord
+    layout ref_read.h:79-101)."""
     text = np.asarray(text, np.int8)
     n = len(text)
-    # .3: RefRecords (off-from-previous-stretch-end, len, first)
-    with open(basename + ".3.bt2", "wb") as f3:
-        f3.write(struct.pack("<II", 1, len(refmap.frag_joined)))
+    if line_rate is None:
+        line_rate = 7 if large else 6  # 128-byte sides for .bt2l
+    ext = ".bt2l" if large else ".bt2"
+    u3 = "<QQB" if large else "<IIB"
+    # .3: RefRecords (off-from-previous-stretch-end, len, first); the
+    # record count is TIndexOffU-wide (u64 in .bt2l)
+    with open(basename + ".3" + ext, "wb") as f3:
+        f3.write(struct.pack("<I", 1))
+        f3.write(struct.pack("<Q" if large else "<I",
+                             len(refmap.frag_joined)))
         prev_end = {}
         for i in range(len(refmap.frag_joined)):
             rid = int(refmap.frag_refid[i])
             first = rid not in prev_end
             gap = int(refmap.frag_ref[i]) - prev_end.get(rid, 0)
-            f3.write(struct.pack("<IIB", gap, int(refmap.frag_len[i]), first))
+            f3.write(struct.pack(u3, gap, int(refmap.frag_len[i]), first))
             prev_end[rid] = int(refmap.frag_ref[i] + refmap.frag_len[i])
     # .4: 2-bit packed joined text (LSB-first pairs, bitpack.h:30-39)
-    with open(basename + ".4.bt2", "wb") as f4:
+    with open(basename + ".4" + ext, "wb") as f4:
         nbytes = (n + 3) // 4
         padded = np.zeros(nbytes * 4, np.uint8)
         padded[:n] = text
@@ -82,17 +94,20 @@ def save_bt2(text: np.ndarray, refmap, basename: str, line_rate: int = 6,
         f4.write(b.astype(np.uint8).tobytes())
 
     # forward + entire-reverse mirrors (bt2_build.cpp:662-696)
-    _write_bt2_pair(text, refmap, basename + ".1.bt2", basename + ".2.bt2",
-                    line_rate, off_rate, ftab_chars, flags=-1)
+    _write_bt2_pair(text, refmap, basename + ".1" + ext,
+                    basename + ".2" + ext,
+                    line_rate, off_rate, ftab_chars, flags=-1, large=large)
     rev = text[::-1].copy()
-    _write_bt2_pair(rev, refmap, basename + ".rev.1.bt2",
-                    basename + ".rev.2.bt2", line_rate, off_rate,
-                    ftab_chars, flags=-5, reverse=True)
+    _write_bt2_pair(rev, refmap, basename + ".rev.1" + ext,
+                    basename + ".rev.2" + ext, line_rate, off_rate,
+                    ftab_chars, flags=-5, reverse=True, large=large)
 
 
 def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
-                    flags, reverse=False):
+                    flags, reverse=False, large=False):
     n = len(text)
+    off_size = 8 if large else 4
+    occ_t = np.uint64 if large else np.uint32
     sa = _bt2_sa(text)
     bwt = np.where(sa > 0, text[np.maximum(sa - 1, 0)], 0).astype(np.uint8)
     zoff = int(np.flatnonzero(sa == 0)[0])
@@ -104,7 +119,7 @@ def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
     # sides: sideBwtSz packed bytes + 4 occ-at-side-start counts
     # (excluding the $-as-A at zoff; bt2_idx.h:1819-1846, 3150-3176)
     side_sz = 1 << line_rate
-    side_bwt = side_sz - 16
+    side_bwt = side_sz - 4 * off_size
     bwt_sz = n // 4 + 1  # eh._bwtSz (bt2_idx.h:146)
     num_sides = (bwt_sz + side_bwt - 1) // side_bwt
     packed = np.zeros(num_sides * side_bwt, np.uint8)
@@ -121,7 +136,7 @@ def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
         col[: n + 1] = (bwt == c) & occ_mask
         per_row[c] = np.cumsum(col) - col  # counts BEFORE each row
     side_starts = np.arange(num_sides) * side_bwt * 4
-    occ_sides = per_row[:, side_starts].T.astype(np.uint32)  # [sides, 4]
+    occ_sides = per_row[:, side_starts].T.astype(occ_t)  # [sides, 4]
 
     # ftab/eftab (buildToDisk semantics, bt2_idx.h:3064-3098, 3217-3262)
     k = ftab_chars
@@ -146,14 +161,15 @@ def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
     lo = hi - absorb
     ftab = lo.astype(np.uint64)
     eftab = np.zeros(2 * k, np.uint64)
+    xor_all = np.uint64(0xFFFFFFFFFFFFFFFF if large else 0xFFFFFFFF)
     ecur = 0
     for i in np.flatnonzero(absorb > 0):
         eftab[2 * ecur] = lo[i]
         eftab[2 * ecur + 1] = lo[i] + absorb[i]
-        ftab[i] = np.uint64(ecur) ^ np.uint64(0xFFFFFFFF)
+        ftab[i] = np.uint64(ecur) ^ xor_all
         ecur += 1
 
-    u = "<I"  # small index: 32-bit TIndexOffU
+    u = "<Q" if large else "<I"  # TIndexOffU width (bt2_idx.cpp:29-37)
     with open(p1, "wb") as f:
         f.write(struct.pack("<I", 1))
         f.write(struct.pack(u, n))
@@ -165,6 +181,7 @@ def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
         # for the entire-reverse mirror
         nfrag = len(refmap.frag_joined)
         f.write(struct.pack(u, nfrag))
+        trip_fmt = "<QQQ" if large else "<III"
         for i in (range(nfrag) if not reverse else range(nfrag - 1, -1, -1)):
             if not reverse:
                 trip = (int(refmap.frag_joined[i]), int(refmap.frag_refid[i]),
@@ -176,25 +193,27 @@ def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
                     refmap.frag_ref[i] + refmap.frag_len[i]
                 )
                 trip = (j_start, rid, max(r_start, 0))
-            f.write(struct.pack("<III", *trip))
+            f.write(struct.pack(trip_fmt, *trip))
         # sides
         side_buf = np.zeros(num_sides * side_sz, np.uint8)
         sv = side_buf.reshape(num_sides, side_sz)
         sv[:, :side_bwt] = packed.reshape(num_sides, side_bwt)
-        sv[:, side_bwt:] = occ_sides.view(np.uint8).reshape(num_sides, 16)
+        sv[:, side_bwt:] = occ_sides.view(np.uint8).reshape(
+            num_sides, 4 * off_size
+        )
         f.write(side_buf.tobytes())
         f.write(struct.pack(u, zoff))
         for c in range(5):
             f.write(struct.pack(u, int(fchr[c])))
-        f.write(ftab.astype(np.uint32).tobytes())
-        f.write(eftab.astype(np.uint32).tobytes())
+        f.write(ftab.astype(occ_t).tobytes())
+        f.write(eftab.astype(occ_t).tobytes())
         f.write("".join(nm + "\n" for nm in refmap.refnames).encode() + b"\x00")
 
     # .2: offs — SA samples at rows si % 2^off_rate == 0
     with open(p2, "wb") as f:
         f.write(struct.pack("<I", 1))
         step = 1 << off_rate
-        f.write(sa[::step].astype(np.uint32).tobytes())
+        f.write(sa[::step].astype(occ_t).tobytes())
 
 
 def _read_header(f, off_t):

@@ -121,3 +121,45 @@ def test_bt2_write_read_roundtrip(tmp_path):
     np.testing.assert_array_equal(rec, joined)
     np.testing.assert_array_equal(fm.refmap.frag_len, refmap.frag_len)
     np.testing.assert_array_equal(fm.refmap.frag_ref, refmap.frag_ref)
+
+
+def test_bt2l_write_read_roundtrip(tmp_path):
+    """Large-index (.bt2l, 64-bit TIndexOffU, 128-byte sides with 4 u64
+    occ checkpoints — bt2_idx.cpp:29-37) write -> read round-trip; the
+    byte-level fidelity vs bowtie2-build-l is validated separately
+    (DIFFERENTIAL.md: all six lambda files identical)."""
+    from omp_bowtie2_prime_tpu.index.bt2io import load_bt2_index, save_bt2
+    from omp_bowtie2_prime_tpu.index.fasta import join_references
+
+    rng = np.random.default_rng(78)
+    seq1 = rng.integers(0, 4, 3000).astype(np.int8)
+    seq2 = rng.integers(0, 4, 2000).astype(np.int8)
+    seq2[700:730] = 4  # N gap -> two fragments
+    joined, refmap = join_references(["chrA", "chrB"], [seq1, seq2])
+    save_bt2(joined, refmap, str(tmp_path / "wl"), large=True)
+    import os
+    assert os.path.exists(tmp_path / "wl.1.bt2l")
+    assert not os.path.exists(tmp_path / "wl.1.bt2")
+    fm = load_bt2_index(str(tmp_path / "wl"))
+    assert fm.n == len(joined)
+    rec = dna.unpack_2bit(fm.ref_words, fm.n)
+    np.testing.assert_array_equal(rec, joined)
+    np.testing.assert_array_equal(fm.refmap.frag_len, refmap.frag_len)
+
+    # small and large encode the same index: identical device behavior
+    from omp_bowtie2_prime_tpu.models.aligner import TPUAligner
+    from omp_bowtie2_prime_tpu.io.fastq import Read
+
+    save_bt2(joined, refmap, str(tmp_path / "ws"))
+    fm_s = load_bt2_index(str(tmp_path / "ws"))
+    reads = []
+    for i in range(16):
+        p = int(rng.integers(0, 2900))
+        reads.append(Read(0, f"r{i}", seq1[p : p + 80].copy(),
+                          np.full(80, 40, np.uint8)))
+    ra = TPUAligner(fm).align_batch(reads)
+    rb = TPUAligner(fm_s).align_batch(reads)
+    for a, b in zip(ra, rb):
+        assert (a.status, a.refid, a.refoff, a.score) == (
+            b.status, b.refid, b.refoff, b.score
+        )
