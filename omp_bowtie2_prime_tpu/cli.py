@@ -335,8 +335,9 @@ def cmd_inspect(args):
                 seq[r : r + l] = text[s : s + l]
             print(f">{name}")
             s = dna.decode(seq)
-            for i in range(0, len(s), 60):
-                print(s[i : i + 60])
+            w = max(1, args.across)
+            for i in range(0, len(s), w):
+                print(s[i : i + w])
 
 
 def _parse_trim_to(s: str):
@@ -460,6 +461,8 @@ def main(argv=None):
     i.add_argument("index")
     i.add_argument("-s", "--summary", action="store_true")
     i.add_argument("-n", "--names", action="store_true")
+    i.add_argument("-a", "--across", type=int, default=60,
+                   help="bases per FASTA line (bt2_inspect.cpp)")
     i.set_defaults(fn=cmd_inspect)
 
     args = ap.parse_args(argv)

@@ -53,6 +53,10 @@ class AlignOpts:
     # (rect = rdlen + 4*maxhalf + 2, dp_framer.cpp:94-101); ours is a
     # compile shape, sized so every read up to l_max fits with full slack
     c_strict: int = 224
+    # hard read-length ceiling: reads up to this long align through the
+    # irregular (any-shape XLA) DP bucket — the reference rejects them
+    # outright (rdlen < 256 assert + its 200-col envelope)
+    l_hard: int = 1024
     minsc_clamp: int = -254  # u8-only build clamp (bt2_search.cpp:2487-2491)
     nrounds: int = 2  # -R / ROUNDS re-seeding rounds (bt2_search.cpp:433)
     dps: int = 15  # -D / DPS extension fail-streak budget (presets.cpp)
@@ -384,21 +388,19 @@ class TPUAligner:
         return (pad(reads, 4), pad(pens, 0), pad(rdlens, 0),
                 pad(refs, 4), pad(wl, 0))
 
-    def _run_dp_bt(self, problems, cols: int | None = None,
-                   batch: int | None = None, lmax: int | None = None):
-        """Batched DP with fused device backtrace walk: returns
-        (best, bestcol, ops list, startcols) for every problem."""
+    def _dispatch_dp_bt(self, problems, cols: int | None = None,
+                        batch: int | None = None, lmax: int | None = None):
+        """Dispatch the batched DP+backtrace chunks async; returns an
+        opaque state for _collect_dp_bt (lets multiple shape buckets
+        queue on-device back-to-back instead of host-syncing between)."""
         o = self.opts
         n = len(problems)
         dp_batch = batch or o.dp_batch
-        best = np.full(n, sw.NEG, np.int64)
-        bestcol = np.zeros(n, np.int32)
-        startcols = np.zeros(n, np.int32)
-        all_ops: list = [None] * n
         L, C = (lmax or o.l_max), (cols or o.dp_cols)
         # wide windows (mate rescue) exceed the Pallas tile's VMEM budget;
         # the XLA formulation streams its carries and handles any width
-        bt_fn = (self._sw_bt_fn if C <= o.pallas_cols_cap
+        bt_fn = (self._sw_bt_fn
+                 if C <= o.pallas_cols_cap and L <= o.l_max
                  else self._sw_bt_xla)
         packed = self._pack_dp_inputs(problems, L, C)
         futs = []
@@ -411,6 +413,15 @@ class TPUAligner:
                 self._put(reads), self._put(pens), self._put(rdlens),
                 self._put(refs), self._put(wlens), self.swp,
             ))))
+        return n, futs
+
+    @staticmethod
+    def _collect_dp_bt(state):
+        n, futs = state
+        best = np.full(n, sw.NEG, np.int64)
+        bestcol = np.zeros(n, np.int32)
+        startcols = np.zeros(n, np.int32)
+        all_ops: list = [None] * n
         for lo, hi, (b, bc, ops, stc) in futs:
             best[lo:hi] = np.asarray(b)[: hi - lo]
             bestcol[lo:hi] = np.asarray(bc)[: hi - lo]
@@ -419,6 +430,14 @@ class TPUAligner:
             for k in range(hi - lo):
                 all_ops[lo + k] = ops_np[k]
         return best, bestcol, all_ops, startcols
+
+    def _run_dp_bt(self, problems, cols: int | None = None,
+                   batch: int | None = None, lmax: int | None = None):
+        """Batched DP with fused device backtrace walk: returns
+        (best, bestcol, ops list, startcols) for every problem."""
+        return self._collect_dp_bt(
+            self._dispatch_dp_bt(problems, cols, batch, lmax)
+        )
 
     # ---------------- main entry ----------------
 
@@ -456,12 +475,18 @@ class TPUAligner:
         return results
 
     def build_read_matrices(self, reads) -> None:
-        """Per-batch oriented read/penalty matrices [2n, l_max] (row
+        """Per-batch oriented read/penalty matrices [2n, W] (row
         2*ri+0 = fw, 2*ri+1 = rc), built vectorized by length group. DP
-        problem assembly then reduces to numpy row gathers."""
+        problem assembly then reduces to numpy row gathers.  W grows past
+        l_max (up to l_hard) when the batch holds long reads — those DP
+        through the irregular bucket (any-shape XLA kernel), a capability
+        the reference's fixed 160x200 SSE buffer lacks entirely."""
         o = self.opts
         n = len(reads)
+        longest = max((len(rd.seq) for rd in reads), default=0)
         L = o.l_max
+        if longest > L:
+            L = min(o.l_hard, ((longest + 31) // 32) * 32)
         mat_r = np.full((2 * n, L), 4, np.int8)
         mat_p = np.zeros((2 * n, L), np.uint8)
         lens = np.zeros(n, np.int32)
@@ -559,9 +584,10 @@ class TPUAligner:
                     mg_n, 2 * mg_n, -(gap_const + (mg_n + 1) * gap_lin)
                 )
             mgn_all[ri], mgw_all[ri], thr_all[ri] = mg_cache[key]
-        read_ok = (lens_all <= o.l_max) & (
-            lens_all + 2 * mgw_all <= o.c_strict
-        )
+        # any read up to l_hard aligns: regular problems (ln <= l_max,
+        # window <= dp_cols) take the hot Pallas shape, everything else
+        # routes to the irregular any-shape XLA bucket
+        read_ok = lens_all <= o.l_hard
 
         nz = np.flatnonzero((widths > 0) & read_ok[m_ri])
         problems = []
@@ -651,30 +677,50 @@ class TPUAligner:
         # per-bucket dispatches serialize, costing far more than the
         # padding they save (measured 0.24s -> 0.64s on lambda 10K).
         with self.timers.phase("extendDP"):
-            wide_i = [i for i, pr in enumerate(problems)
-                      if pr["wlen"] > o.dp_cols]
-            if not wide_i:
+            irr_i = [
+                i for i, pr in enumerate(problems)
+                if pr["wlen"] > o.dp_cols
+                or self._mat_lens[pr["src"] // 2] > o.l_max
+            ]
+            if not irr_i:
                 best, bestcol, ops, startcols = self._run_dp_bt(problems)
             else:
-                wide_set = set(wide_i)
-                narrow_i = [i for i in range(len(problems))
-                            if i not in wide_set]
+                irr_set = set(irr_i)
+                reg_i = [i for i in range(len(problems))
+                         if i not in irr_set]
                 n_all = len(problems)
                 best = np.full(n_all, sw.NEG, np.int64)
                 bestcol = np.zeros(n_all, np.int32)
                 startcols = np.zeros(n_all, np.int32)
                 ops = [None] * n_all
-                for idxs, cols in (
-                    (narrow_i, None),
-                    (wide_i, ((max(problems[i]["wlen"] for i in wide_i)
-                               + 31) // 32) * 32),
-                ):
-                    if not idxs:
-                        continue
-                    b, bc, op, stc = self._run_dp_bt(
+                # FIXED length classes (no per-batch shape churn -> the
+                # compile cache stays warm across batches)
+                jobs = []
+                if reg_i:
+                    jobs.append(((None, None, None), reg_i))
+                sub: dict = {}
+                for i in irr_i:
+                    pr = problems[i]
+                    ln = int(self._mat_lens[pr["src"] // 2])
+                    lc = next(c for c in (o.l_max, 256, 384, 512, 768,
+                                          o.l_hard) if ln <= c)
+                    cc = ((lc + 2 * o.maxhalf + 31) // 32) * 32
+                    if pr["wlen"] > cc:  # wide window (custom --dpad)
+                        cc = ((pr["wlen"] + 127) // 128) * 128
+                    sub.setdefault((lc, cc), []).append(i)
+                for (lc, cc), idxs in sorted(sub.items()):
+                    bt = 1024 if lc <= 384 else 256
+                    lm = None if lc == o.l_max else lc
+                    jobs.append(((cc, lm, bt), idxs))
+                states = [
+                    (idxs, self._dispatch_dp_bt(
                         [problems[i] for i in idxs], cols=cols,
-                        batch=None if cols is None else 512,
-                    )
+                        batch=bt, lmax=lm,
+                    ))
+                    for (cols, lm, bt), idxs in jobs
+                ]
+                for idxs, st in states:
+                    b, bc, op, stc = self._collect_dp_bt(st)
                     for t, i in enumerate(idxs):
                         best[i] = b[t]
                         bestcol[i] = bc[t]
@@ -710,6 +756,9 @@ class TPUAligner:
                                        wlen=int(we - ws), diag=pr["diag"]))
             wmax = max(pr["wlen"] for pr in wide_probs)
             wcols = None if wmax <= o.dp_cols else ((wmax + 31) // 32) * 32
+            wlns = max(int(self._mat_lens[pr["src"] // 2])
+                       for pr in wide_probs)
+            wlmax = None if wlns <= o.l_max else ((wlns + 31) // 32) * 32
             # escalations are rare: pad to the Pallas batch tile (256),
             # not the full dp_batch, so the extra dispatch stays ~free
             wbatch = min(512, max(256, 1 << (len(wide_probs) - 1).bit_length()))
@@ -722,7 +771,7 @@ class TPUAligner:
             )
             with self.timers.phase("extendDPWide"):
                 b, bc, op, stc = self._run_dp_bt(
-                    wide_probs, cols=wcols, batch=wbatch
+                    wide_probs, cols=wcols, batch=wbatch, lmax=wlmax
                 )
             for t, i in enumerate(esc):
                 problems[i] = wide_probs[t]
@@ -797,19 +846,22 @@ class TPUAligner:
         if not todo:
             return
         o = self.opts
-        L = o.l_max
-        # group by device window width class (seed-extend vs rescue)
-        by_w: dict[int, list] = {}
+        # group by device window width + row class (seed-extend vs rescue
+        # vs long reads past l_max)
+        by_w: dict[tuple, list] = {}
         for c in todo:
             c.resolved = True
             w = o.dp_cols if c.problem["wlen"] <= o.dp_cols else (
                 (c.problem["wlen"] + 127) // 128 * 128
             )
-            by_w.setdefault(w, []).append(c)
+            ln = int(self._mat_lens[c.problem["src"] // 2])
+            lg = o.l_max if ln <= o.l_max else ((ln + 31) // 32) * 32
+            by_w.setdefault((w, lg), []).append(c)
         futs = []
-        for W, group in by_w.items():
+        for (W, L), group in by_w.items():
             B = min(o.dp_batch, 1024)
-            bt_fn = (self._sw_bt_fn if W <= o.pallas_cols_cap
+            bt_fn = (self._sw_bt_fn
+                     if W <= o.pallas_cols_cap and L <= o.l_max
                      else self._sw_bt_xla)
             for lo in range(0, len(group), B):
                 chunk = group[lo : lo + B]
