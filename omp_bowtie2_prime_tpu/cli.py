@@ -157,7 +157,7 @@ def cmd_align(args):
         nofw=args.nofw, norc=args.norc,
         khits=args.khits, allhits=args.allhits,
         mapqv=args.mapqv, maxhalf=args.dpad,
-        seed_boost=args.seed_boost,
+        seed_boost=args.seed_boost, rng_seed=args.seed,
     )
     aligner = TPUAligner(fm, sc, opts)
 

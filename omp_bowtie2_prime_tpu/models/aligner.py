@@ -30,6 +30,7 @@ import numpy as np
 from ..index.format import DeviceIndex, FMIndex
 from ..ops import seed_search, sw, walk
 from ..utils import dna
+from ..utils import rng as refrng
 from ..utils.mapq import mapq_v2_e2e, mapq_v3
 from ..utils.metrics import PhaseTimers, PipelineMetrics
 from ..utils.scoring import Scoring, SimpleFunc, SIMPLE_FUNC_SQRT
@@ -69,6 +70,11 @@ class AlignOpts:
     khits: int = 1  # -k: report up to this many alignments
     allhits: bool = False  # -a: report all found alignments
     mapqv: int = 2  # --mapq-v: 2 = BowtieMapq2 (default), 3 = V3 table
+    # --seed: global RNG seed mixed into every per-read reporting seed
+    # (genRandSeed, pat.cpp:45-82) — equal-score tie-breaks draw from a
+    # read-content-seeded LCG, so output is shard/batch-placement
+    # invariant exactly as the reference's is thread-count invariant
+    rng_seed: int = 0
     # chunk shapes: sized so a full CLI read-batch needs only a few device
     # dispatches (per-call latency through remote-device tunnels dwarfs the
     # on-chip time of these kernels)
@@ -949,13 +955,28 @@ class TPUAligner:
         cand.valid = True
 
     @staticmethod
-    def rank_candidates(alns: dict) -> list:
-        """Deterministic candidate order: score desc, fw first, end col asc
-        (the analog of selectByScore's sort, aln_sink.cpp:1477-1628, with a
-        deterministic rather than read-seeded-RNG tiebreak)."""
-        return sorted(
+    def rank_candidates(alns: dict, rnd: refrng.RandomSource | None = None
+                        ) -> list:
+        """Candidate order per selectByScore (aln_sink.cpp:1477-1628):
+        score descending, every equal-score streak shuffled with the
+        per-read LCG when ``rnd`` is given (the reference's read-seeded
+        tie-break contract, utils/rng.py); deterministic (fw first, end
+        col asc) when it is not."""
+        ranked = sorted(
             alns.items(), key=lambda kv: (-kv[1].score, not kv[0][0], kv[0][1])
         )
+        if rnd is not None and len(ranked) > 1:
+            ranked = refrng.select_by_score(
+                ranked, [c.score for _k, c in ranked], rnd
+            )
+        return ranked
+
+    def read_rng(self, read) -> refrng.RandomSource:
+        """Per-read reporting RNG: LCG seeded from read content + --seed
+        (genRandSeed pat.cpp:45-82; init site bt2_search.cpp:2528)."""
+        return refrng.RandomSource(refrng.gen_rand_seed(
+            read.seq, read.qual, read.name, self.opts.rng_seed
+        ))
 
     def _finalize_unpaired(self, reads, minscs, cands, results) -> None:
         sc = self.sc
@@ -965,7 +986,9 @@ class TPUAligner:
         pend = {}  # ri -> (ranked list, next index)
         for ri, alns in enumerate(cands):
             if alns:
-                pend[ri] = (self.rank_candidates(alns), 0)
+                pend[ri] = (
+                    self.rank_candidates(alns, self.read_rng(reads[ri])), 0
+                )
         o = self.opts
         multi = o.allhits or o.khits > 1
         while pend:

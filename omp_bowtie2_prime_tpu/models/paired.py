@@ -30,6 +30,7 @@ import dataclasses
 import numpy as np
 
 from ..utils import dna
+from ..utils import rng as refrng
 from ..utils.mapq import mapq_v2_e2e
 from ..utils.pe import PEPolicy, PE_ALS_DISCORD, fragment_length
 from .aligner import AlnResult, Candidate, TPUAligner
@@ -274,11 +275,18 @@ class PairedAligner:
             if not combos:
                 still.append(pi)
                 continue
-            # rank combos: combined score desc, deterministic tiebreak
+            # rank combos: combined score desc; equal-score streaks
+            # shuffled with the pair RNG (selectByScore on summed mate
+            # scores, aln_sink.cpp:1543-1568; pair seed = seed1 ^ seed2,
+            # bt2_search.cpp:3101)
             combos.sort(key=lambda p: (
                 -(p[0].score + p[1].score),
                 not p[0].fw, p[0].endj, not p[1].fw, p[1].endj,
             ))
+            combos = refrng.select_by_score(
+                combos, [p[0].score + p[1].score for p in combos],
+                self._pair_rng(*pairs[pi]),
+            )
             best_pair[pi] = combos[0]
             if len(combos) > 1:
                 secbest_csc[pi] = combos[1][0].score + combos[1][1].score
@@ -298,13 +306,23 @@ class PairedAligner:
         )
         return PairResult(cat="concord", m1=m1, m2=m2, tlen1=tlen1, tlen2=-tlen1)
 
-    def _select_mate(self, rd, cands: dict, minsc):
+    def _pair_rng(self, rd1, rd2) -> refrng.RandomSource:
+        """Pair reporting RNG: seed = seed1 ^ seed2
+        (bt2_search.cpp:3101), consumed by both mates' selections."""
+        o = self.al.opts
+        return refrng.RandomSource(
+            refrng.gen_rand_seed(rd1.seq, rd1.qual, rd1.name, o.rng_seed)
+            ^ refrng.gen_rand_seed(rd2.seq, rd2.qual, rd2.name, o.rng_seed)
+        )
+
+    def _select_mate(self, rd, cands: dict, minsc,
+                     rnd: refrng.RandomSource | None = None):
         """Unpaired-style selection for one mate (same ranking as
         TPUAligner._finalize_unpaired)."""
         sc = self.al.sc
         if not cands:
             return None, 0
-        ranked = TPUAligner.rank_candidates(cands)
+        ranked = TPUAligner.rank_candidates(cands, rnd)
         secbest = ranked[1][1].score if len(ranked) > 1 else None
         for (_fw, _endj), cand in ranked:
             self.al.backtrace(cand)
@@ -316,8 +334,11 @@ class PairedAligner:
         return None, 0
 
     def _emit_unpaired_pair(self, rd1, rd2, c1s, c2s, minsc1, minsc2) -> PairResult:
-        r1, n1 = self._select_mate(rd1, c1s, minsc1)
-        r2, n2 = self._select_mate(rd2, c2s, minsc2)
+        # one pair RNG consumed by mate 1's then mate 2's selection
+        # (finishRead selects mate 1 before mate 2, aln_sink.cpp:1063+)
+        rnd = self._pair_rng(rd1, rd2)
+        r1, n1 = self._select_mate(rd1, c1s, minsc1, rnd)
+        r2, n2 = self._select_mate(rd2, c2s, minsc2, rnd)
         # discordant promotion: both mates aligned uniquely
         # (prepareDiscordants, aln_sink.cpp:1460-1469)
         if (
