@@ -81,8 +81,18 @@ class ReferenceMap:
 
 
 def _open_maybe_gz(path: str):
-    if str(path).endswith(".gz"):
+    p = str(path)
+    if p.endswith(".gz"):
         return gzip.open(path, "rt")
+    if p.endswith((".zst", ".zstd")):
+        # zstd-compressed FASTA (reference: WITH_ZSTD, zstd_decompress.h)
+        import io as _io
+
+        import zstandard
+
+        return _io.TextIOWrapper(
+            zstandard.ZstdDecompressor().stream_reader(open(path, "rb"))
+        )
     return open(path, "r")
 
 

@@ -28,8 +28,19 @@ class Read:
 
 
 def _open(path: str):
-    if str(path).endswith(".gz"):
+    p = str(path)
+    if p.endswith(".gz"):
         return gzip.open(path, "rt")
+    if p.endswith((".zst", ".zstd")):
+        # zstd-compressed inputs (reference: WITH_ZSTD,
+        # zstd_decompress.h/.cpp)
+        import io as _io
+
+        import zstandard
+
+        return _io.TextIOWrapper(
+            zstandard.ZstdDecompressor().stream_reader(open(path, "rb"))
+        )
     return open(path, "r")
 
 

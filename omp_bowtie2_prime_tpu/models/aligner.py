@@ -955,13 +955,13 @@ class TPUAligner:
         cand.valid = True
 
     @staticmethod
-    def rank_candidates(alns: dict, rnd: refrng.RandomSource | None = None
-                        ) -> list:
+    def rank_candidates(alns: dict, rnd=None) -> list:
         """Candidate order per selectByScore (aln_sink.cpp:1477-1628):
         score descending, every equal-score streak shuffled with the
-        per-read LCG when ``rnd`` is given (the reference's read-seeded
-        tie-break contract, utils/rng.py); deterministic (fw first, end
-        col asc) when it is not."""
+        per-read LCG when ``rnd`` is given (a RandomSource or a lazy
+        zero-arg factory — the reference's read-seeded tie-break
+        contract, utils/rng.py); deterministic (fw first, end col asc)
+        when it is not."""
         ranked = sorted(
             alns.items(), key=lambda kv: (-kv[1].score, not kv[0][0], kv[0][1])
         )
@@ -987,7 +987,10 @@ class TPUAligner:
         for ri, alns in enumerate(cands):
             if alns:
                 pend[ri] = (
-                    self.rank_candidates(alns, self.read_rng(reads[ri])), 0
+                    self.rank_candidates(
+                        alns, (lambda rd=reads[ri]: self.read_rng(rd))
+                    ),
+                    0,
                 )
         o = self.opts
         multi = o.allhits or o.khits > 1

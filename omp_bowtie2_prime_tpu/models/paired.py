@@ -285,7 +285,7 @@ class PairedAligner:
             ))
             combos = refrng.select_by_score(
                 combos, [p[0].score + p[1].score for p in combos],
-                self._pair_rng(*pairs[pi]),
+                (lambda pr=pairs[pi]: self._pair_rng(*pr)),
             )
             best_pair[pi] = combos[0]
             if len(combos) > 1:

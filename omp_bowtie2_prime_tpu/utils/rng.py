@@ -101,21 +101,34 @@ def shuffle_portion(lst: list, begin: int, num: int,
 
 
 def select_by_score(entries: list, scores: list[int],
-                    rnd: RandomSource) -> list:
+                    rnd) -> list:
     """Order ``entries`` the way selectByScore orders its select list
     (aln_sink.cpp:1477-1628): descending by score, each equal-score
     streak shuffled with ``rnd``.  ``entries[i]`` has score
     ``scores[i]``; insertion order is the deterministic candidate rank.
     Returns the reordered entries list.
+
+    ``rnd`` may be a RandomSource or a zero-arg factory returning one;
+    a factory is only invoked if some streak actually needs shuffling
+    (seed derivation costs a few numpy ops per read — most reads have
+    a unique best score and never pay it).
     """
     n = len(entries)
     if n <= 1:
         return list(entries)
+    if not isinstance(rnd, RandomSource):
+        factory, rnd = rnd, None
     # buf.sort(); buf.reverse() on (score, idx) pairs: descending score,
     # descending original index within a streak (pre-shuffle)
     buf = sorted(range(n), key=lambda i: (scores[i], i), reverse=True)
     out = [entries[i] for i in buf]
     sc = [scores[i] for i in buf]
+    def _rnd():
+        nonlocal rnd
+        if rnd is None:
+            rnd = factory()
+        return rnd
+
     streak = 0
     for i in range(1, n):
         if sc[i] == sc[i - 1]:
@@ -124,8 +137,8 @@ def select_by_score(entries: list, scores: list[int],
             streak += 1
         else:
             if streak > 1:
-                shuffle_portion(out, i - streak, streak, rnd)
+                shuffle_portion(out, i - streak, streak, _rnd())
             streak = 0
     if streak > 1:
-        shuffle_portion(out, n - streak, streak, rnd)
+        shuffle_portion(out, n - streak, streak, _rnd())
     return out

@@ -197,3 +197,31 @@ def test_bam_input(genome, tmp_path):
             if not l.startswith("@")]
     assert len(recs) == 1
     assert recs[0][0] == "bq0" and int(recs[0][3]) == 901
+
+
+def test_zstd_inputs(tmp_path):
+    """zstd-compressed FASTQ and FASTA inputs (reference: WITH_ZSTD,
+    zstd_decompress.h/.cpp) parse identically to plain files."""
+    import zstandard
+
+    from omp_bowtie2_prime_tpu.index.fasta import parse_fasta
+    from omp_bowtie2_prime_tpu.io.fastq import read_fastq
+
+    fq = b"@r0\nACGTACGT\n+\nIIIIIIII\n@r1\nTTTTCCCC\n+\nIIIIIIII\n"
+    fa = b">c1 desc\nACGTACGTAAAA\nCCCC\n"
+    zf = tmp_path / "reads.fq.zst"
+    zf.write_bytes(zstandard.ZstdCompressor().compress(fq))
+    za = tmp_path / "ref.fa.zst"
+    za.write_bytes(zstandard.ZstdCompressor().compress(fa))
+    pf = tmp_path / "reads.fq"
+    pf.write_bytes(fq)
+
+    plain = list(read_fastq(str(pf)))
+    z = list(read_fastq(str(zf)))
+    assert len(z) == len(plain) == 2
+    for a, b in zip(z, plain):
+        assert a.name == b.name and (a.seq == b.seq).all() \
+            and (a.qual == b.qual).all()
+
+    names, seqs = parse_fasta(str(za))
+    assert names[0].startswith("c1") and len(seqs[0]) == 16
