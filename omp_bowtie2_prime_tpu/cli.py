@@ -72,6 +72,20 @@ def cmd_build(args):
     )
 
 
+def _parse_fasta_cont(spec: str) -> tuple[int, int]:
+    """-F k:<len>[,i:<freq>] (parseOption ARG_READS_FASTA_CONT)."""
+    k, freq = None, 1
+    for tok in spec.split(","):
+        key, _, val = tok.partition(":")
+        if key == "k":
+            k = int(val)
+        elif key == "i":
+            freq = int(val)
+    if not k or k < 1:
+        raise SystemExit("-F requires k:<int> (window length)")
+    return k, max(1, freq)
+
+
 def _transform_reads(src, args, paired: bool):
     """Input transforms: -u/-s skip/stop, -5/-3 trims, --trim-to
     (bt2_search.cpp parseOption: -u ARG_UPTO, -s ARG_SKIP, ARG_TRIM5/3,
@@ -79,6 +93,13 @@ def _transform_reads(src, args, paired: bool):
     def trim(rd):
         if args.phred64:
             rd.qual = np.maximum(rd.qual.astype(np.int16) - 31, 0).astype(np.uint8)
+        elif args.solexa_quals:
+            # Solexa 64-offset log-odds -> phred (solexaToP/solToPhred,
+            # qual.h): phred = round(10*log10(1 + 10^(sol/10)))
+            sol = np.maximum(rd.qual.astype(np.float64) - 31.0, -10.0)
+            rd.qual = np.round(
+                10.0 * np.log10(1.0 + np.power(10.0, sol / 10.0))
+            ).astype(np.uint8)
         t5, t3 = args.trim5, args.trim3
         if args.trim_to is not None and len(rd.seq) > args.trim_to:
             side, n = args.trim_to
@@ -145,6 +166,7 @@ def cmd_align(args):
         npen=args.np, rdg_const=int(rdg[0]), rdg_linear=int(rdg[1]),
         rfg_const=int(rfg[0]), rfg_linear=int(rfg[1]),
         ignore_quals=args.ignore_quals,
+        gap_barrier=args.gbar,
     )
     if args.score_min:
         sc_kwargs["score_min"] = SimpleFunc.parse(args.score_min)
@@ -249,6 +271,11 @@ def cmd_align(args):
             from .io.bam import read_bam
 
             rsrc = read_bam(args.bam)
+        elif args.fasta_cont:
+            from .io.fastq import read_fasta_continuous
+
+            k, freq = _parse_fasta_cont(args.fasta_cont)
+            rsrc = read_fasta_continuous(args.reads, k, freq)
         else:
             fmt = ("fasta" if args.fmt_fasta else
                    "raw" if args.fmt_raw else
@@ -388,6 +415,14 @@ def main(argv=None):
     a.add_argument("--trim-to", type=_parse_trim_to, default=None)
     a.add_argument("--phred33", action="store_true")
     a.add_argument("--phred64", action="store_true")
+    a.add_argument("--solexa-quals", action="store_true",
+                   help="quals are Solexa 64-offset log-odds (qual.h)")
+    a.add_argument("-F", "--fasta-cont", default=None, metavar="k:N,i:N",
+                   help="sample k-length windows every i bases from FASTA"
+                        " (FastaContinuousPatternSource, pat.h:690)")
+    a.add_argument("--gbar", type=int, default=4,
+                   help="disallow gaps within this many positions of read"
+                        " ends (gGapBarrier, scoring.h)")
     a.add_argument("--int-quals", action="store_true")
     # output
     a.add_argument("-S", "--sam", default="-")

@@ -75,7 +75,7 @@ def read_fasta_reads(path: str, start_id: int = 0) -> Iterator[Read]:
             if line.startswith(">"):
                 if name is not None:
                     seq = dna.encode("".join(chunks))
-                    yield Read(rdid, name, seq, np.full(len(seq), 30, np.uint8))
+                    yield Read(rdid, name, seq, np.full(len(seq), 40, np.uint8))
                     rdid += 1
                 name = line[1:].split()[0] if len(line) > 1 else f"read{rdid}"
                 chunks = []
@@ -83,7 +83,47 @@ def read_fasta_reads(path: str, start_id: int = 0) -> Iterator[Read]:
                 chunks.append(line)
         if name is not None:
             seq = dna.encode("".join(chunks))
-            yield Read(rdid, name, seq, np.full(len(seq), 30, np.uint8))
+            yield Read(rdid, name, seq, np.full(len(seq), 40, np.uint8))
+
+
+def read_fasta_continuous(path: str, length: int, freq: int,
+                          start_id: int = 0) -> Iterator[Read]:
+    """-F k:<len>,i:<freq>: sample every <freq>-th window of <len> bases
+    from each FASTA sequence (FastaContinuousPatternSource,
+    pat.h:690-753, pat.cpp:901-976).  Read name = <seqname>_<offset>
+    (offset of the window within its sequence, post non-DNA-char
+    removal); name keeps the header up to the first whitespace;
+    non-alphabetic chars are dropped, ambiguous IUPAC letters become N;
+    quals fill with 'I' (phred 40) as for plain FASTA."""
+    rdid = start_id
+    name, chunks = None, []
+
+    def emit(name, chunks):
+        nonlocal rdid
+        s = "".join(chunks)
+        # keep letters only (asc2dnacat==0 chars are skipped); encode
+        # maps non-ACGT letters to N=4 (asc2dnacat>=2)
+        s = "".join(ch for ch in s if ch.isalpha())
+        seq = dna.encode(s)
+        for off in range(0, len(seq) - length + 1, freq):
+            yield Read(rdid, f"{name}_{off}", seq[off : off + length],
+                       np.full(length, 40, np.uint8))
+            rdid += 1
+
+    with _open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            if line.startswith(">"):
+                if name is not None:
+                    yield from emit(name, chunks)
+                name = line[1:].split()[0] if len(line) > 1 else "seq"
+                chunks = []
+            else:
+                chunks.append(line)
+        if name is not None:
+            yield from emit(name, chunks)
 
 
 def read_raw(path: str, start_id: int = 0) -> Iterator[Read]:
@@ -96,7 +136,7 @@ def read_raw(path: str, start_id: int = 0) -> Iterator[Read]:
             if not s:
                 continue
             seq = dna.encode(s)
-            yield Read(rdid, str(rdid), seq, np.full(len(seq), 30, np.uint8))
+            yield Read(rdid, str(rdid), seq, np.full(len(seq), 40, np.uint8))
             rdid += 1
 
 
@@ -128,7 +168,7 @@ def cmdline_reads(csv: str, start_id: int = 0) -> Iterator[Read]:
         if not s:
             continue
         seq = dna.encode(s)
-        yield Read(rdid, str(rdid), seq, np.full(len(seq), 30, np.uint8))
+        yield Read(rdid, str(rdid), seq, np.full(len(seq), 40, np.uint8))
         rdid += 1
 
 

@@ -225,3 +225,37 @@ def test_zstd_inputs(tmp_path):
 
     names, seqs = parse_fasta(str(za))
     assert names[0].startswith("c1") and len(seqs[0]) == 16
+
+
+def test_fasta_continuous_windows(tmp_path):
+    """-F k:N,i:N window sampling (FastaContinuousPatternSource,
+    pat.cpp:901-976): offset-suffixed names, freq stepping, N mapping."""
+    from omp_bowtie2_prime_tpu.io.fastq import read_fasta_continuous
+
+    fa = tmp_path / "g.fa"
+    fa.write_text(">s1 desc here\nACGTACGTAC\nGTNNACGT\n>s2\nAAACCC\n")
+    reads = list(read_fasta_continuous(str(fa), 6, 4))
+    # s1 cleaned length 18 -> starts 0,4,8,12; s2 length 6 -> start 0
+    assert [r.name for r in reads] == [
+        "s1_0", "s1_4", "s1_8", "s1_12", "s2_0"
+    ]
+    from omp_bowtie2_prime_tpu.utils import dna
+    assert dna.decode(reads[0].seq) == "ACGTAC"
+    assert dna.decode(reads[2].seq) == "ACGTNN"  # IUPAC N kept as N
+    assert (reads[0].qual == 40).all()
+    # shorter-than-k sequence yields nothing
+    fa2 = tmp_path / "h.fa"
+    fa2.write_text(">tiny\nACG\n")
+    assert list(read_fasta_continuous(str(fa2), 6, 1)) == []
+
+
+def test_solexa_qual_conversion():
+    """--solexa-quals conversion matches the reference solToPhred table
+    (qual.cpp:57-75) for the -10..10 range and identity above."""
+    import numpy as np
+    table = {-10: 0, -9: 1, -8: 1, -7: 1, -6: 1, -5: 1, -4: 1, -3: 2,
+             -2: 2, -1: 3, 0: 3, 1: 4, 2: 4, 3: 5, 4: 5, 5: 6, 6: 7,
+             7: 8, 8: 9, 9: 10, 10: 10, 20: 20, 40: 40}
+    for sol, want in table.items():
+        got = int(np.round(10.0 * np.log10(1.0 + 10.0 ** (sol / 10.0))))
+        assert got == want, (sol, got, want)
