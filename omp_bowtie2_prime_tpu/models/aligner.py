@@ -201,8 +201,19 @@ class TPUAligner:
 
             self._search_resolve_fn = _srf
         else:
-            self._search_resolve_fn = jax.jit(
-                seed_search.search_resolve_seeds, static_argnums=(3, 4)
+            # pack the four result arrays into ONE on device: each
+            # device->host copy pays a fixed tunnel round-trip that dwarfs
+            # the bytes (measured ~30 ms/copy vs <1 ms of payload), so one
+            # copy per chunk instead of four is a direct wall-clock win
+            def _sr_packed(idx, chunk, valid, cap, expand):
+                t, b, st, of = seed_search.search_resolve_seeds(
+                    idx, chunk, valid, cap, expand
+                )
+                return jnp.concatenate([t, b, st.astype(t.dtype), of])
+
+            self._search_resolve_fn = None
+            self._search_resolve_packed = jax.jit(
+                _sr_packed, static_argnums=(3, 4)
             )
         # The hand-written Pallas DP kernel (ops/sw_pallas.py) is the
         # default on TPU backends (output-identical to the XLA formulation,
@@ -215,11 +226,34 @@ class TPUAligner:
         )
         if str(jnp.asarray(self.idx.fchr).dtype) == "int64":
             use_pallas = False  # large-index path uses the XLA DP kernel
-        self._sw_bt_xla = jax.jit(sw.sw_e2e_backtrace_batch, static_argnums=5)
+        def _bt_packed(fn):
+            # single int32 result per DP chunk: [B, 0]=best, [,1]=bestcol,
+            # [,2]=startcol, [,3:]=2-bit op words (4 uint8 per int32) —
+            # one device->host copy instead of four (tunnel round-trips
+            # dominate small-copy cost)
+            def wrapped(reads, pens, rdlens, refs, wlens, p):
+                best, bestcol, opsp, stc = fn(
+                    reads, pens, rdlens, refs, wlens, p
+                )
+                B, P = opsp.shape
+                P4 = -(-P // 4) * 4
+                w = jnp.pad(opsp, ((0, 0), (0, P4 - P)))
+                w = jax.lax.bitcast_convert_type(
+                    w.reshape(B, P4 // 4, 4), jnp.int32
+                )
+                hdr = jnp.stack(
+                    [best.astype(jnp.int32), bestcol.astype(jnp.int32),
+                     stc.astype(jnp.int32)], axis=1,
+                )
+                return jnp.concatenate([hdr, w], axis=1)
+
+            return jax.jit(wrapped, static_argnums=5)
+
+        self._sw_bt_xla = _bt_packed(sw.sw_e2e_backtrace_batch)
         if use_pallas:
             from ..ops.sw_pallas import sw_e2e_backtrace_pallas
 
-            self._sw_bt_fn = jax.jit(sw_e2e_backtrace_pallas, static_argnums=5)
+            self._sw_bt_fn = _bt_packed(sw_e2e_backtrace_pallas)
         else:
             self._sw_bt_fn = self._sw_bt_xla
         self._put = _put_factory(self.placer)
@@ -302,6 +336,7 @@ class TPUAligner:
         nchunks = (S + o.seed_batch - 1) // o.seed_batch
         chunk_starts = [None] * nchunks
         chunk_offs = [None] * nchunks
+        packed_mode = getattr(self, "_search_resolve_fn", None) is None
         futs = []
         for ci, lo in enumerate(range(0, S, o.seed_batch)):
             hi = min(lo + o.seed_batch, S)
@@ -309,12 +344,26 @@ class TPUAligner:
             chunk[: hi - lo] = seeds[lo:hi]
             valid = np.zeros(o.seed_batch, bool)
             valid[: hi - lo] = True
-            futs.append((ci, lo, hi, chunk, valid, _prefetch(*self._search_resolve_fn(
-                self.idx, self._put(chunk), self._put(valid),
-                o.range_cap, o.resolve_expand,
-            ))))
+            if packed_mode:
+                res = _prefetch(self._search_resolve_packed(
+                    self.idx, self._put(chunk), self._put(valid),
+                    o.range_cap, o.resolve_expand,
+                ))
+            else:
+                res = _prefetch(*self._search_resolve_fn(
+                    self.idx, self._put(chunk), self._put(valid),
+                    o.range_cap, o.resolve_expand,
+                ))
+            futs.append((ci, lo, hi, chunk, valid, res))
         rmax = o.seed_batch * o.resolve_expand
-        for ci, lo, hi, chunk, valid, (t, b, st, of) in futs:
+        SB = o.seed_batch
+        for ci, lo, hi, chunk, valid, res in futs:
+            if packed_mode:
+                a = np.asarray(res)
+                t, b = a[:SB], a[SB : 2 * SB]
+                st, of = a[2 * SB : 3 * SB], a[3 * SB :]
+            else:
+                t, b, st, of = res
             tops[lo:hi] = np.asarray(t)[: hi - lo]
             bots[lo:hi] = np.asarray(b)[: hi - lo]
             st = np.asarray(st)
@@ -322,10 +371,17 @@ class TPUAligner:
             # retry the chunk with a wider expansion — rare, repeat-heavy
             w_last = min(int(bots[hi - 1] - tops[hi - 1]), o.range_cap)                 if hi > lo else 0
             if hi > lo and int(st[hi - lo - 1]) + w_last > rmax:
-                t2, b2, st2, of2 = self._search_resolve_fn(
-                    self.idx, self._put(chunk), self._put(valid),
-                    o.range_cap, o.range_cap,
-                )
+                if packed_mode:
+                    a2 = np.asarray(self._search_resolve_packed(
+                        self.idx, self._put(chunk), self._put(valid),
+                        o.range_cap, o.range_cap,
+                    ))
+                    st2, of2 = a2[2 * SB : 3 * SB], a2[3 * SB :]
+                else:
+                    _, _, st2, of2 = self._search_resolve_fn(
+                        self.idx, self._put(chunk), self._put(valid),
+                        o.range_cap, o.range_cap,
+                    )
                 chunk_starts[ci] = np.asarray(st2)
                 chunk_offs[ci] = np.asarray(of2)
             else:
@@ -415,7 +471,7 @@ class TPUAligner:
             reads, pens, rdlens, refs, wlens = self._dp_chunk(
                 packed, lo, hi, dp_batch
             )
-            futs.append((lo, hi, _prefetch(*bt_fn(
+            futs.append((lo, hi, _prefetch(bt_fn(
                 self._put(reads), self._put(pens), self._put(rdlens),
                 self._put(refs), self._put(wlens), self.swp,
             ))))
@@ -428,12 +484,16 @@ class TPUAligner:
         bestcol = np.zeros(n, np.int32)
         startcols = np.zeros(n, np.int32)
         all_ops: list = [None] * n
-        for lo, hi, (b, bc, ops, stc) in futs:
-            best[lo:hi] = np.asarray(b)[: hi - lo]
-            bestcol[lo:hi] = np.asarray(bc)[: hi - lo]
-            startcols[lo:hi] = np.asarray(stc)[: hi - lo]
-            ops_np = np.asarray(ops)
-            for k in range(hi - lo):
+        for lo, hi, res in futs:
+            a = np.asarray(res)  # [B, 3 + opwords] int32 (see _bt_packed)
+            m = hi - lo
+            best[lo:hi] = a[:m, 0]
+            bestcol[lo:hi] = a[:m, 1]
+            startcols[lo:hi] = a[:m, 2]
+            ops_np = sw.unpack_ops2(
+                np.ascontiguousarray(a[:m, 3:]).view(np.uint8)
+            )
+            for k in range(m):
                 all_ops[lo + k] = ops_np[k]
         return best, bestcol, all_ops, startcols
 
@@ -875,13 +935,14 @@ class TPUAligner:
                 reads, pens, rdlens, refs, wlens = self._dp_chunk(
                     packed, 0, len(chunk), B
                 )
-                futs.append((chunk, bt_fn(
+                futs.append((chunk, _prefetch(bt_fn(
                     self._put(reads), self._put(pens), self._put(rdlens),
                     self._put(refs), self._put(wlens), self.swp,
-                )))
-        for chunk, (_, _, ops, startcol) in futs:
-            ops = np.asarray(ops)
-            startcol = np.asarray(startcol)
+                ))))
+        for chunk, res in futs:
+            a = np.asarray(res)
+            ops = sw.unpack_ops2(np.ascontiguousarray(a[:, 3:]).view(np.uint8))
+            startcol = a[:, 2]
             for k, c in enumerate(chunk):
                 self._finish_backtrace(c, ops[k], int(startcol[k]))
 

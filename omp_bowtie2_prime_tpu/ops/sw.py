@@ -283,7 +283,29 @@ def sw_e2e_backtrace_batch(
         jnp.zeros((B, MAXOPS), jnp.uint8),
     )
     _, j_fin, _, ops = jax.lax.fori_loop(0, MAXOPS, step, init)
-    return best, bestcol, ops, j_fin
+    return best, bestcol, pack_ops2(ops), j_fin
+
+
+def pack_ops2(ops: jnp.ndarray) -> jnp.ndarray:
+    """Pack device op codes (0..3) 4-per-byte for the device->host copy —
+    the ops matrix dominates result-transfer bytes and the tunnel link is
+    slow, so a 4x smaller copy is a direct wall-clock win.  [B, M] uint8
+    -> [B, ceil(M/4)] uint8, little-endian 2-bit fields."""
+    B, M = ops.shape
+    MP = -(-M // 4) * 4
+    o = jnp.pad(ops, ((0, 0), (0, MP - M))).reshape(B, MP // 4, 4)
+    o = o.astype(jnp.uint8)
+    return o[:, :, 0] | (o[:, :, 1] << 2) | (o[:, :, 2] << 4) | (o[:, :, 3] << 6)
+
+
+def unpack_ops2(packed: np.ndarray) -> np.ndarray:
+    """Host inverse of pack_ops2 (op 0 terminates a row, so the <=3
+    trailing pad codes are inert)."""
+    B, P = packed.shape
+    out = np.empty((B, P * 4), np.uint8)
+    for k in range(4):
+        out[:, k::4] = (packed >> (2 * k)) & 3
+    return out
 
 
 def ops_to_cigar(ops_row: np.ndarray) -> list:

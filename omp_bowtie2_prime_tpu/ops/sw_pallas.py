@@ -209,4 +209,6 @@ def sw_e2e_backtrace_pallas(reads, pen_mm, rdlens, refs, wlens, p: SWParams):
         jnp.zeros((B, MAXOPS), jnp.uint8),
     )
     _, j_fin, _, ops = jax.lax.fori_loop(0, MAXOPS, step, init)
-    return best, bestcol, ops, j_fin
+    from .sw import pack_ops2
+
+    return best, bestcol, pack_ops2(ops), j_fin
