@@ -145,6 +145,9 @@ def cmd_align(args):
     if args.local:
         print("--local mode is not supported", file=sys.stderr)
         sys.exit(1)
+    if args.M is not None:
+        print("Warning: -M is deprecated.  Use -D and -R to adjust "
+              "effort instead.", file=sys.stderr)
     if args.N and args.N != 0:
         print("warning: only -N 0 (exact seeds) is supported; using 0",
               file=sys.stderr)
@@ -479,6 +482,10 @@ def main(argv=None):
     # reporting
     a.add_argument("-k", "--khits", type=int, default=1)
     a.add_argument("-a", "--all", dest="allhits", action="store_true")
+    a.add_argument("-M", type=int, default=None,
+                   help="deprecated search-effort knob (bt2_search.cpp:"
+                        "1177-1190); the batched engine always finds best"
+                        " and second-best within -D/-R budgets")
     # paired-end policy (ref defaults bt2_search.cpp:303-313)
     a.add_argument("-I", "--minins", type=int, default=0)
     a.add_argument("-X", "--maxins", type=int, default=500)
