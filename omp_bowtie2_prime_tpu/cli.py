@@ -214,16 +214,40 @@ def cmd_align(args):
         no_hd=args.no_hd, no_sq=args.no_sq, xeq=args.xeq,
     )
     w.write_header()
-    un_out = open(args.un, "w") if args.un else None
-    al_out = open(args.al, "w") if args.al else None
+    def _wopen(path, force=None):
+        """--un/--al family writer; -gz/-bz2 option variants (or file
+        extensions) compress (bt2_search.cpp:828 usage)."""
+        if force == "gz" or (force is None and path.endswith(".gz")):
+            import gzip as _gz
 
-    def _conc_pair(base):
+            return _gz.open(path, "wt")
+        if force == "bz2" or (force is None and path.endswith(".bz2")):
+            import bz2 as _bz2
+
+            return _bz2.open(path, "wt")
+        return open(path, "w")
+
+    # --un-gz/--un-bz2 (etc.) are the same dumps with forced compression
+    for base in ("un", "al", "un_conc", "al_conc"):
+        for comp in ("gz", "bz2"):
+            v = getattr(args, f"{base}_{comp}", None)
+            if v:
+                setattr(args, base, v)
+                setattr(args, f"{base}_force", comp)
+
+    un_out = _wopen(args.un, getattr(args, "un_force", None)) if args.un else None
+    al_out = _wopen(args.al, getattr(args, "al_force", None)) if args.al else None
+
+    def _conc_pair(base, force):
         if "%" in base:
-            return open(base.replace("%", "1"), "w"), open(base.replace("%", "2"), "w")
-        return open(base + ".1", "w"), open(base + ".2", "w")
+            return (_wopen(base.replace("%", "1"), force),
+                    _wopen(base.replace("%", "2"), force))
+        return _wopen(base + ".1", force), _wopen(base + ".2", force)
 
-    unc_out = _conc_pair(args.un_conc) if args.un_conc else None
-    alc_out = _conc_pair(args.al_conc) if args.al_conc else None
+    unc_out = (_conc_pair(args.un_conc, getattr(args, "un_conc_force", None))
+               if args.un_conc else None)
+    alc_out = (_conc_pair(args.al_conc, getattr(args, "al_conc_force", None))
+               if args.al_conc else None)
 
     def fq_dump(f, rd):
         f.write(f"@{rd.name}\n{_dec(rd.seq)}\n+\n{w.qual_str(rd.qual)}\n")
@@ -433,6 +457,10 @@ def main(argv=None):
     a.add_argument("--al", default=None)
     a.add_argument("--un-conc", default=None)
     a.add_argument("--al-conc", default=None)
+    for _b in ("un", "al", "un-conc", "al-conc"):
+        for _c in ("gz", "bz2"):
+            a.add_argument(f"--{_b}-{_c}", default=None,
+                           dest=f"{_b.replace('-', '_')}_{_c}")
     a.add_argument("--no-unal", action="store_true")
     a.add_argument("--rg-id", default=None)
     a.add_argument("--rg", action="append", default=None)
