@@ -56,7 +56,7 @@ def _dp_kernel(reads_ref, pens_ref, rdlens_ref, refs_ref, wlens_ref,
         return jnp.where(cols < k, NEG, pltpu.roll(x, k, 1))
 
     def body(i, carry):
-        h_prev, f_prev, hfin = carry
+        h_prev, f_prev, hfin, acc = carry
         # fetch read char/penalty i-1 by masked reduction
         sel = lidx == (i - 1)
         rc = jnp.sum(jnp.where(sel, reads, 0), axis=1, keepdims=True)
@@ -96,17 +96,22 @@ def _dp_kernel(reads_ref, pens_ref, rdlens_ref, refs_ref, wlens_ref,
             jnp.int32
         )
         row_bits = b0 | (b1 << 1) | (b2 << 2) | (lo << 3)
-        # packed trace words: 8 DP rows x 4 bits per int32, [L/8, TB, C]
+        # packed trace words: 8 DP rows x 4 bits per int32, [L/8, TB, C].
+        # The current word rides in a loop carry and stores every row
+        # (overwriting-in-place is cheaper than the load+or+store RMW:
+        # one VMEM op per row instead of two)
         d = (i - 1) // 8
         shift = 4 * ((i - 1) % 8)
-        word = (row_bits << shift)[None, :, :]
-        prev = tb_ref[pl.ds(d, 1), :, :]
-        tb_ref[pl.ds(d, 1), :, :] = jnp.where(shift == 0, word, prev | word)
+        word = row_bits << shift
+        acc = jnp.where(shift == 0, word, acc | word)
+        tb_ref[pl.ds(d, 1), :, :] = acc[None, :, :]
 
         hfin = jnp.where(cols * 0 + i == rdlens_bc, h, hfin)
-        return h, f, hfin
+        return h, f, hfin, acc
 
-    _, _, hfin = jax.lax.fori_loop(1, L + 1, body, (h0, f0, hfin0))
+    _, _, hfin, _ = jax.lax.fori_loop(
+        1, L + 1, body, (h0, f0, hfin0, jnp.zeros_like(h0))
+    )
     best = jnp.max(hfin, axis=1, keepdims=True)
     best_ref[:] = best
     # first-argmax via masked column-min (integer argmax doesn't lower)
