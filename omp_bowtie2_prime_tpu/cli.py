@@ -56,13 +56,16 @@ def cmd_build(args):
         joined, refmap = join_references(names, seqs)
         base = args.out[:-4] if args.out.endswith(".npz") else args.out
         large = args.large_index or len(joined) >= (1 << 32) - 1
-        save_bt2(joined, refmap, base, large=large)
+        save_bt2(joined, refmap, base, large=large,
+                 off_rate=4 if args.offrate is None else args.offrate,
+                 ftab_chars=args.ftab_chars)
         ext = "bt2l" if large else "bt2"
         print(f"wrote {base}.[1234].{ext} + .rev.[12].{ext} "
               f"({len(joined)} bases) in {time.time()-t0:.1f}s",
               file=sys.stderr)
         return
-    fm = build_index(args.fasta, ftab_k=args.ftab_chars, srate=args.sa_rate)
+    srate = args.sa_rate if args.offrate is None else (1 << args.offrate)
+    fm = build_index(args.fasta, ftab_k=args.ftab_chars, srate=srate)
     out = args.out if args.out.endswith(".npz") else args.out + ".npz"
     fm.save(out)
     print(
@@ -410,8 +413,14 @@ def main(argv=None):
     b = sub.add_parser("build", help="build FM index from FASTA")
     b.add_argument("fasta", nargs="+")
     b.add_argument("out")
-    b.add_argument("--ftab-chars", type=int, default=10)
-    b.add_argument("--sa-rate", type=int, default=8)
+    b.add_argument("-t", "--ftabchars", "--ftab-chars", type=int,
+                   default=10, dest="ftab_chars",
+                   help="ftab k-mer length (bowtie2-build -t)")
+    b.add_argument("--sa-rate", type=int, default=8,
+                   help="text-position SA sample rate (native .npz layout)")
+    b.add_argument("-o", "--offrate", type=int, default=None,
+                   help="bowtie2-build -o: SA sample every 2^o rows; for"
+                        " .npz this maps to --sa-rate 2^o")
     b.add_argument("--large-index", action="store_true",
                    help="force the 64-bit .bt2l format (bt2_idx.cpp:29-37)")
     b.add_argument("--bt2", action="store_true",
@@ -468,8 +477,13 @@ def main(argv=None):
     a.add_argument("--no-sq", action="store_true")
     a.add_argument("--xeq", action="store_true")
     a.add_argument("-t", "--time", action="store_true")
-    a.add_argument("--met-stderr", action="store_true")
-    a.add_argument("--met-file", default=None)
+    a.add_argument("--met-stderr", "--metrics-stderr", action="store_true",
+                   dest="met_stderr")
+    a.add_argument("--met-file", "--metrics-file", default=None,
+                   dest="met_file")
+    a.add_argument("--met", "--metrics", type=int, default=1, dest="met",
+                   help="metrics reporting interval in seconds "
+                        "(ARG_METRIC_IVAL; ours emits per batch)")
     a.add_argument("--mapq-v", dest="mapqv", type=int, default=2)
     a.add_argument("--reorder", action="store_true")  # always ordered
     # accepted no-ops for surface compatibility (behavior already default

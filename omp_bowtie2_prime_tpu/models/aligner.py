@@ -1023,6 +1023,8 @@ class TPUAligner:
         zero-arg factory — the reference's read-seeded tie-break
         contract, utils/rng.py); deterministic (fw first, end col asc)
         when it is not."""
+        if len(alns) == 1:  # the common case: unique best candidate
+            return list(alns.items())
         ranked = sorted(
             alns.items(), key=lambda kv: (-kv[1].score, not kv[0][0], kv[0][1])
         )

@@ -1,0 +1,171 @@
+#!/usr/bin/env python3
+"""Randomized ARGUMENT-combination differential vs the reference binary.
+
+The reference's scripts/sim harness aligns random genomes under random
+argument combinations and cross-checks outputs (scripts/test/README.md:
+31-43); this is that strategy pointed at our aligner: every trial draws a
+random genome, random mutated reads, and a random policy-knob combination,
+runs the reference binary and ours with the same knobs, and compares.
+
+Checks per trial:
+  - reads the reference aligns that we miss (expected: 0 — we emulate its
+    budgets but search exhaustively within them)
+  - POS+FLAG agreement on co-aligned reads with reference MAPQ >= 10
+    (high-confidence unique placements must agree exactly)
+  - MAPQ agreement on those same records
+
+Usage: python scripts/randargs_differential.py [--trials 12] [--seed 1]
+       [--refbuild /tmp/refbuild] [--workdir /tmp/bt2randargs]
+"""
+
+import argparse
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def draw_args(rng):
+    """One random knob combination, as (ref_argv, our_argv, label)."""
+    ref, ours = [], []
+
+    def both(*a):
+        ref.extend(a)
+        ours.extend(a)
+
+    preset = rng.choice([None, "--very-fast", "--fast", "--sensitive",
+                         "--very-sensitive"])
+    if preset is not None:
+        both(str(preset))
+    # seed length: few distinct values (each -L compiles a new seed-lane
+    # shape through the slow device link)
+    if rng.random() < 0.5:
+        both("-L", str(rng.choice([20, 22, 25])))
+    if rng.random() < 0.5:
+        both("-i", f"S,1,{rng.choice([0.75, 1.15, 1.75, 2.5])}")
+    if rng.random() < 0.5:
+        mx = int(rng.integers(3, 8))
+        mn = int(rng.integers(1, min(mx, 4)))
+        both("--mp", f"{mx},{mn}")
+    if rng.random() < 0.4:
+        both("--np", str(int(rng.integers(0, 3))))
+    if rng.random() < 0.4:
+        both("--rdg", f"{int(rng.integers(3, 7))},{int(rng.integers(2, 5))}")
+    if rng.random() < 0.4:
+        both("--rfg", f"{int(rng.integers(3, 7))},{int(rng.integers(2, 5))}")
+    if rng.random() < 0.4:
+        both("--score-min",
+             f"L,{rng.choice([0, -0.3, -0.6])},{rng.choice([-0.3, -0.6, -0.9])}")
+    if rng.random() < 0.3:
+        both("-D", str(int(rng.integers(5, 31))))
+    if rng.random() < 0.3:
+        both("-R", str(int(rng.integers(1, 4))))
+    if rng.random() < 0.25:
+        both("--ignore-quals")
+    if rng.random() < 0.2:
+        both(str(rng.choice(["--nofw", "--norc"])))
+    if rng.random() < 0.2:
+        both("--gbar", str(int(rng.integers(2, 9))))
+    return ref, ours, " ".join(ref) or "(defaults)"
+
+
+def make_trial_data(rng, wd, size, nreads, readlen):
+    from omp_bowtie2_prime_tpu.utils import dna
+
+    text = rng.integers(0, 4, size).astype(np.int8)
+    fa = os.path.join(wd, "g.fa")
+    with open(fa, "w") as f:
+        f.write(">t\n")
+        s = dna.decode(text)
+        for i in range(0, len(s), 70):
+            f.write(s[i : i + 70] + "\n")
+    fq = os.path.join(wd, "r.fq")
+    with open(fq, "w") as f:
+        for i in range(nreads):
+            pos = int(rng.integers(0, size - readlen))
+            seq = text[pos : pos + readlen].copy()
+            for _ in range(int(rng.integers(0, 4))):
+                p = int(rng.integers(0, readlen))
+                seq[p] = (seq[p] + 1 + rng.integers(0, 3)) % 4
+            if rng.integers(0, 2):
+                seq = dna.revcomp(seq)
+            q = "".join(chr(33 + int(x))
+                        for x in rng.integers(20, 41, readlen))
+            f.write(f"@d{i}\n{dna.decode(seq)}\n+\n{q}\n")
+    return fa, fq
+
+
+def load_sam(p):
+    d = {}
+    for line in open(p):
+        if line.startswith("@"):
+            continue
+        f = line.rstrip("\n").split("\t")
+        if int(f[1]) & 0x104:  # unmapped or secondary
+            continue
+        d[f[0]] = (int(f[1]) & 16, int(f[3]), int(f[4]))
+    return d
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--trials", type=int, default=12)
+    ap.add_argument("--seed", type=int, default=1)
+    ap.add_argument("--size", type=int, default=400_000)
+    ap.add_argument("--reads", type=int, default=1500)
+    ap.add_argument("--readlen", type=int, default=100)
+    ap.add_argument("--refbuild", default="/tmp/refbuild")
+    ap.add_argument("--workdir", default="/tmp/bt2randargs")
+    args = ap.parse_args()
+
+    os.makedirs(args.workdir, exist_ok=True)
+    wd = args.workdir
+    rng = np.random.default_rng(args.seed)
+    from omp_bowtie2_prime_tpu.cli import main as climain
+
+    failures = 0
+    for t in range(args.trials):
+        fa, fq = make_trial_data(rng, wd, args.size, args.reads, args.readlen)
+        ref_argv, our_argv, label = draw_args(rng)
+        idx = os.path.join(wd, "idx")
+        # one .bt2 index serves both sides (our writer is byte-identical)
+        climain(["build", "--bt2", fa, idx])
+        climain(["build", fa, idx + ".npz"])
+        ref_sam, our_sam = os.path.join(wd, "ref.sam"), os.path.join(wd, "our.sam")
+        t0 = time.time()
+        subprocess.run(
+            [os.path.join(args.refbuild, "bowtie2-align-s"), "-x", idx,
+             "-U", fq, "-S", ref_sam, "-p", "1", *ref_argv],
+            check=True, capture_output=True,
+        )
+        climain(["align", "-x", idx + ".npz", "-U", fq, "-S", our_sam,
+                 *our_argv])
+        ref, ours = load_sam(ref_sam), load_sam(our_sam)
+        co = set(ref) & set(ours)
+        ref_only = len(set(ref) - set(ours))
+        hi = [q for q in co if ref[q][2] >= 10]
+        pf = sum(1 for q in hi if ref[q][:2] == ours[q][:2])
+        mq = sum(1 for q in hi if ref[q][2] == ours[q][2])
+        ok = ref_only == 0 and pf == len(hi) and mq == len(hi)
+        status = "OK  " if ok else "FAIL"
+        if not ok:
+            failures += 1
+        print(f"[{status}] trial {t}: {label}")
+        print(f"        ref {len(ref)} ours {len(ours)} ref-only {ref_only}; "
+              f"hi-conf POS+FLAG {pf}/{len(hi)} MAPQ {mq}/{len(hi)} "
+              f"({time.time()-t0:.0f}s)", flush=True)
+        if not ok:
+            bad = [q for q in hi if ref[q][:2] != ours[q][:2]
+                   or ref[q][2] != ours[q][2]][:6]
+            for q in bad:
+                print(f"        {q}: ref={ref[q]} ours={ours[q]}")
+    print(f"\n{args.trials - failures}/{args.trials} trials clean")
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
