@@ -553,5 +553,21 @@ def main(argv=None):
     args.fn(args)
 
 
+def main_align(argv=None):
+    """`bt2tpu-align` / the `bowtie2` wrapper analog: align-mode args
+    directly (bowtie2 -x idx -U reads.fq -S out.sam)."""
+    main(["align", *(sys.argv[1:] if argv is None else argv)])
+
+
+def main_build(argv=None):
+    """`bt2tpu-build` / bowtie2-build analog: REF.fa OUT positionals."""
+    main(["build", *(sys.argv[1:] if argv is None else argv)])
+
+
+def main_inspect(argv=None):
+    """`bt2tpu-inspect` / bowtie2-inspect analog."""
+    main(["inspect", *(sys.argv[1:] if argv is None else argv)])
+
+
 if __name__ == "__main__":
     main()
