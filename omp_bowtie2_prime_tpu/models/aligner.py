@@ -575,14 +575,17 @@ class TPUAligner:
         self._mat_lens = lens
 
     def min_scores(self, reads) -> np.ndarray:
-        """Per-read clamped minimum scores (bt2_search.cpp:2476-2491)."""
+        """Per-read clamped minimum scores (bt2_search.cpp:2476-2491).
+        The -254 clamp is the fork's u8-kernel artifact and is applied
+        only to reads the fork can align (<= l_max): long reads have no
+        fork behavior to match, and our int32 DP has no such limit."""
         o, sc = self.opts, self.sc
         minscs = np.zeros(len(reads), np.int64)
         for ri, rd in enumerate(reads):
             m = sc.min_score(len(rd.seq))
             if m > 0:
                 m = 0
-            if m < o.minsc_clamp:
+            if m < o.minsc_clamp and len(rd.seq) <= o.l_max:
                 m = o.minsc_clamp
             minscs[ri] = m
         return minscs

@@ -77,3 +77,18 @@ def test_mixed_lengths_one_batch(setup):
         assert (a.status, a.refoff, a.score, a.cigar) == (
             b.status, b.refoff, b.score, b.cigar
         )
+
+
+def test_long_read_deep_minsc_not_clamped(setup):
+    """The -254 minsc clamp is the fork's u8 artifact; long reads (no
+    fork behavior to match) keep their true score-min budget
+    (L,-0.6,-0.6 at 600bp = -360), so a 600bp read with ~50 mismatches
+    (score ~ -300) aligns where the clamp would reject it."""
+    rng, text, al = setup
+    p = 120000
+    s = text[p : p + 600].copy()
+    mut = np.random.default_rng(9).choice(600, 50, replace=False)
+    s[mut] = (s[mut] + 1) % 4
+    res = al.align_batch([mk(s, "deep")])[0]
+    assert res.status == "aligned" and res.refoff == p
+    assert -360 <= res.score <= -254  # below the u8 clamp, above minsc
