@@ -160,3 +160,24 @@ def test_global_seed_changes_picks(repeat_genome):
     al7 = TPUAligner(fm, opts=AlignOpts(rng_seed=7))
     p7 = [r.refoff for r in al7.align_batch(reads)]
     assert p0 != p7  # --seed reshuffles ties
+
+
+def test_select_by_score_ordering_matches_reference_oracle():
+    """Golden orderings from an oracle compiling the reference's own
+    EList sort/reverse/shufflePortion exactly as selectByScore applies
+    them (aln_sink.cpp:1540-1573)."""
+    s1 = [-5, 0, 0, 0, -9, 0, -5, -5]
+    s2 = [3, 3, 3, 3, 3, 3]
+    s3 = [1, 2, 3, 4]
+    golden = [
+        (s1, 42, [2, 1, 3, 5, 0, 7, 6, 4]),
+        (s1, 12345, [3, 5, 2, 1, 0, 6, 7, 4]),
+        (s2, 7, [0, 5, 1, 4, 3, 2]),
+        (s2, 0xDEADBEEF, [3, 1, 0, 5, 4, 2]),
+        (s3, 1, [3, 2, 1, 0]),
+        (s1, 0, [5, 1, 2, 3, 6, 0, 7, 4]),
+    ]
+    for scores, seed, want in golden:
+        out = select_by_score(list(range(len(scores))), scores,
+                              RandomSource(seed))
+        assert out == want, (scores, seed, out, want)
