@@ -721,20 +721,20 @@ class TPUAligner:
                 ri_f = ri_e[kidx]
                 dg_k = cand[kidx]
                 problems = [
-                    dict(src=int(srcs[t]), wstart=int(ws_k[t]),
-                         wlen=int(wl_k[t]), diag=int(dg_k[t]))
-                    for t in range(len(kidx))
+                    dict(src=s, wstart=w, wlen=l, diag=d)
+                    for s, w, l, d in zip(
+                        srcs.tolist(), ws_k.tolist(), wl_k.tolist(),
+                        dg_k.tolist(),
+                    )
                 ]
                 prob_meta = list(zip(ri_f.tolist(), fw_k.tolist()))
+                dp_cells = int((lens_all[ri_f] * wl_k).sum())
 
         _t_rank.__exit__(None, None, None)
         self.metrics.add(
             ranges_nonzero=int(np.count_nonzero(widths > 0)),
             dps=len(problems),
-            dp_cells=sum(
-                int(self._mat_lens[pr["src"] // 2]) * pr["wlen"]
-                for pr in problems
-            ),
+            dp_cells=dp_cells if problems else 0,
         )
         if not problems:
             return empty

@@ -131,6 +131,7 @@ def main():
     for t in range(args.trials):
         fa, fq = make_trial_data(rng, wd, args.size, args.reads, args.readlen)
         ref_argv, our_argv, label = draw_args(rng)
+        print(f"[....] trial {t}: {label}", flush=True)
         idx = os.path.join(wd, "idx")
         # one .bt2 index serves both sides (our writer is byte-identical)
         climain(["build", "--bt2", fa, idx])
