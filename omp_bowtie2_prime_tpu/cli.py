@@ -146,8 +146,9 @@ def cmd_align(args):
     from .utils.scoring import Scoring, SimpleFunc
 
     if args.local:
-        print("--local mode is not supported", file=sys.stderr)
-        sys.exit(1)
+        # the fork warns and continues in end-to-end mode
+        # (bt2_search.cpp:1345-1348)
+        print("WARNING: localAlign not supported", file=sys.stderr)
     if args.M is not None:
         print("Warning: -M is deprecated.  Use -D and -R to adjust "
               "effort instead.", file=sys.stderr)

@@ -31,6 +31,10 @@ def _open(path: str):
     p = str(path)
     if p.endswith(".gz"):
         return gzip.open(path, "rt")
+    if p.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rt")
     if p.endswith((".zst", ".zstd")):
         # zstd-compressed inputs (reference: WITH_ZSTD,
         # zstd_decompress.h/.cpp)
