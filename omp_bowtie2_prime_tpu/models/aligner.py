@@ -145,6 +145,37 @@ def _put_factory(placer):
     return lambda a: placer.put_batch(jnp.asarray(a))
 
 
+P_CAP = 32768  # fixed on-device problem-table rows (fused rank/frame)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap"),
+)
+def _rank_frame_packed(chunks, m_ri, m_fw, m_off, lens, mgn, read_ok,
+                       text_n, *, range_cap, expand, max_elts, max_dp,
+                       p_cap):
+    """Stack per-chunk search+resolve outputs (device-resident), run the
+    on-device rank/frame stage, and pack EVERYTHING the host needs into
+    one int32 vector (one device->host copy)."""
+    from ..ops.rank_frame import rank_frame
+
+    tops = jnp.stack([c[0] for c in chunks])
+    bots = jnp.stack([c[1] for c in chunks])
+    starts = jnp.stack([c[2] for c in chunks])
+    offs = jnp.stack([c[3] for c in chunks])
+    probs, count, hn, he, ov = rank_frame(
+        tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
+        text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
+        max_dp=max_dp, p_cap=p_cap, n_reads=lens.shape[0],
+    )
+    return jnp.concatenate([
+        probs.reshape(-1),
+        jnp.stack([count.astype(jnp.int32), ov.astype(jnp.int32)]),
+        hn.astype(jnp.int32), he.astype(jnp.int32),
+    ])
+
+
 def _prefetch(*arrs):
     """Start async device->host copies so chunked results stream back
     overlapped instead of paying one tunnel round-trip per np.asarray."""
@@ -214,6 +245,25 @@ class TPUAligner:
             self._search_resolve_fn = None
             self._search_resolve_packed = jax.jit(
                 _sr_packed, static_argnums=(3, 4)
+            )
+            # fused rank/frame path: chunk results stay on device and the
+            # whole P5/P6 stage (ops/rank_frame.py) runs there; one packed
+            # table comes back instead of every range/offset array
+            self._search_resolve_raw = jax.jit(
+                seed_search.search_resolve_seeds, static_argnums=(3, 4)
+            )
+            import os as _os_
+
+            # default ON for CPU/virtual-mesh backends; opt-in
+            # (BT2TPU_FUSED_RANK=1) on the remote axon TPU runtime, whose
+            # buffer management intermittently rejects one executable's
+            # outputs as another's inputs (InvalidArgument) from the
+            # second batch on — the host path is the automatic fallback
+            _fenv = _os_.environ.get("BT2TPU_FUSED_RANK")
+            _default_on = jax.default_backend() not in ("tpu", "axon")
+            self._use_fused_rank = (
+                (_fenv == "1" or (_fenv != "0" and _default_on))
+                and str(jnp.asarray(self.idx.fchr).dtype) == "int32"
             )
         # The hand-written Pallas DP kernel (ops/sw_pallas.py) is the
         # default on TPU backends (output-identical to the XLA formulation,
@@ -405,6 +455,58 @@ class TPUAligner:
             glob_end[lo:hi] = base
 
         return tops, bots, (glob_offs, glob_start, glob_end)
+
+    def _rank_frame_device(self, seeds, m_ri, m_fw, m_off, lens_pad,
+                           mgn_pad, read_ok_pad):
+        """Fused search+resolve+rank+frame: the per-seed range/offset
+        tables never come to host — one packed problem table does.
+        Returns (problems int32 [count, 4], hit_nonz, hit_elts) or None
+        when a fixed table overflowed (caller reruns the host path)."""
+        o = self.opts
+        S_act = len(seeds)
+        SB = o.seed_batch
+        futs = []
+        for lo in range(0, S_act, SB):
+            hi = min(lo + SB, S_act)
+            chunk = np.zeros((SB, seeds.shape[1]), np.int8)
+            chunk[: hi - lo] = seeds[lo:hi]
+            valid = np.zeros(SB, bool)
+            valid[: hi - lo] = True
+            futs.append(self._search_resolve_raw(
+                self.idx, self._put(chunk), self._put(valid),
+                o.range_cap, o.resolve_expand,
+            ))
+        # axon-runtime quirk: an executable consuming another executable's
+        # still-in-flight outputs fails with InvalidArgument; synchronize
+        # the search chunks before queueing the rank/frame program
+        # (results stay on device — no copies)
+        jax.block_until_ready(futs)
+        S = len(futs) * SB
+        npad = len(lens_pad)
+        ri_p = np.full(S, npad, np.int32)
+        ri_p[:S_act] = m_ri
+        fw_p = np.zeros(S, bool)
+        fw_p[:S_act] = m_fw
+        off_p = np.zeros(S, np.int32)
+        off_p[:S_act] = m_off
+        ins = [self._put(x) for x in (ri_p, fw_p, off_p, lens_pad,
+                                      mgn_pad, read_ok_pad)]
+        jax.block_until_ready(ins)
+        packed = _rank_frame_packed(
+            tuple(futs), *ins, np.int32(self.fm.n),
+            range_cap=o.range_cap, expand=o.resolve_expand,
+            max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
+            p_cap=P_CAP,
+        )
+        a = np.asarray(packed)
+        count, ov = int(a[4 * P_CAP]), int(a[4 * P_CAP + 1])
+        if ov or count > P_CAP:
+            return None
+        probs = a[: 4 * count].reshape(count, 4) if count else \
+            np.zeros((0, 4), np.int32)
+        hn = a[4 * P_CAP + 2 : 4 * P_CAP + 2 + npad]
+        he = a[4 * P_CAP + 2 + npad :]
+        return probs, hn, he
 
     def _pack_dp_inputs(self, problems, L: int, C: int):
         """Vectorized DP problem assembly: gather oriented read rows from
@@ -608,28 +710,6 @@ class TPUAligner:
             )
         if len(seeds) == 0:
             return empty
-        with self.timers.phase("searchResolve"):
-            tops, bots, (glob_offs, glob_start, glob_end) = \
-                self._search_resolve(seeds)
-        self.metrics.add(seeds=len(seeds))
-
-        # P5 + framing, fully vectorized with the reference's semantics:
-        # per read, ranges sorted by (width, !fw, off) ascending
-        # (rankSeedHits, aligner_seed.h:1000-1062); element stream capped at
-        # maxIters=400/read; candidates deduped by (read, fw, diagonal);
-        # DP problems capped at maxDp=300/read; windows = diag +- maxgaps
-        # clamped (frameSeedExtensionRect, dp_framer.cpp:81).
-        _t_rank = self.timers.phase("rankAndFrame"); _t_rank.__enter__()
-        widths = (bots - tops).astype(np.int64)
-
-        # per-read seed-hit stats for the --seed-boost re-seed gate
-        # (numElts_/nonzTot_, aligner_seed.h:802-807)
-        nzm = widths > 0
-        self._hit_nonz = np.bincount(m_ri[nzm], minlength=n)
-        self._hit_elts = np.bincount(
-            m_ri[nzm], weights=widths[nzm], minlength=n
-        ).astype(np.int64)
-
         # per-read envelopes: two window tiers.  The reference rect pads
         # each side by 2 * min(gap budget, maxhalf) diagonals ("LHS gap +
         # LHS extra", dp_framer.cpp:94-101).  We frame with the NARROW
@@ -658,9 +738,92 @@ class TPUAligner:
         # routes to the irregular any-shape XLA bucket
         read_ok = lens_all <= o.l_hard
 
-        nz = np.flatnonzero((widths > 0) & read_ok[m_ri])
         problems = []
         prob_meta = []
+        dp_cells = 0
+
+        # ---- fused device path: P4-P6 in two dispatches, one copy ----
+        if getattr(self, "_use_fused_rank", False):
+            npad = 1 << max(8, (n - 1).bit_length())
+            lens_pad = np.zeros(npad, np.int32)
+            lens_pad[:n] = lens_all
+            mgn_pad = np.zeros(npad, np.int32)
+            mgn_pad[:n] = mgn_all
+            rok_pad = np.zeros(npad, bool)
+            rok_pad[:n] = read_ok
+            with self.timers.phase("searchResolve"):
+                try:
+                    fused = self._rank_frame_device(
+                        seeds, m_ri, m_fw, m_off, lens_pad, mgn_pad,
+                        rok_pad
+                    )
+                except Exception:
+                    # axon runtime instability (see __init__): disable for
+                    # the session and rerun this batch on the host path
+                    import sys as _sys
+
+                    print("warning: fused rank/frame failed on this "
+                          "backend; falling back to the host path",
+                          file=_sys.stderr)
+                    self._use_fused_rank = False
+                    fused = None
+            self.metrics.add(seeds=len(seeds))
+            if fused is not None:
+                probs, hn, he = fused
+                self._hit_nonz = hn[:n].astype(np.int64)
+                self._hit_elts = he[:n].astype(np.int64)
+                with self.timers.phase("rankAndFrame"):
+                    srcs_a = probs[:, 0]
+                    problems = [
+                        dict(src=s, wstart=w, wlen=l, diag=d)
+                        for s, w, l, d in zip(
+                            srcs_a.tolist(), probs[:, 1].tolist(),
+                            probs[:, 2].tolist(), probs[:, 3].tolist(),
+                        )
+                    ]
+                    ri_f = srcs_a >> 1
+                    prob_meta = list(zip(
+                        ri_f.tolist(), (srcs_a & 1 == 0).tolist()
+                    ))
+                    dp_cells = int(
+                        (lens_all[ri_f] * probs[:, 2].astype(np.int64)).sum()
+                    ) if len(probs) else 0
+                self.metrics.add(
+                    ranges_nonzero=int(self._hit_nonz.sum()),
+                    dps=len(problems),
+                    dp_cells=dp_cells,
+                )
+                if not problems:
+                    return empty
+                return self._extend_and_collect(
+                    reads, minscs, n, problems, prob_meta,
+                    lens_all, mgn_all, mgw_all, thr_all,
+                )
+            # table overflow (repeat-heavy batch): host path below
+
+        with self.timers.phase("searchResolve"):
+            tops, bots, (glob_offs, glob_start, glob_end) = \
+                self._search_resolve(seeds)
+        self.metrics.add(seeds=len(seeds))
+
+        # P5 + framing, fully vectorized with the reference's semantics:
+        # per read, ranges sorted by (width, !fw, off) ascending
+        # (rankSeedHits, aligner_seed.h:1000-1062); element stream capped at
+        # maxIters=400/read; candidates deduped by (read, fw, diagonal);
+        # DP problems capped at maxDp=300/read; windows = diag +- maxgaps
+        # clamped (frameSeedExtensionRect, dp_framer.cpp:81).
+        _t_rank = self.timers.phase("rankAndFrame"); _t_rank.__enter__()
+        widths = (bots - tops).astype(np.int64)
+
+        # per-read seed-hit stats for the --seed-boost re-seed gate
+        # (numElts_/nonzTot_, aligner_seed.h:802-807)
+        nzm = widths > 0
+        self._hit_nonz = np.bincount(m_ri[nzm], minlength=n)
+        self._hit_elts = np.bincount(
+            m_ri[nzm], weights=widths[nzm], minlength=n
+        ).astype(np.int64)
+
+        nz = np.flatnonzero((widths > 0) & read_ok[m_ri])
         if len(nz):
             w_nz = widths[nz]
             ri_nz = m_ri[nz].astype(np.int64)
@@ -738,7 +901,17 @@ class TPUAligner:
         )
         if not problems:
             return empty
+        return self._extend_and_collect(
+            reads, minscs, n, problems, prob_meta,
+            lens_all, mgn_all, mgw_all, thr_all,
+        )
 
+    def _extend_and_collect(self, reads, minscs, n, problems, prob_meta,
+                            lens_all, mgn_all, mgw_all, thr_all):
+        """P7 + P8a: batched DP, tier escalation, -D streak, candidate
+        collection — shared by the fused-device and host rank/frame
+        paths."""
+        o = self.opts
         # P7 + P8a fused: batched DP with device backtrace walk; ONE
         # compile shape (l_max x dp_cols) for the dominant bucket.
         # Splitting into read-length classes was tried and REVERTED: the

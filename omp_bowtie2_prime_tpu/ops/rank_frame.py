@@ -1,0 +1,185 @@
+"""On-device range ranking, element budgeting, dedupe and DP framing.
+
+The device formulation of the aligner's P5/P6 stage (rankSeedHits,
+aligner_seed.h:1000-1062; prioritizeSATups element streaming + budgets,
+aligner_sw_driver.cpp:61-631; frameSeedExtensionRect, dp_framer.cpp:81)
+— semantically identical to the vectorized host-numpy block in
+models/aligner.py collect_candidates, but running where the seed-search
+results already live, so the per-seed range/offset tables never cross
+the device->host link: one packed problem table comes back instead.
+
+Everything is fixed-shape: dynamic-size numpy idioms (flatnonzero,
+repeat, unique) become sorts over the fixed slot space with validity
+masking:
+
+  1. seed sort by (read, width, !fw, offset)  — the range rank order
+  2. slot ownership via searchsorted over the compaction starts; slot
+     sort by (seed rank, intra)               — the element stream
+  3. element sort by ((orientation, diagonal), stream pos) — first-
+     occurrence dedupe exactly like np.unique(return_index)
+  4. segmented cumsums (cummax trick) for the per-read element (400)
+     and DP (300) budgets in stream order
+  5. scatter of kept problems into a fixed [p_cap, 4] table
+
+int32 throughout (multi-key lax.sort instead of packed int64 keys, so
+the x64 flag stays off); the large-index int64 path keeps the host
+formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+I32 = jnp.int32
+BIG = jnp.int32(2**30)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("range_cap", "expand", "max_elts", "max_dp",
+                     "p_cap", "n_reads"),
+)
+def rank_frame(
+    tops,      # [NC, SB] index dtype
+    bots,      # [NC, SB]
+    starts,    # [NC, SB] compaction starts within the chunk
+    offs,      # [NC, SB*expand] resolved joined offsets (-1 unresolved)
+    m_ri,      # [S] int32 read index per seed (S = NC*SB; pad ri=n_reads)
+    m_fw,      # [S] bool
+    m_off,     # [S] int32 seed offset within the read
+    lens,      # [n_reads] int32 read lengths
+    mgn,       # [n_reads] int32 narrow window slack per read
+    read_ok,   # [n_reads] bool (length <= l_hard)
+    text_n,    # scalar int32/int64 joined text length
+    *,
+    range_cap: int,
+    expand: int,
+    max_elts: int,
+    max_dp: int,
+    p_cap: int,
+    n_reads: int,
+):
+    """Returns (problems [p_cap, 4] int32 (src, wstart, wlen, diag),
+    count, hit_nonz [n_reads], hit_elts [n_reads], overflow flag)."""
+    NC, SB = tops.shape
+    S = NC * SB
+    G = NC * SB * expand
+
+    w = (bots - tops).reshape(S).astype(I32)
+    base = (jnp.arange(NC, dtype=I32) * (SB * expand))[:, None]
+    gstart = (starts.astype(I32) + base).reshape(S)
+    gend = jnp.broadcast_to(base + SB * expand, (NC, SB)).reshape(S)
+    goffs = offs.reshape(G)
+
+    ri = m_ri.astype(I32)
+    ok_read = read_ok[jnp.clip(ri, 0, n_reads - 1)] & (ri < n_reads)
+    valid = (w > 0) & ok_read
+
+    # per-read seed-hit stats (numElts_/nonzTot_, aligner_seed.h:802-807)
+    seg = jnp.where(ri < n_reads, ri, n_reads)
+    nzw = jnp.where(w > 0, 1, 0)
+    hit_nonz = jax.ops.segment_sum(nzw, seg, num_segments=n_reads + 1)[:-1]
+    # per-seed width clipped to 2^20 so the int32 per-read sum cannot
+    # wrap; the --seed-boost gate only compares avg >= thresh (~300), and
+    # a clipped width still forces avg far past any sane threshold
+    hit_elts = jax.ops.segment_sum(
+        jnp.clip(w, 0, 1 << 20), seg, num_segments=n_reads + 1
+    )[:-1]
+
+    # ---- 1. range rank order: (ri, width, !fw, off) ascending ----
+    k1 = jnp.where(valid, ri, BIG)
+    k2 = w
+    k3 = ((~m_fw).astype(I32) << 16) | m_off.astype(I32)
+    ri_s, w_s, k3_s, sid = jax.lax.sort(
+        (k1, k2, k3, jnp.arange(S, dtype=I32)), num_keys=3
+    )
+    valid_s = ri_s < BIG
+    take = jnp.minimum(w_s, range_cap)
+    gstart_s = gstart[sid]
+    gend_s = gend[sid]
+    spill = gstart_s + take > gend_s
+    overflow = jnp.any(spill & valid_s)
+    take = jnp.where(valid_s & ~spill, take, 0)
+
+    # element-stream cap per read (maxIters): running slot base per read
+    csum = jnp.cumsum(take)
+    read_first = jnp.concatenate(
+        [jnp.ones(1, bool), ri_s[1:] != ri_s[:-1]]
+    )
+    base_of_read = jax.lax.cummax(
+        jnp.where(read_first, csum - take, 0)
+    )
+    elt_base = csum - take - base_of_read
+    take_eff = jnp.clip(max_elts - elt_base, 0, take)
+
+    # rank of each stream seed (sorted position), scattered back
+    rank_of_stream = jnp.zeros(S, I32).at[sid].set(
+        jnp.arange(S, dtype=I32)
+    )
+    take_eff_stream = jnp.zeros(S, I32).at[sid].set(take_eff)
+
+    # ---- 2. slot ownership + element stream order ----
+    g = jnp.arange(G, dtype=I32)
+    owner = (
+        jnp.searchsorted(gstart, g, side="right").astype(I32) - 1
+    )
+    owner = jnp.clip(owner, 0, S - 1)
+    intra = g - gstart[owner]
+    slot_ok = (intra >= 0) & (intra < take_eff_stream[owner])
+    srank = rank_of_stream[owner]
+    RC = max(range_cap, expand) + 1
+    slot_key = jnp.where(slot_ok, srank * RC + intra, BIG)
+    # g as second sort key -> fully deterministic order
+    sk_sorted, g_e = jax.lax.sort((slot_key, g), num_keys=2)
+    epos_ok = sk_sorted < BIG  # stream-ordered validity
+
+    owner_e = owner[g_e]
+    joff = goffs[g_e].astype(I32)
+    ri_e = jnp.where(epos_ok, ri[owner_e], n_reads)
+    fw_e = m_fw[owner_e]
+    soff_e = m_off[owner_e].astype(joff.dtype)
+    ok_e = epos_ok & (joff >= 0)
+    cand = joff - soff_e
+
+    # ---- 3. dedupe by (read, fw, diagonal), first stream pos wins ----
+    # epos is a SORT KEY (not payload): ties on (group, diag) must
+    # resolve to the smallest stream position, like np.unique's
+    # return_index over the stream array
+    dk1 = jnp.where(ok_e, ri_e * 2 + fw_e.astype(I32), BIG)
+    epos = jnp.arange(G, dtype=I32)
+    sdk1, sdk2, eidx = jax.lax.sort((dk1, cand, epos), num_keys=3)
+    first = jnp.concatenate(
+        [jnp.ones(1, bool), (sdk1[1:] != sdk1[:-1]) | (sdk2[1:] != sdk2[:-1])]
+    ) & (sdk1 < BIG)
+    keep = jnp.zeros(G, bool).at[eidx].set(first)
+
+    # ---- 4. window framing + wlen filter (narrow tier) ----
+    ln_e = lens[jnp.clip(ri_e, 0, n_reads - 1)].astype(cand.dtype)
+    mg_e = mgn[jnp.clip(ri_e, 0, n_reads - 1)].astype(cand.dtype)
+    wstart = jnp.maximum(jnp.zeros((), cand.dtype), cand - mg_e)
+    wend = jnp.minimum(
+        jnp.asarray(text_n, cand.dtype), cand + ln_e + mg_e
+    )
+    keep &= (wend - wstart) > 0
+
+    # DP cap per read (maxDp) among kept, in stream order
+    kc = jnp.cumsum(keep.astype(I32))
+    rf_e = jnp.concatenate([jnp.ones(1, bool), ri_e[1:] != ri_e[:-1]])
+    kbase = jax.lax.cummax(jnp.where(rf_e, kc - keep.astype(I32), 0))
+    kord = kc - keep.astype(I32) - kbase
+    keep &= kord < max_dp
+
+    # ---- 5. compact kept problems into the fixed table ----
+    out_pos = jnp.cumsum(keep.astype(I32)) - 1
+    count = jnp.sum(keep.astype(I32))
+    srcs = 2 * ri_e + jnp.where(fw_e, 0, 1)
+    tgt = jnp.where(keep & (out_pos < p_cap), out_pos, p_cap)
+    problems = jnp.zeros((p_cap + 1, 4), I32)
+    problems = problems.at[tgt, 0].set(srcs.astype(I32))
+    problems = problems.at[tgt, 1].set(wstart.astype(I32))
+    problems = problems.at[tgt, 2].set((wend - wstart).astype(I32))
+    problems = problems.at[tgt, 3].set(cand.astype(I32))
+    return problems[:p_cap], count, hit_nonz, hit_elts, overflow

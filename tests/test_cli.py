@@ -159,10 +159,15 @@ def test_cli_paired(genome, tmp_path):
     assert int(recs[0][8]) == 300 and int(recs[1][8]) == -300
 
 
-def test_cli_local_unsupported(genome, tmp_path):
+def test_cli_local_unsupported(genome, tmp_path, capsys):
+    """--local warns and continues in end-to-end mode, exactly like the
+    fork (bt2_search.cpp:1345-1348)."""
     d, text, idx = genome
-    with pytest.raises(SystemExit):
-        run_cli(["align", "-x", idx, "-U", "/dev/null", "--local"])
+    out = tmp_path / "l.sam"
+    run_cli(["align", "-x", idx, "-U", "/dev/null", "--local",
+             "-S", str(out)])
+    assert "localAlign not supported" in capsys.readouterr().err
+    assert out.exists()
 
 
 def test_bam_input(genome, tmp_path):
