@@ -152,18 +152,22 @@ P_CAP = 32768  # fixed on-device problem-table rows (fused rank/frame)
     jax.jit,
     static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap"),
 )
-def _rank_frame_packed(chunks, m_ri, m_fw, m_off, lens, mgn, read_ok,
-                       text_n, *, range_cap, expand, max_elts, max_dp,
-                       p_cap):
-    """Stack per-chunk search+resolve outputs (device-resident), run the
-    on-device rank/frame stage, and pack EVERYTHING the host needs into
-    one int32 vector (one device->host copy)."""
+def _rank_frame_mega(idx, seeds3, valid2, m_ri, m_fw, m_off, lens, mgn,
+                     read_ok, text_n, *, range_cap, expand, max_elts,
+                     max_dp, p_cap):
+    """The WHOLE P4-P6 stage as ONE executable: lax.map of the fused
+    seed-search+resolve over the chunk axis, then the on-device
+    rank/frame stage; everything the host needs comes back as one int32
+    vector (single device->host copy).  One program also sidesteps the
+    axon runtime's unreliable cross-executable buffer chaining."""
     from ..ops.rank_frame import rank_frame
 
-    tops = jnp.stack([c[0] for c in chunks])
-    bots = jnp.stack([c[1] for c in chunks])
-    starts = jnp.stack([c[2] for c in chunks])
-    offs = jnp.stack([c[3] for c in chunks])
+    def one(args):
+        s, v = args
+        return seed_search.search_resolve_seeds(idx, s, v, range_cap,
+                                                expand)
+
+    tops, bots, starts, offs = jax.lax.map(one, (seeds3, valid2))
     probs, count, hn, he, ov = rank_frame(
         tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
         text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
@@ -246,12 +250,9 @@ class TPUAligner:
             self._search_resolve_packed = jax.jit(
                 _sr_packed, static_argnums=(3, 4)
             )
-            # fused rank/frame path: chunk results stay on device and the
-            # whole P5/P6 stage (ops/rank_frame.py) runs there; one packed
-            # table comes back instead of every range/offset array
-            self._search_resolve_raw = jax.jit(
-                seed_search.search_resolve_seeds, static_argnums=(3, 4)
-            )
+            # fused rank/frame path: the whole P4-P6 stage runs in one
+            # executable (ops/rank_frame.py via _rank_frame_mega); one
+            # packed table comes back instead of every range/offset array
             import os as _os_
 
             # default ON for CPU/virtual-mesh backends; opt-in
@@ -465,23 +466,14 @@ class TPUAligner:
         o = self.opts
         S_act = len(seeds)
         SB = o.seed_batch
-        futs = []
-        for lo in range(0, S_act, SB):
-            hi = min(lo + SB, S_act)
-            chunk = np.zeros((SB, seeds.shape[1]), np.int8)
-            chunk[: hi - lo] = seeds[lo:hi]
-            valid = np.zeros(SB, bool)
-            valid[: hi - lo] = True
-            futs.append(self._search_resolve_raw(
-                self.idx, self._put(chunk), self._put(valid),
-                o.range_cap, o.resolve_expand,
-            ))
-        # axon-runtime quirk: an executable consuming another executable's
-        # still-in-flight outputs fails with InvalidArgument; synchronize
-        # the search chunks before queueing the rank/frame program
-        # (results stay on device — no copies)
-        jax.block_until_ready(futs)
-        S = len(futs) * SB
+        NC = (S_act + SB - 1) // SB
+        seeds3 = np.zeros((NC, SB, seeds.shape[1]), np.int8)
+        valid2 = np.zeros((NC, SB), bool)
+        for c in range(NC):
+            lo, hi = c * SB, min((c + 1) * SB, S_act)
+            seeds3[c, : hi - lo] = seeds[lo:hi]
+            valid2[c, : hi - lo] = True
+        S = NC * SB
         npad = len(lens_pad)
         ri_p = np.full(S, npad, np.int32)
         ri_p[:S_act] = m_ri
@@ -489,11 +481,11 @@ class TPUAligner:
         fw_p[:S_act] = m_fw
         off_p = np.zeros(S, np.int32)
         off_p[:S_act] = m_off
-        ins = [self._put(x) for x in (ri_p, fw_p, off_p, lens_pad,
-                                      mgn_pad, read_ok_pad)]
-        jax.block_until_ready(ins)
-        packed = _rank_frame_packed(
-            tuple(futs), *ins, np.int32(self.fm.n),
+        packed = _rank_frame_mega(
+            self.idx, self._put(seeds3), self._put(valid2),
+            self._put(ri_p), self._put(fw_p), self._put(off_p),
+            self._put(lens_pad), self._put(mgn_pad),
+            self._put(read_ok_pad), np.int32(self.fm.n),
             range_cap=o.range_cap, expand=o.resolve_expand,
             max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
             p_cap=P_CAP,
