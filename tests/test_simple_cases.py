@@ -123,3 +123,94 @@ def test_md_and_nm_tags(al):
     assert res.stats["nm"] == 1 and res.stats["xm"] == 1
     refc = "ACGT"[REF[140]]
     assert res.stats["md"] == f"40{refc}39"
+
+
+# ---------------- tranche 2 (simple_tests.pl breadth) ----------------
+
+CASES2 = [
+    # 2bp insertion into the read: open 5 + 2*ext 3 = -11
+    (lambda: mk(REF_S[60:100] + "AC" + REF_S[100:138]),
+     dict(pos=60, score=-11, cigar="40M2I38M")),
+    # long (8bp) deletion: -5-24 = -29, within minsc(-0.6-0.6*80=-48)
+    (lambda: mk(REF_S[120:160] + REF_S[168:208]),
+     dict(pos=120, score=-29, cigar="40M8D40M")),
+    # two mismatches far apart: MD run arithmetic
+    (lambda: mk(sub(sub(REF_S[20:100], 10, "ACGT"[(REF[30] + 1) % 4]),
+                    70, "ACGT"[(REF[90] + 1) % 4])),
+     dict(pos=20, score=-12, cigar="80M")),
+]
+
+
+@pytest.mark.parametrize("case_i", range(len(CASES2)))
+def test_simple_case_t2(al, case_i):
+    build, exp = CASES2[case_i]
+    res = al.align_batch([build()])[0]
+    assert res.status == "aligned", f"t2 case {case_i}"
+    assert res.refoff == exp["pos"]
+    assert res.score == exp["score"]
+    if "cigar" in exp:
+        assert cigar_string(res.cigar) == exp["cigar"]
+
+
+def test_gap_barrier_vetoes_end_gaps(al):
+    """gGapBarrier=4: a deletion 2bp from the read start cannot be a gap
+    (scoring.h gap barrier); the aligner must charge mismatches instead
+    or place the read elsewhere — never emit D/I within 4bp of an end."""
+    seq = REF_S[200:202] + REF_S[204:280]  # 2bp del after 2 read chars
+    res = al.align_batch([mk(seq)])[0]
+    if res.status == "aligned":
+        ops = res.cigar
+        # no gap op within gbar of either end
+        lead = 0
+        for op, ln in ops:
+            if op in "DI":
+                assert lead >= 4, f"gap at read offset {lead}"
+            if op in "MI":
+                lead += ln
+
+
+def test_n_heavy_reads_follow_fork_semantics(al):
+    """The fork BYPASSES the up-front N filter for every rdlen<256 read
+    (filt = rdlen<256 short-circuit, bt2_search.cpp:2495-2524 — hence
+    its YF:Z:LN on all records): N-heavy reads still align when the
+    per-base N penalties (-1 each) stay within score-min."""
+    base = REF_S[100:180]
+    heavy = "N" * 13 + base[13:]  # upstream's nFilter would reject this
+    res = al.align_batch([mk(heavy, name="b")])[0]
+    assert res.status == "aligned" and res.refoff == 100
+    assert res.score == -13  # one npen per N
+
+
+def test_norc_nofw_orientation_gates():
+    joined, refmap = join_references(["t0"], [REF.copy()])
+    fm = build_index_from_text(joined, refmap, ftab_k=7)
+    rc_read = mk(dna.decode(dna.revcomp(REF[40:140])))
+    fw_read = mk(REF_S[40:140])
+    al_norc = TPUAligner(fm, opts=AlignOpts(seed_len=20, norc=True))
+    assert al_norc.align_batch([rc_read])[0].status == "unaligned"
+    assert al_norc.align_batch([fw_read])[0].status == "aligned"
+    al_nofw = TPUAligner(fm, opts=AlignOpts(seed_len=20, nofw=True))
+    assert al_nofw.align_batch([fw_read])[0].status == "unaligned"
+    assert al_nofw.align_batch([rc_read])[0].status == "aligned"
+
+
+def test_paired_fr_simple():
+    """Concordant FR pair at known positions: flags, TLEN arithmetic."""
+    from omp_bowtie2_prime_tpu.models.paired import PairedAligner
+    from omp_bowtie2_prime_tpu.utils.pe import PEPolicy, policy_from_flags
+
+    big = np.concatenate([REF, REF[::-1], REF])  # 1200bp
+    joined, refmap = join_references(["t0"], [big.copy()])
+    fm = build_index_from_text(joined, refmap, ftab_k=7)
+    al2 = TPUAligner(fm, opts=AlignOpts(seed_len=20))
+    pe = PEPolicy(pol=policy_from_flags(True, False), minfrag=0, maxfrag=400)
+    pal = PairedAligner(al2, pe)
+    p, frag, rl = 150, 300, 80
+    m1 = Read(0, "p", big[p : p + rl].copy(), np.full(rl, 40, np.uint8))
+    m2 = Read(0, "p", dna.revcomp(big[p + frag - rl : p + frag].copy()),
+              np.full(rl, 40, np.uint8))
+    r = pal.align_pairs([(m1, m2)])[0]
+    assert r.cat == "concord"
+    assert r.m1.refoff == p and r.m2.refoff == p + frag - rl
+    assert r.tlen1 == frag and r.tlen2 == -frag
+    assert r.m1.fw and not r.m2.fw
