@@ -246,9 +246,22 @@ class TPUAligner:
                 )
                 return jnp.concatenate([t, b, st.astype(t.dtype), of])
 
+            def _sr_mega(idx, seeds3, valid2, cap, expand):
+                # ALL seed chunks in one executable (lax.map over the
+                # chunk axis) and ONE packed result copy — each separate
+                # device->host copy costs a fixed relay round-trip
+                def one(args):
+                    s, v = args
+                    return _sr_packed(idx, s, v, cap, expand)
+
+                return jax.lax.map(one, (seeds3, valid2))
+
             self._search_resolve_fn = None
             self._search_resolve_packed = jax.jit(
                 _sr_packed, static_argnums=(3, 4)
+            )
+            self._search_resolve_mega = jax.jit(
+                _sr_mega, static_argnums=(3, 4)
             )
             # fused rank/frame path: the whole P4-P6 stage runs in one
             # executable (ops/rank_frame.py via _rank_frame_mega); one
@@ -308,6 +321,10 @@ class TPUAligner:
         else:
             self._sw_bt_fn = self._sw_bt_xla
         self._put = _put_factory(self.placer)
+        self._put_chunked = (
+            jnp.asarray if self.placer is None
+            else (lambda a: self.placer.put_chunked(jnp.asarray(a)))
+        )
 
     # ---------------- P2: seed instantiation ----------------
 
@@ -388,29 +405,40 @@ class TPUAligner:
         chunk_starts = [None] * nchunks
         chunk_offs = [None] * nchunks
         packed_mode = getattr(self, "_search_resolve_fn", None) is None
+        SB = o.seed_batch
         futs = []
-        for ci, lo in enumerate(range(0, S, o.seed_batch)):
-            hi = min(lo + o.seed_batch, S)
-            chunk = np.zeros((o.seed_batch, seeds.shape[1]), np.int8)
-            chunk[: hi - lo] = seeds[lo:hi]
-            valid = np.zeros(o.seed_batch, bool)
-            valid[: hi - lo] = True
-            if packed_mode:
-                res = _prefetch(self._search_resolve_packed(
-                    self.idx, self._put(chunk), self._put(valid),
-                    o.range_cap, o.resolve_expand,
-                ))
-            else:
+        if packed_mode:
+            # one executable + one result copy for ALL chunks
+            seeds3 = np.zeros((nchunks, SB, seeds.shape[1]), np.int8)
+            valid2 = np.zeros((nchunks, SB), bool)
+            for ci, lo in enumerate(range(0, S, SB)):
+                hi = min(lo + SB, S)
+                seeds3[ci, : hi - lo] = seeds[lo:hi]
+                valid2[ci, : hi - lo] = True
+            a2d = np.asarray(self._search_resolve_mega(
+                self.idx, self._put_chunked(seeds3),
+                self._put_chunked(valid2),
+                o.range_cap, o.resolve_expand,
+            ))
+            for ci, lo in enumerate(range(0, S, SB)):
+                hi = min(lo + SB, S)
+                futs.append((ci, lo, hi, seeds3[ci], valid2[ci], a2d[ci]))
+        else:
+            for ci, lo in enumerate(range(0, S, SB)):
+                hi = min(lo + SB, S)
+                chunk = np.zeros((SB, seeds.shape[1]), np.int8)
+                chunk[: hi - lo] = seeds[lo:hi]
+                valid = np.zeros(SB, bool)
+                valid[: hi - lo] = True
                 res = _prefetch(*self._search_resolve_fn(
                     self.idx, self._put(chunk), self._put(valid),
                     o.range_cap, o.resolve_expand,
                 ))
-            futs.append((ci, lo, hi, chunk, valid, res))
+                futs.append((ci, lo, hi, chunk, valid, res))
         rmax = o.seed_batch * o.resolve_expand
-        SB = o.seed_batch
         for ci, lo, hi, chunk, valid, res in futs:
             if packed_mode:
-                a = np.asarray(res)
+                a = res
                 t, b = a[:SB], a[SB : 2 * SB]
                 st, of = a[2 * SB : 3 * SB], a[3 * SB :]
             else:
@@ -482,7 +510,8 @@ class TPUAligner:
         off_p = np.zeros(S, np.int32)
         off_p[:S_act] = m_off
         packed = _rank_frame_mega(
-            self.idx, self._put(seeds3), self._put(valid2),
+            self.idx, self._put_chunked(seeds3),
+            self._put_chunked(valid2),
             self._put(ri_p), self._put(fw_p), self._put(off_p),
             self._put(lens_pad), self._put(mgn_pad),
             self._put(read_ok_pad), np.int32(self.fm.n),

@@ -56,6 +56,12 @@ class MeshPlacer:
     def put_batch(self, a):
         return jax.device_put(a, self.batched)
 
+    def put_chunked(self, a):
+        """Place [NC, lanes, ...] arrays whose leading dim is a device
+        LOOP (lax.map chunk axis): shard the lane axis over 'data'."""
+        spec = P(None, self.data_axis) if self.data_axis else P()
+        return jax.device_put(a, NamedSharding(self.mesh, spec))
+
 
 def full_align_step(idx, seeds, seed_valid, reads, pens, rdlens, refs,
                     wlens, swp, range_cap: int = 16):
