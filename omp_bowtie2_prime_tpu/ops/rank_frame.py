@@ -29,12 +29,47 @@ formulation.
 from __future__ import annotations
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
 
 I32 = jnp.int32
 BIG = jnp.int32(2**30)
+
+# diagnostic ablations for bisecting the axon-runtime fault (see
+# memory/tpu-env-gotchas): BT2TPU_RF_ABLATE=sorts,owner,scatter,segsum,
+# cummax disables the named op class with shape-preserving (semantically
+# WRONG) stand-ins — stability probes only, never correctness
+_ABLATE = set(
+    s for s in os.environ.get("BT2TPU_RF_ABLATE", "").split(",") if s
+)
+
+
+def _sort(operands, num_keys):
+    if "sorts" in _ABLATE:
+        return operands
+    return jax.lax.sort(operands, num_keys=num_keys)
+
+
+def _scatter_set(dst, idx, val):
+    if "scatter" in _ABLATE:
+        return jnp.broadcast_to(
+            jnp.asarray(val).reshape(-1)[:1], dst.shape
+        ).astype(dst.dtype)
+    return dst.at[idx].set(val)
+
+
+def _segment_sum(vals, seg, num_segments):
+    if "segsum" in _ABLATE:
+        return jnp.zeros(num_segments, vals.dtype)
+    return jax.ops.segment_sum(vals, seg, num_segments=num_segments)
+
+
+def _cummax(x):
+    if "cummax" in _ABLATE:
+        return x
+    return jax.lax.cummax(x)
 
 
 @functools.partial(
@@ -81,19 +116,19 @@ def rank_frame(
     # per-read seed-hit stats (numElts_/nonzTot_, aligner_seed.h:802-807)
     seg = jnp.where(ri < n_reads, ri, n_reads)
     nzw = jnp.where(w > 0, 1, 0)
-    hit_nonz = jax.ops.segment_sum(nzw, seg, num_segments=n_reads + 1)[:-1]
+    hit_nonz = _segment_sum(nzw, seg, n_reads + 1)[:-1]
     # per-seed width clipped to 2^20 so the int32 per-read sum cannot
     # wrap; the --seed-boost gate only compares avg >= thresh (~300), and
     # a clipped width still forces avg far past any sane threshold
-    hit_elts = jax.ops.segment_sum(
-        jnp.clip(w, 0, 1 << 20), seg, num_segments=n_reads + 1
+    hit_elts = _segment_sum(
+        jnp.clip(w, 0, 1 << 20), seg, n_reads + 1
     )[:-1]
 
     # ---- 1. range rank order: (ri, width, !fw, off) ascending ----
     k1 = jnp.where(valid, ri, BIG)
     k2 = w
     k3 = ((~m_fw).astype(I32) << 16) | m_off.astype(I32)
-    ri_s, w_s, k3_s, sid = jax.lax.sort(
+    ri_s, w_s, k3_s, sid = _sort(
         (k1, k2, k3, jnp.arange(S, dtype=I32)), num_keys=3
     )
     valid_s = ri_s < BIG
@@ -109,23 +144,26 @@ def rank_frame(
     read_first = jnp.concatenate(
         [jnp.ones(1, bool), ri_s[1:] != ri_s[:-1]]
     )
-    base_of_read = jax.lax.cummax(
+    base_of_read = _cummax(
         jnp.where(read_first, csum - take, 0)
     )
     elt_base = csum - take - base_of_read
     take_eff = jnp.clip(max_elts - elt_base, 0, take)
 
     # rank of each stream seed (sorted position), scattered back
-    rank_of_stream = jnp.zeros(S, I32).at[sid].set(
-        jnp.arange(S, dtype=I32)
+    rank_of_stream = _scatter_set(
+        jnp.zeros(S, I32), sid, jnp.arange(S, dtype=I32)
     )
-    take_eff_stream = jnp.zeros(S, I32).at[sid].set(take_eff)
+    take_eff_stream = _scatter_set(jnp.zeros(S, I32), sid, take_eff)
 
     # ---- 2. slot ownership + element stream order ----
     g = jnp.arange(G, dtype=I32)
-    owner = (
-        jnp.searchsorted(gstart, g, side="right").astype(I32) - 1
-    )
+    if "owner" in _ABLATE:
+        owner = g // jnp.maximum(jnp.int32(expand), 1)
+    else:
+        owner = (
+            jnp.searchsorted(gstart, g, side="right").astype(I32) - 1
+        )
     owner = jnp.clip(owner, 0, S - 1)
     intra = g - gstart[owner]
     slot_ok = (intra >= 0) & (intra < take_eff_stream[owner])
@@ -133,7 +171,7 @@ def rank_frame(
     RC = max(range_cap, expand) + 1
     slot_key = jnp.where(slot_ok, srank * RC + intra, BIG)
     # g as second sort key -> fully deterministic order
-    sk_sorted, g_e = jax.lax.sort((slot_key, g), num_keys=2)
+    sk_sorted, g_e = _sort((slot_key, g), num_keys=2)
     epos_ok = sk_sorted < BIG  # stream-ordered validity
 
     owner_e = owner[g_e]
@@ -150,11 +188,11 @@ def rank_frame(
     # return_index over the stream array
     dk1 = jnp.where(ok_e, ri_e * 2 + fw_e.astype(I32), BIG)
     epos = jnp.arange(G, dtype=I32)
-    sdk1, sdk2, eidx = jax.lax.sort((dk1, cand, epos), num_keys=3)
+    sdk1, sdk2, eidx = _sort((dk1, cand, epos), num_keys=3)
     first = jnp.concatenate(
         [jnp.ones(1, bool), (sdk1[1:] != sdk1[:-1]) | (sdk2[1:] != sdk2[:-1])]
     ) & (sdk1 < BIG)
-    keep = jnp.zeros(G, bool).at[eidx].set(first)
+    keep = _scatter_set(jnp.zeros(G, bool), eidx, first)
 
     # ---- 4. window framing + wlen filter (narrow tier) ----
     ln_e = lens[jnp.clip(ri_e, 0, n_reads - 1)].astype(cand.dtype)
@@ -168,7 +206,7 @@ def rank_frame(
     # DP cap per read (maxDp) among kept, in stream order
     kc = jnp.cumsum(keep.astype(I32))
     rf_e = jnp.concatenate([jnp.ones(1, bool), ri_e[1:] != ri_e[:-1]])
-    kbase = jax.lax.cummax(jnp.where(rf_e, kc - keep.astype(I32), 0))
+    kbase = _cummax(jnp.where(rf_e, kc - keep.astype(I32), 0))
     kord = kc - keep.astype(I32) - kbase
     keep &= kord < max_dp
 
@@ -177,9 +215,15 @@ def rank_frame(
     count = jnp.sum(keep.astype(I32))
     srcs = 2 * ri_e + jnp.where(fw_e, 0, 1)
     tgt = jnp.where(keep & (out_pos < p_cap), out_pos, p_cap)
-    problems = jnp.zeros((p_cap + 1, 4), I32)
-    problems = problems.at[tgt, 0].set(srcs.astype(I32))
-    problems = problems.at[tgt, 1].set(wstart.astype(I32))
-    problems = problems.at[tgt, 2].set((wend - wstart).astype(I32))
-    problems = problems.at[tgt, 3].set(cand.astype(I32))
+    if "scatter" in _ABLATE:
+        problems = jnp.stack(
+            [srcs.astype(I32), wstart.astype(I32),
+             (wend - wstart).astype(I32), cand.astype(I32)], axis=1
+        )[: p_cap + 1]
+    else:
+        problems = jnp.zeros((p_cap + 1, 4), I32)
+        problems = problems.at[tgt, 0].set(srcs.astype(I32))
+        problems = problems.at[tgt, 1].set(wstart.astype(I32))
+        problems = problems.at[tgt, 2].set((wend - wstart).astype(I32))
+        problems = problems.at[tgt, 3].set(cand.astype(I32))
     return problems[:p_cap], count, hit_nonz, hit_elts, overflow
