@@ -134,6 +134,35 @@ class Candidate:
     stats: dict = dataclasses.field(default_factory=dict)
 
 
+class Problems:
+    """SoA DP-problem table: parallel arrays over the batch's DP
+    problems (the columnar replacement for the per-problem dict list —
+    tens of thousands of Python dicts per batch were pure host
+    overhead).  src = 2*ri + (0 fw / 1 rc); ri/fw are derived views."""
+
+    __slots__ = ("src", "wstart", "wlen", "diag", "ri", "fw")
+
+    def __init__(self, src, wstart, wlen, diag):
+        self.src = np.asarray(src, np.int64)
+        self.wstart = np.asarray(wstart, np.int64)
+        self.wlen = np.asarray(wlen, np.int32)
+        self.diag = np.asarray(diag, np.int64)
+        self.ri = self.src >> 1
+        self.fw = (self.src & 1) == 0
+
+    def __len__(self):
+        return len(self.src)
+
+    def take(self, idxs):
+        return Problems(self.src[idxs], self.wstart[idxs],
+                        self.wlen[idxs], self.diag[idxs])
+
+    def one(self, i) -> dict:
+        """Per-candidate dict view (Candidate.problem compatibility)."""
+        return dict(src=int(self.src[i]), wstart=int(self.wstart[i]),
+                    wlen=int(self.wlen[i]), diag=int(self.diag[i]))
+
+
 _EMPTY_OFFS = np.empty(0, np.int32)
 
 
@@ -534,9 +563,12 @@ class TPUAligner:
         the per-batch matrices and reference windows from the 2-bit text in
         bulk numpy ops (no per-problem Python)."""
         n = len(problems)
-        src = np.fromiter((p["src"] for p in problems), np.int64, n)
-        ws = np.fromiter((p["wstart"] for p in problems), np.int64, n)
-        wl = np.fromiter((p["wlen"] for p in problems), np.int32, n)
+        if isinstance(problems, Problems):
+            src, ws, wl = problems.src, problems.wstart, problems.wlen
+        else:  # list-of-dicts path (paired rescue, backtrace re-runs)
+            src = np.fromiter((p["src"] for p in problems), np.int64, n)
+            ws = np.fromiter((p["wstart"] for p in problems), np.int64, n)
+            wl = np.fromiter((p["wlen"] for p in problems), np.int32, n)
         reads = self._mat_reads[src, :L]
         pens = self._mat_pens[src, :L]
         rdlens = self._mat_lens[src // 2]
@@ -759,8 +791,7 @@ class TPUAligner:
         # routes to the irregular any-shape XLA bucket
         read_ok = lens_all <= o.l_hard
 
-        problems = []
-        prob_meta = []
+        problems = None
         dp_cells = 0
 
         # ---- fused device path: P4-P6 in two dispatches, one copy ----
@@ -778,13 +809,14 @@ class TPUAligner:
                         seeds, m_ri, m_fw, m_off, lens_pad, mgn_pad,
                         rok_pad
                     )
-                except Exception:
+                except Exception as e:
                     # axon runtime instability (see __init__): disable for
                     # the session and rerun this batch on the host path
                     import sys as _sys
 
                     print("warning: fused rank/frame failed on this "
-                          "backend; falling back to the host path",
+                          "backend; falling back to the host path "
+                          f"({type(e).__name__}: {str(e)[:300]})",
                           file=_sys.stderr)
                     self._use_fused_rank = False
                     fused = None
@@ -794,20 +826,11 @@ class TPUAligner:
                 self._hit_nonz = hn[:n].astype(np.int64)
                 self._hit_elts = he[:n].astype(np.int64)
                 with self.timers.phase("rankAndFrame"):
-                    srcs_a = probs[:, 0]
-                    problems = [
-                        dict(src=s, wstart=w, wlen=l, diag=d)
-                        for s, w, l, d in zip(
-                            srcs_a.tolist(), probs[:, 1].tolist(),
-                            probs[:, 2].tolist(), probs[:, 3].tolist(),
-                        )
-                    ]
-                    ri_f = srcs_a >> 1
-                    prob_meta = list(zip(
-                        ri_f.tolist(), (srcs_a & 1 == 0).tolist()
-                    ))
+                    problems = Problems(probs[:, 0], probs[:, 1],
+                                        probs[:, 2], probs[:, 3])
                     dp_cells = int(
-                        (lens_all[ri_f] * probs[:, 2].astype(np.int64)).sum()
+                        (lens_all[problems.ri]
+                         * probs[:, 2].astype(np.int64)).sum()
                     ) if len(probs) else 0
                 self.metrics.add(
                     ranges_nonzero=int(self._hit_nonz.sum()),
@@ -817,7 +840,7 @@ class TPUAligner:
                 if not problems:
                     return empty
                 return self._extend_and_collect(
-                    reads, minscs, n, problems, prob_meta,
+                    reads, minscs, n, problems,
                     lens_all, mgn_all, mgw_all, thr_all,
                 )
             # table overflow (repeat-heavy batch): host path below
@@ -899,35 +922,24 @@ class TPUAligner:
                 np.maximum.accumulate(start_pos, out=start_pos)
                 kidx = kidx[(pos - start_pos) < o.max_dp_per_read]
                 srcs = 2 * ri_e[kidx] + np.where(fw_e[kidx], 0, 1)
-                ws_k = wstart[kidx]
                 wl_k = (wend - wstart)[kidx]
-                fw_k = fw_e[kidx]
-                ri_f = ri_e[kidx]
-                dg_k = cand[kidx]
-                problems = [
-                    dict(src=s, wstart=w, wlen=l, diag=d)
-                    for s, w, l, d in zip(
-                        srcs.tolist(), ws_k.tolist(), wl_k.tolist(),
-                        dg_k.tolist(),
-                    )
-                ]
-                prob_meta = list(zip(ri_f.tolist(), fw_k.tolist()))
-                dp_cells = int((lens_all[ri_f] * wl_k).sum())
+                problems = Problems(srcs, wstart[kidx], wl_k, cand[kidx])
+                dp_cells = int((lens_all[ri_e[kidx]] * wl_k).sum())
 
         _t_rank.__exit__(None, None, None)
         self.metrics.add(
             ranges_nonzero=int(np.count_nonzero(widths > 0)),
-            dps=len(problems),
-            dp_cells=dp_cells if problems else 0,
+            dps=0 if problems is None else len(problems),
+            dp_cells=dp_cells if problems is not None else 0,
         )
-        if not problems:
+        if problems is None or not len(problems):
             return empty
         return self._extend_and_collect(
-            reads, minscs, n, problems, prob_meta,
+            reads, minscs, n, problems,
             lens_all, mgn_all, mgw_all, thr_all,
         )
 
-    def _extend_and_collect(self, reads, minscs, n, problems, prob_meta,
+    def _extend_and_collect(self, reads, minscs, n, problems,
                             lens_all, mgn_all, mgw_all, thr_all):
         """P7 + P8a: batched DP, tier escalation, -D streak, candidate
         collection — shared by the fused-device and host rank/frame
@@ -940,17 +952,13 @@ class TPUAligner:
         # per-bucket dispatches serialize, costing far more than the
         # padding they save (measured 0.24s -> 0.64s on lambda 10K).
         with self.timers.phase("extendDP"):
-            irr_i = [
-                i for i, pr in enumerate(problems)
-                if pr["wlen"] > o.dp_cols
-                or self._mat_lens[pr["src"] // 2] > o.l_max
-            ]
-            if not irr_i:
+            lens_p = self._mat_lens[problems.src // 2]
+            irr_mask = (problems.wlen > o.dp_cols) | (lens_p > o.l_max)
+            irr_i = np.flatnonzero(irr_mask)
+            if not len(irr_i):
                 best, bestcol, ops, startcols = self._run_dp_bt(problems)
             else:
-                irr_set = set(irr_i)
-                reg_i = [i for i in range(len(problems))
-                         if i not in irr_set]
+                reg_i = np.flatnonzero(~irr_mask)
                 n_all = len(problems)
                 best = np.full(n_all, sw.NEG, np.int64)
                 bestcol = np.zeros(n_all, np.int32)
@@ -959,35 +967,34 @@ class TPUAligner:
                 # FIXED length classes (no per-batch shape churn -> the
                 # compile cache stays warm across batches)
                 jobs = []
-                if reg_i:
+                if len(reg_i):
                     jobs.append(((None, None, None), reg_i))
                 sub: dict = {}
-                for i in irr_i:
-                    pr = problems[i]
-                    ln = int(self._mat_lens[pr["src"] // 2])
+                for i in irr_i.tolist():
+                    ln = int(lens_p[i])
                     lc = next(c for c in (o.l_max, 256, 384, 512, 768,
                                           o.l_hard) if ln <= c)
                     cc = ((lc + 2 * o.maxhalf + 31) // 32) * 32
-                    if pr["wlen"] > cc:  # wide window (custom --dpad)
-                        cc = ((pr["wlen"] + 127) // 128) * 128
+                    wl_i = int(problems.wlen[i])
+                    if wl_i > cc:  # wide window (custom --dpad)
+                        cc = ((wl_i + 127) // 128) * 128
                     sub.setdefault((lc, cc), []).append(i)
                 for (lc, cc), idxs in sorted(sub.items()):
                     bt = 1024 if lc <= 384 else 256
                     lm = None if lc == o.l_max else lc
-                    jobs.append(((cc, lm, bt), idxs))
+                    jobs.append(((cc, lm, bt), np.asarray(idxs)))
                 states = [
                     (idxs, self._dispatch_dp_bt(
-                        [problems[i] for i in idxs], cols=cols,
-                        batch=bt, lmax=lm,
+                        problems.take(idxs), cols=cols, batch=bt, lmax=lm,
                     ))
                     for (cols, lm, bt), idxs in jobs
                 ]
                 for idxs, st in states:
                     b, bc, op, stc = self._collect_dp_bt(st)
-                    for t, i in enumerate(idxs):
-                        best[i] = b[t]
-                        bestcol[i] = bc[t]
-                        startcols[i] = stc[t]
+                    best[idxs] = b
+                    bestcol[idxs] = bc
+                    startcols[idxs] = stc
+                    for t, i in enumerate(idxs.tolist()):
                         ops[i] = op[t]
 
         # fork-reach escalation: rerun with the full reference rect only
@@ -996,9 +1003,7 @@ class TPUAligner:
         # admits such paths.  Replaced results are bitwise what an
         # always-wide first pass would have produced.
         multi = o.allhits or o.khits > 1
-        ri_arr = np.fromiter(
-            (m[0] for m in prob_meta), np.int64, len(prob_meta)
-        )
+        ri_arr = problems.ri
         thr_p = thr_all[ri_arr]
         esc = np.flatnonzero(
             (mgw_all[ri_arr] > mgn_all[ri_arr])
@@ -1006,41 +1011,43 @@ class TPUAligner:
             & ((best <= thr_p) | multi)
         )
         if len(esc):
-            wide_probs = []
-            for i in esc:
-                pr = problems[i]
-                mg_w = int(mgw_all[ri_arr[i]])
-                ws = max(0, pr["diag"] - mg_w)
-                we = min(
-                    self.fm.n,
-                    pr["diag"] + int(lens_all[ri_arr[i]]) + mg_w,
-                )
-                wide_probs.append(dict(src=pr["src"], wstart=ws,
-                                       wlen=int(we - ws), diag=pr["diag"]))
-            wmax = max(pr["wlen"] for pr in wide_probs)
+            mg_w = mgw_all[ri_arr[esc]].astype(np.int64)
+            ws = np.maximum(0, problems.diag[esc] - mg_w)
+            we = np.minimum(
+                self.fm.n,
+                problems.diag[esc]
+                + lens_all[ri_arr[esc]].astype(np.int64) + mg_w,
+            )
+            wide_probs = Problems(problems.src[esc], ws, we - ws,
+                                  problems.diag[esc])
+            wmax = int(wide_probs.wlen.max())
             wcols = None if wmax <= o.dp_cols else ((wmax + 31) // 32) * 32
-            wlns = max(int(self._mat_lens[pr["src"] // 2])
-                       for pr in wide_probs)
+            wlns = int(lens_p[esc].max())
             wlmax = None if wlns <= o.l_max else ((wlns + 31) // 32) * 32
             # escalations are rare: pad to the Pallas batch tile (256),
             # not the full dp_batch, so the extra dispatch stays ~free
-            wbatch = min(512, max(256, 1 << (len(wide_probs) - 1).bit_length()))
+            wbatch = min(512, max(256, 1 << (len(esc) - 1).bit_length()))
             self.metrics.add(
-                dps_wide=len(wide_probs),
-                dp_cells=sum(
-                    int(self._mat_lens[pr["src"] // 2]) * pr["wlen"]
-                    for pr in wide_probs
+                dps_wide=len(esc),
+                dp_cells=int(
+                    (lens_p[esc].astype(np.int64) * wide_probs.wlen).sum()
                 ),
             )
             with self.timers.phase("extendDPWide"):
                 b, bc, op, stc = self._run_dp_bt(
                     wide_probs, cols=wcols, batch=wbatch, lmax=wlmax
                 )
-            for t, i in enumerate(esc):
-                problems[i] = wide_probs[t]
-                best[i] = b[t]
-                bestcol[i] = bc[t]
-                startcols[i] = stc[t]
+            # fused-path arrays can be read-only views of the device copy
+            if not problems.wstart.flags.writeable:
+                problems.wstart = problems.wstart.copy()
+            if not problems.wlen.flags.writeable:
+                problems.wlen = problems.wlen.copy()
+            problems.wstart[esc] = ws
+            problems.wlen[esc] = wide_probs.wlen
+            best[esc] = b
+            bestcol[esc] = bc
+            startcols[esc] = stc
+            for t, i in enumerate(esc.tolist()):
                 ops[i] = op[t]
 
         # -D fail streak (maxDpStreak, bt2_search.cpp:417 + streak budget
@@ -1050,34 +1057,62 @@ class TPUAligner:
         # Post-hoc here: the DP already ran batched, but candidates past
         # the stop point are discarded exactly as the reference's would
         # never have been computed.
-        dropped = np.zeros(len(problems), bool)
+        P = len(problems)
+        minsc_p = minscs[ri_arr]
+        dropped = np.zeros(P, bool)
         streak_lim = o.dps + (o.khits - 1) * 10
-        if o.dps > 0:
-            cur_ri, fails, stopped = -1, 0, False
-            for pi, (ri, fw) in enumerate(prob_meta):
-                if ri != cur_ri:
-                    cur_ri, fails, stopped = ri, 0, False
-                if stopped:
-                    dropped[pi] = True
-                elif best[pi] < minscs[ri]:
-                    fails += 1
-                    if fails >= streak_lim:
-                        stopped = True
-                else:
-                    fails = 0
+        if o.dps > 0 and P:
+            # vectorized reset-counter: consecutive fails ending at each
+            # stream position = pos - (last success/read-start barrier)
+            pos = np.arange(P, dtype=np.int64)
+            rf = np.empty(P, bool)
+            rf[0] = True
+            rf[1:] = ri_arr[1:] != ri_arr[:-1]
+            fail = best < minsc_p
+            barrier = np.where(~fail, pos,
+                               np.where(rf, pos - 1, np.int64(-1)))
+            np.maximum.accumulate(barrier, out=barrier)
+            consec = pos - barrier
+            stop = fail & (consec >= streak_lim)
+            starts = np.flatnonzero(rf)
+            sp = np.where(stop, pos, np.int64(P + 1))
+            first_stop = np.minimum.reduceat(sp, starts)
+            grp = np.cumsum(rf) - 1
+            dropped = pos > first_stop[grp]
 
-        # collect valid-scoring candidates, deduped by (fw, end column)
+        # collect valid-scoring candidates, deduped by (fw, end column):
+        # per (read, fw, endj) group the max score wins, earliest stream
+        # position on ties, and groups enter the per-read dict in
+        # first-valid-occurrence order (the insertion-order semantics of
+        # the old per-problem loop, which downstream tie-break selection
+        # depends on)
         cands = [{} for _ in range(n)]
-        for pi, ((ri, fw), b, bc) in enumerate(zip(prob_meta, best, bestcol)):
-            if b < minscs[ri] or dropped[pi]:
-                continue
-            endj = problems[pi]["wstart"] + int(bc)
-            key = (fw, endj)
-            cur = cands[ri].get(key)
-            if cur is None or b > cur.score:
-                cands[ri][key] = Candidate(
-                    score=int(b), fw=fw, endj=endj, problem=problems[pi],
-                    bc=int(bc), ops_row=ops[pi], start_col=int(startcols[pi]),
+        vi = np.flatnonzero((best >= minsc_p) & ~dropped)
+        if len(vi):
+            endj = problems.wstart[vi] + bestcol[vi].astype(np.int64)
+            fwv = problems.fw[vi]
+            riv = ri_arr[vi]
+            order = np.lexsort(
+                (np.arange(len(vi)), -best[vi], endj, fwv, riv)
+            )
+            r_o, f_o, e_o = riv[order], fwv[order], endj[order]
+            gf = np.empty(len(vi), bool)
+            gf[0] = True
+            gf[1:] = ((r_o[1:] != r_o[:-1]) | (f_o[1:] != f_o[:-1])
+                      | (e_o[1:] != e_o[:-1]))
+            gstarts = np.flatnonzero(gf)
+            win = order[gstarts]  # winner (vi-relative) per group
+            firstpos = np.minimum.reduceat(order, gstarts)
+            for k in np.argsort(firstpos, kind="stable").tolist():
+                p_vi = int(win[k])
+                pi = int(vi[p_vi])
+                ri = int(riv[p_vi])
+                fwb = bool(fwv[p_vi])
+                ej = int(endj[p_vi])
+                cands[ri][(fwb, ej)] = Candidate(
+                    score=int(best[pi]), fw=fwb, endj=ej,
+                    problem=problems.one(pi), bc=int(bestcol[pi]),
+                    ops_row=ops[pi], start_col=int(startcols[pi]),
                 )
         return cands
 
