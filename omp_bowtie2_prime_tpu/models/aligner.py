@@ -320,13 +320,19 @@ class TPUAligner:
         if str(jnp.asarray(self.idx.fchr).dtype) == "int64":
             use_pallas = False  # large-index path uses the XLA DP kernel
         def _bt_packed(fn):
-            # single int32 result per DP chunk: [B, 0]=best, [,1]=bestcol,
-            # [,2]=startcol, [,3:]=2-bit op words (4 uint8 per int32) —
-            # one device->host copy instead of four (tunnel round-trips
-            # dominate small-copy cost)
-            def wrapped(reads, pens, rdlens, refs, wlens, p):
+            # ONE packed input put and ONE packed result copy per DP
+            # dispatch (tunnel round-trips dominate small-transfer cost):
+            # in = big uint8 [B, L+L+C] (reads|pens|refs) + small int32
+            # [B, 2] (rdlen, wlen); out int32 [B, 0]=best, [,1]=bestcol,
+            # [,2]=startcol, [,3:]=2-bit op words (4 uint8 per int32)
+            def wrapped(big, small, p, L):
+                reads = jax.lax.bitcast_convert_type(big[:, :L], jnp.int8)
+                pens = big[:, L : 2 * L]
+                refs = jax.lax.bitcast_convert_type(
+                    big[:, 2 * L :], jnp.int8
+                )
                 best, bestcol, opsp, stc = fn(
-                    reads, pens, rdlens, refs, wlens, p
+                    reads, pens, small[:, 0], refs, small[:, 1], p
                 )
                 B, P = opsp.shape
                 P4 = -(-P // 4) * 4
@@ -340,7 +346,7 @@ class TPUAligner:
                 )
                 return jnp.concatenate([hdr, w], axis=1)
 
-            return jax.jit(wrapped, static_argnums=5)
+            return jax.jit(wrapped, static_argnums=(2, 3))
 
         self._sw_bt_xla = _bt_packed(sw.sw_e2e_backtrace_batch)
         if use_pallas:
@@ -590,20 +596,39 @@ class TPUAligner:
             cache[C] = np.lib.stride_tricks.sliding_window_view(pad, C)
         return cache[C]
 
+    # quantized dispatch sizes: every chunk pads up to one of these, so
+    # the executable set per (L, C, kernel) stays small and the compile
+    # cache warm, while one big batch goes out as ONE dispatch (each
+    # put/copy pays a fixed tunnel round-trip that dwarfs its bytes)
+    _DP_LADDER = (256, 512, 1024, 2048, 4096, 8192, 16384, 32768)
+
+    @classmethod
+    def _dp_quant(cls, m: int) -> int:
+        for b in cls._DP_LADDER:
+            if b >= m:
+                return b
+        return cls._DP_LADDER[-1]
+
     @staticmethod
     def _dp_chunk(packed, lo, hi, B):
+        """One packed (big, small) input pair for rows [lo, hi) padded to
+        B: big uint8 [B, L+L+C] = reads|pens|refs, small int32 [B, 2] =
+        (rdlen, wlen)."""
         reads, pens, rdlens, refs, wl = packed
         L, C = reads.shape[1], refs.shape[1]
-
-        def pad(a, fill):
-            if hi - lo == B:
-                return a[lo:hi]
-            out = np.full((B,) + a.shape[1:], fill, a.dtype)
-            out[: hi - lo] = a[lo:hi]
-            return out
-
-        return (pad(reads, 4), pad(pens, 0), pad(rdlens, 0),
-                pad(refs, 4), pad(wl, 0))
+        m = hi - lo
+        big = np.empty((B, 2 * L + C), np.uint8)
+        big[:m, :L] = reads[lo:hi].view(np.uint8)
+        big[:m, L : 2 * L] = pens[lo:hi]
+        big[:m, 2 * L :] = refs[lo:hi].view(np.uint8)
+        if m < B:
+            big[m:, :L] = 4
+            big[m:, L : 2 * L] = 0
+            big[m:, 2 * L :] = 4
+        small = np.zeros((B, 2), np.int32)
+        small[:m, 0] = rdlens[lo:hi]
+        small[:m, 1] = wl[lo:hi]
+        return big, small
 
     def _dispatch_dp_bt(self, problems, cols: int | None = None,
                         batch: int | None = None, lmax: int | None = None):
@@ -612,7 +637,8 @@ class TPUAligner:
         queue on-device back-to-back instead of host-syncing between)."""
         o = self.opts
         n = len(problems)
-        dp_batch = batch or o.dp_batch
+        # no explicit cap: one ladder-quantized dispatch up to 32K rows
+        dp_batch = batch or self._DP_LADDER[-1]
         L, C = (lmax or o.l_max), (cols or o.dp_cols)
         # wide windows (mate rescue) exceed the Pallas tile's VMEM budget;
         # the XLA formulation streams its carries and handles any width
@@ -623,12 +649,11 @@ class TPUAligner:
         futs = []
         for lo in range(0, n, dp_batch):
             hi = min(lo + dp_batch, n)
-            reads, pens, rdlens, refs, wlens = self._dp_chunk(
-                packed, lo, hi, dp_batch
+            big, small = self._dp_chunk(
+                packed, lo, hi, self._dp_quant(hi - lo)
             )
             futs.append((lo, hi, _prefetch(bt_fn(
-                self._put(reads), self._put(pens), self._put(rdlens),
-                self._put(refs), self._put(wlens), self.swp,
+                self._put(big), self._put(small), self.swp, L,
             ))))
         return n, futs
 
@@ -1164,12 +1189,11 @@ class TPUAligner:
             for lo in range(0, len(group), B):
                 chunk = group[lo : lo + B]
                 packed = self._pack_dp_inputs([c.problem for c in chunk], L, W)
-                reads, pens, rdlens, refs, wlens = self._dp_chunk(
-                    packed, 0, len(chunk), B
+                big, small = self._dp_chunk(
+                    packed, 0, len(chunk), self._dp_quant(len(chunk))
                 )
                 futs.append((chunk, _prefetch(bt_fn(
-                    self._put(reads), self._put(pens), self._put(rdlens),
-                    self._put(refs), self._put(wlens), self.swp,
+                    self._put(big), self._put(small), self.swp, L,
                 ))))
         for chunk, res in futs:
             a = np.asarray(res)
