@@ -395,8 +395,19 @@ class TPUAligner:
             nd = len(depths)
             if nd == 0:
                 continue
-            seqs = np.stack([reads[ri].seq for ri in ris])  # [G, ln]
             ris_a = np.asarray(ris, np.int32)
+            # reuse the oriented batch matrices (build_read_matrices runs
+            # first): row 2ri = fw seq, 2ri+1 = rc — skips re-stacking
+            # and re-complementing every group
+            mat = getattr(self, "_mat_reads", None)
+            if mat is not None and ln <= mat.shape[1]:
+                seqs = mat[2 * ris_a.astype(np.int64)]
+                rcs_rows = (mat[2 * ris_a.astype(np.int64) + 1]
+                            if not o.norc else None)
+            else:
+                seqs = np.stack([reads[ri].seq for ri in ris])  # [G, ln]
+                rcs_rows = (dna.revcomp_batch(seqs)
+                            if not o.norc else None)
             win = depths[:, None] + np.arange(sl)[None, :]  # [nd, sl]
             if not o.nofw:
                 fw_seeds = seqs[:, win].reshape(-1, sl)  # [G*nd, sl]
@@ -405,10 +416,9 @@ class TPUAligner:
                 fw_chunks.append(np.ones(len(ris_a) * nd, bool))
                 off_chunks.append(np.tile(depths, len(ris_a)))
             if not o.norc:
-                rcs = dna.revcomp_batch(seqs)
                 rc_offs = ln - depths - sl
                 rwin = rc_offs[:, None] + np.arange(sl)[None, :]
-                rc_seeds = rcs[:, rwin].reshape(-1, sl)
+                rc_seeds = rcs_rows[:, rwin].reshape(-1, sl)
                 seed_chunks.append(rc_seeds)
                 ri_chunks.append(np.repeat(ris_a, nd))
                 fw_chunks.append(np.zeros(len(ris_a) * nd, bool))
@@ -760,15 +770,12 @@ class TPUAligner:
         only to reads the fork can align (<= l_max): long reads have no
         fork behavior to match, and our int32 DP has no such limit."""
         o, sc = self.opts, self.sc
-        minscs = np.zeros(len(reads), np.int64)
-        for ri, rd in enumerate(reads):
-            m = sc.min_score(len(rd.seq))
-            if m > 0:
-                m = 0
-            if m < o.minsc_clamp and len(rd.seq) <= o.l_max:
-                m = o.minsc_clamp
-            minscs[ri] = m
-        return minscs
+        lens = np.fromiter(
+            (len(rd.seq) for rd in reads), np.float64, len(reads)
+        )
+        m = np.minimum(sc.score_min.f_vec(lens), 0)
+        m[(m < o.minsc_clamp) & (lens <= o.l_max)] = o.minsc_clamp
+        return m
 
     def collect_candidates(self, reads, minscs, active, roundi):
         """Phases P2-P7 for one seeding round: returns per-read dicts
@@ -1304,7 +1311,11 @@ class TPUAligner:
         # (fragment-boundary straddle — rare)
         pend = {}  # ri -> (ranked list, next index)
         for ri, alns in enumerate(cands):
-            if alns:
+            if not alns:
+                continue
+            if len(alns) == 1:  # unique candidate: no rank/RNG machinery
+                pend[ri] = (list(alns.items()), 0)
+            else:
                 pend[ri] = (
                     self.rank_candidates(
                         alns, (lambda rd=reads[ri]: self.read_rng(rd))

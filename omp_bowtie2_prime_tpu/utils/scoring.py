@@ -66,6 +66,20 @@ class SimpleFunc:
     def f_int(self, x: float) -> int:
         return int(self.f(x))  # trunc toward zero, like (int64_t)double
 
+    def f_vec(self, xs: np.ndarray) -> np.ndarray:
+        """Vectorized f_int over a float64 array (bit-identical to the
+        scalar path: same IEEE double ops, trunc toward zero)."""
+        if self.type == SIMPLE_FUNC_CONST:
+            g = np.zeros_like(xs)
+        elif self.type == SIMPLE_FUNC_LINEAR:
+            g = xs
+        elif self.type == SIMPLE_FUNC_SQRT:
+            g = np.sqrt(xs)
+        else:
+            g = np.log(xs)
+        v = np.clip(self.C + self.L * g, self.I, self.X)
+        return np.trunc(v).astype(np.int64)
+
 
 def mm_penalty_table(mmp_min: int = 2, mmp_max: int = 6) -> np.ndarray:
     """Qual-scaled mismatch penalties (ref: Scoring::initPens COST_MODEL_QUAL,
