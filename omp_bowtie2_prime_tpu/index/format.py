@@ -160,7 +160,15 @@ class DeviceIndex:
             ftab_top=jnp.asarray(wide8(fm.ftab_top)),
             ftab_bot=jnp.asarray(wide8(fm.ftab_bot)),
             sa_sample=jnp.asarray(wide8(fm.sa_sample)),
-            ref_words=jnp.asarray(fm.ref_words, dtype=jnp.uint32),
+            # +128 zero words of tail padding so the DP window gather's
+            # per-row word slices (ops/sw.py gather_ref_windows) never
+            # clamp backward at the text end
+            ref_words=jnp.asarray(
+                _np.concatenate(
+                    [fm.ref_words.astype(_np.uint32),
+                     _np.zeros(128, _np.uint32)]
+                )
+            ),
             zoff=jnp.asarray(fm.zoff, dtype=rowdt),
             nrows=jnp.asarray(fm.nrows, dtype=rowdt),
             ftab_k=fm.ftab_k,

@@ -241,6 +241,9 @@ class TPUAligner:
         if self.placer is not None:
             self.idx = self.placer.put_index(self.idx)
         self.text = dna.unpack_2bit(fm.ref_words, fm.n)
+        self._large_index = (
+            str(jnp.asarray(self.idx.fchr).dtype) == "int64"
+        )
         self.mm_tab = self.sc.mm_table()
         self.swp = sw.SWParams.from_scoring(self.sc)
         o = self.opts
@@ -321,18 +324,29 @@ class TPUAligner:
             use_pallas = False  # large-index path uses the XLA DP kernel
         def _bt_packed(fn):
             # ONE packed input put and ONE packed result copy per DP
-            # dispatch (tunnel round-trips dominate small-transfer cost):
-            # in = big uint8 [B, L+L+C] (reads|pens|refs) + small int32
-            # [B, 2] (rdlen, wlen); out int32 [B, 0]=best, [,1]=bestcol,
-            # [,2]=startcol, [,3:]=2-bit op words (4 uint8 per int32)
-            def wrapped(big, small, p, L):
+            # dispatch (tunnel round-trips + relay bandwidth dominate):
+            # big uint8 [B, 2L] = reads|pens, small [B, 3] = (rdlen,
+            # wlen, wstart); the reference window is gathered ON DEVICE
+            # from the resident 2-bit text (gather_ref_windows) instead
+            # of shipping [B, C] bytes over the link every dispatch.
+            # host_refs=True keeps the old inline layout (big [B, 2L+C])
+            # for windows wider than the text's tail padding.
+            # out int32 [B, 0]=best, [,1]=bestcol, [,2]=startcol,
+            # [,3:]=2-bit op words (4 uint8 per int32)
+            def wrapped(big, small, refw, p, L, C, host_refs):
                 reads = jax.lax.bitcast_convert_type(big[:, :L], jnp.int8)
                 pens = big[:, L : 2 * L]
-                refs = jax.lax.bitcast_convert_type(
-                    big[:, 2 * L :], jnp.int8
-                )
+                if host_refs:
+                    refs = jax.lax.bitcast_convert_type(
+                        big[:, 2 * L :], jnp.int8
+                    )
+                else:
+                    refs = sw.gather_ref_windows(
+                        refw, small[:, 2], small[:, 1], C
+                    )
                 best, bestcol, opsp, stc = fn(
-                    reads, pens, small[:, 0], refs, small[:, 1], p
+                    reads, pens, small[:, 0].astype(jnp.int32), refs,
+                    small[:, 1].astype(jnp.int32), p
                 )
                 B, P = opsp.shape
                 P4 = -(-P // 4) * 4
@@ -346,7 +360,7 @@ class TPUAligner:
                 )
                 return jnp.concatenate([hdr, w], axis=1)
 
-            return jax.jit(wrapped, static_argnums=(2, 3))
+            return jax.jit(wrapped, static_argnums=(3, 4, 5, 6))
 
         self._sw_bt_xla = _bt_packed(sw.sw_e2e_backtrace_batch)
         if use_pallas:
@@ -574,10 +588,16 @@ class TPUAligner:
         he = a[4 * P_CAP + 2 + npad :]
         return probs, hn, he
 
+    # windows wider than the device text's tail padding (ops/sw.py
+    # gather_ref_windows; DeviceIndex pads 128 words = 2048 bases) ship
+    # host-gathered refs inline instead
+    _DEVICE_REFS_MAX_C = 2000
+
     def _pack_dp_inputs(self, problems, L: int, C: int):
-        """Vectorized DP problem assembly: gather oriented read rows from
-        the per-batch matrices and reference windows from the 2-bit text in
-        bulk numpy ops (no per-problem Python)."""
+        """Vectorized DP problem assembly: oriented read rows gathered
+        from the per-batch matrices (no per-problem Python).  Reference
+        windows stay on device (gathered from the resident 2-bit text)
+        unless C exceeds the tail-padding envelope."""
         n = len(problems)
         if isinstance(problems, Problems):
             src, ws, wl = problems.src, problems.wstart, problems.wlen
@@ -585,15 +605,24 @@ class TPUAligner:
             src = np.fromiter((p["src"] for p in problems), np.int64, n)
             ws = np.fromiter((p["wstart"] for p in problems), np.int64, n)
             wl = np.fromiter((p["wlen"] for p in problems), np.int32, n)
-        reads = self._mat_reads[src, :L]
-        pens = self._mat_pens[src, :L]
+        W = self._mat_reads.shape[1]
+        if L <= W:
+            reads = self._mat_reads[src, :L]
+            pens = self._mat_pens[src, :L]
+        else:  # length-class L wider than this batch's matrices: pad
+            reads = np.full((n, L), 4, np.int8)
+            reads[:, :W] = self._mat_reads[src]
+            pens = np.zeros((n, L), np.uint8)
+            pens[:, :W] = self._mat_pens[src]
         rdlens = self._mat_lens[src // 2]
-        # window gather as a strided row view (a 2-D fancy index over the
-        # whole text is ~20x slower)
+        if C <= self._DEVICE_REFS_MAX_C:
+            return reads, pens, rdlens, None, ws, wl
+        # wide-window fallback: host window gather as a strided row view
+        # (a 2-D fancy index over the whole text is ~20x slower)
         win = self._text_windows(C)
         refs = win[np.minimum(ws, len(win) - 1)].copy()
         refs[np.arange(C)[None, :] >= wl[:, None]] = 4
-        return reads, pens, rdlens, refs, wl
+        return reads, pens, rdlens, refs, ws, wl
 
     def _text_windows(self, C: int):
         """Cached sliding-window view of the joined text (rows = all
@@ -619,25 +648,30 @@ class TPUAligner:
                 return b
         return cls._DP_LADDER[-1]
 
-    @staticmethod
-    def _dp_chunk(packed, lo, hi, B):
+    def _dp_chunk(self, packed, lo, hi, B):
         """One packed (big, small) input pair for rows [lo, hi) padded to
-        B: big uint8 [B, L+L+C] = reads|pens|refs, small int32 [B, 2] =
-        (rdlen, wlen)."""
-        reads, pens, rdlens, refs, wl = packed
-        L, C = reads.shape[1], refs.shape[1]
+        B: big uint8 [B, 2L] = reads|pens (plus |refs inline when the
+        wide-window host fallback is active), small [B, 3] = (rdlen,
+        wlen, wstart) — int64 when the joined text exceeds int32."""
+        reads, pens, rdlens, refs, ws, wl = packed
+        L = reads.shape[1]
+        C = 0 if refs is None else refs.shape[1]
         m = hi - lo
         big = np.empty((B, 2 * L + C), np.uint8)
         big[:m, :L] = reads[lo:hi].view(np.uint8)
         big[:m, L : 2 * L] = pens[lo:hi]
-        big[:m, 2 * L :] = refs[lo:hi].view(np.uint8)
         if m < B:
             big[m:, :L] = 4
             big[m:, L : 2 * L] = 0
-            big[m:, 2 * L :] = 4
-        small = np.zeros((B, 2), np.int32)
+        if refs is not None:
+            big[:m, 2 * L :] = refs[lo:hi].view(np.uint8)
+            if m < B:
+                big[m:, 2 * L :] = 4
+        sdt = np.int64 if self._large_index else np.int32
+        small = np.zeros((B, 3), sdt)
         small[:m, 0] = rdlens[lo:hi]
         small[:m, 1] = wl[lo:hi]
+        small[:m, 2] = ws[lo:hi]
         return big, small
 
     def _dispatch_dp_bt(self, problems, cols: int | None = None,
@@ -656,6 +690,7 @@ class TPUAligner:
                  if C <= o.pallas_cols_cap and L <= o.l_max
                  else self._sw_bt_xla)
         packed = self._pack_dp_inputs(problems, L, C)
+        host_refs = packed[3] is not None
         futs = []
         for lo in range(0, n, dp_batch):
             hi = min(lo + dp_batch, n)
@@ -663,7 +698,8 @@ class TPUAligner:
                 packed, lo, hi, self._dp_quant(hi - lo)
             )
             futs.append((lo, hi, _prefetch(bt_fn(
-                self._put(big), self._put(small), self.swp, L,
+                self._put(big), self._put(small), self.idx.ref_words,
+                self.swp, L, C, host_refs,
             ))))
         return n, futs
 
@@ -1200,7 +1236,8 @@ class TPUAligner:
                     packed, 0, len(chunk), self._dp_quant(len(chunk))
                 )
                 futs.append((chunk, _prefetch(bt_fn(
-                    self._put(big), self._put(small), self.swp, L,
+                    self._put(big), self._put(small), self.idx.ref_words,
+                    self.swp, L, W, packed[3] is not None,
                 ))))
         for chunk, res in futs:
             a = np.asarray(res)

@@ -35,6 +35,42 @@ import numpy as np
 NEG = -(1 << 20)
 
 
+def gather_ref_windows(ref_words, wstart, wlen, C: int):
+    """Reference DP windows gathered ON DEVICE from the 2-bit packed
+    text: [B] joined window starts -> [B, C] int8 base codes, 4 beyond
+    wlen.  Replaces shipping the windows over the host link (the
+    BitPairReference getStretch analog, reference.h:111, moved to where
+    the text already lives).
+
+    ref_words must carry >= C//16 + 2 words of zero padding (see
+    DeviceIndex.from_host).  One contiguous word slice per row (fast:
+    XLA lowers the vmapped dynamic_slice to a sliced gather) + a 16-way
+    static-shift select — never per-element gathers, which are ~100x
+    slower on TPU.
+    """
+    B = wstart.shape[0]
+    W16 = (C + 15) // 16 + 1
+    # word index always fits int32: nrows < 2^32 -> nwords < 2^28
+    w0 = (wstart >> 4).astype(jnp.int32)
+    words = jax.vmap(
+        lambda s: jax.lax.dynamic_slice(ref_words, (s,), (W16,))
+    )(w0)  # [B, W16] uint32
+    shifts = (jnp.arange(16, dtype=jnp.uint32) * 2)[None, None, :]
+    crumbs = (words[:, :, None] >> shifts) & 3  # [B, W16, 16] LSB-first
+    unp = crumbs.reshape(B, W16 * 16).astype(jnp.int8)
+    sh = (wstart & 15).astype(jnp.int32)  # [B] in-word offset
+    stacked = jnp.stack(
+        [unp[:, k : k + C] for k in range(16)], axis=0
+    )  # [16, B, C]
+    onehot = (
+        jnp.arange(16, dtype=jnp.int32)[:, None] == sh[None, :]
+    ).astype(jnp.int8)  # [16, B]
+    refs = jnp.sum(stacked * onehot[:, :, None], axis=0)
+    mask = (jnp.arange(C, dtype=jnp.int32)[None, :]
+            >= wlen[:, None].astype(jnp.int32))
+    return jnp.where(mask, jnp.int8(4), refs)
+
+
 @dataclasses.dataclass(frozen=True)
 class SWParams:
     """Static DP parameters (device kernel specializes on these)."""

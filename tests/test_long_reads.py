@@ -92,3 +92,20 @@ def test_long_read_deep_minsc_not_clamped(setup):
     res = al.align_batch([mk(s, "deep")])[0]
     assert res.status == "aligned" and res.refoff == p
     assert -360 <= res.score <= -254  # below the u8 clamp, above minsc
+
+
+def test_class_wider_than_batch_matrices(setup):
+    """A batch whose longest read is SHORTER than its length class
+    (e.g. only 300bp reads: matrices are 320 wide, class is 384) must
+    pad reads/pens up to the class width — a static-width slice of
+    narrower matrices would bleed penalties into read codes
+    (regression: device-refs refactor, 2026-08-17)."""
+    rng, text, al = setup
+    p = 60001
+    s = text[p : p + 300].copy()
+    s[150] = (s[150] + 1) % 4  # one mismatch, qual 40 -> penalty 6
+    res = al.align_batch([mk(s, "w300")])[0]
+    assert res.status == "aligned"
+    assert res.refoff == p
+    assert res.score == -6
+    assert res.cigar == [("M", 300)]
