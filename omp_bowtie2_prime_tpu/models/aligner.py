@@ -362,13 +362,63 @@ class TPUAligner:
 
             return jax.jit(wrapped, static_argnums=(3, 4, 5, 6))
 
+        def _bt_packed_mat(fn):
+            # index-only DP dispatch: the oriented read/pen matrices are
+            # put on device ONCE per batch (align_batch), so a dispatch
+            # ships just [B, 4] ints (src row, rdlen, wlen, wstart) —
+            # reads/pens are row gathers, the reference window comes from
+            # the resident 2-bit text.  ~20x fewer bytes over the link
+            # than the inline layout; every later dispatch (round 2,
+            # escalation, irregular classes, backtrace re-runs) reuses
+            # the same resident matrices for free.
+            def wrapped(small, matr, matp, refw, p, L, C):
+                rows = small[:, 0].astype(jnp.int32)
+                reads_w = matr[rows]
+                pens_w = matp[rows]
+                W = reads_w.shape[1]
+                if W >= L:
+                    reads = reads_w[:, :L]
+                    pens = pens_w[:, :L]
+                else:  # length class wider than this batch's matrices
+                    reads = jnp.pad(reads_w, ((0, 0), (0, L - W)),
+                                    constant_values=4)
+                    pens = jnp.pad(pens_w, ((0, 0), (0, L - W)))
+                refs = sw.gather_ref_windows(
+                    refw, small[:, 3], small[:, 2], C
+                )
+                best, bestcol, opsp, stc = fn(
+                    reads, pens, small[:, 1].astype(jnp.int32), refs,
+                    small[:, 2].astype(jnp.int32), p
+                )
+                B, P = opsp.shape
+                P4 = -(-P // 4) * 4
+                w = jnp.pad(opsp, ((0, 0), (0, P4 - P)))
+                w = jax.lax.bitcast_convert_type(
+                    w.reshape(B, P4 // 4, 4), jnp.int32
+                )
+                hdr = jnp.stack(
+                    [best.astype(jnp.int32), bestcol.astype(jnp.int32),
+                     stc.astype(jnp.int32)], axis=1,
+                )
+                return jnp.concatenate([hdr, w], axis=1)
+
+            return jax.jit(wrapped, static_argnums=(4, 5, 6))
+
         self._sw_bt_xla = _bt_packed(sw.sw_e2e_backtrace_batch)
+        self._sw_bt_xla_mat = _bt_packed_mat(sw.sw_e2e_backtrace_batch)
         if use_pallas:
             from ..ops.sw_pallas import sw_e2e_backtrace_pallas
 
             self._sw_bt_fn = _bt_packed(sw_e2e_backtrace_pallas)
+            self._sw_bt_fn_mat = _bt_packed_mat(sw_e2e_backtrace_pallas)
         else:
             self._sw_bt_fn = self._sw_bt_xla
+            self._sw_bt_fn_mat = self._sw_bt_xla_mat
+        # index-only dispatch needs a globally-addressable matrix row
+        # gather: single-device only (a 'data'-sharded mesh would need an
+        # all-gather per dispatch)
+        self._dp_from_mat = self.placer is None
+        self._dev_mat = None
         self._put = _put_factory(self.placer)
         self._put_chunked = (
             jnp.asarray if self.placer is None
@@ -593,11 +643,13 @@ class TPUAligner:
     # host-gathered refs inline instead
     _DEVICE_REFS_MAX_C = 2000
 
-    def _pack_dp_inputs(self, problems, L: int, C: int):
+    def _pack_dp_inputs(self, problems, L: int, C: int,
+                        need_rows: bool = True):
         """Vectorized DP problem assembly: oriented read rows gathered
         from the per-batch matrices (no per-problem Python).  Reference
         windows stay on device (gathered from the resident 2-bit text)
-        unless C exceeds the tail-padding envelope."""
+        unless C exceeds the tail-padding envelope; with need_rows=False
+        (index-only dispatch) reads/pens stay on device entirely."""
         n = len(problems)
         if isinstance(problems, Problems):
             src, ws, wl = problems.src, problems.wstart, problems.wlen
@@ -605,6 +657,9 @@ class TPUAligner:
             src = np.fromiter((p["src"] for p in problems), np.int64, n)
             ws = np.fromiter((p["wstart"] for p in problems), np.int64, n)
             wl = np.fromiter((p["wlen"] for p in problems), np.int32, n)
+        rdlens = self._mat_lens[src // 2]
+        if not need_rows:
+            return None, None, rdlens, None, ws, wl, src
         W = self._mat_reads.shape[1]
         if L <= W:
             reads = self._mat_reads[src, :L]
@@ -614,15 +669,14 @@ class TPUAligner:
             reads[:, :W] = self._mat_reads[src]
             pens = np.zeros((n, L), np.uint8)
             pens[:, :W] = self._mat_pens[src]
-        rdlens = self._mat_lens[src // 2]
         if C <= self._DEVICE_REFS_MAX_C:
-            return reads, pens, rdlens, None, ws, wl
+            return reads, pens, rdlens, None, ws, wl, src
         # wide-window fallback: host window gather as a strided row view
         # (a 2-D fancy index over the whole text is ~20x slower)
         win = self._text_windows(C)
         refs = win[np.minimum(ws, len(win) - 1)].copy()
         refs[np.arange(C)[None, :] >= wl[:, None]] = 4
-        return reads, pens, rdlens, refs, ws, wl
+        return reads, pens, rdlens, refs, ws, wl, src
 
     def _text_windows(self, C: int):
         """Cached sliding-window view of the joined text (rows = all
@@ -653,7 +707,7 @@ class TPUAligner:
         B: big uint8 [B, 2L] = reads|pens (plus |refs inline when the
         wide-window host fallback is active), small [B, 3] = (rdlen,
         wlen, wstart) — int64 when the joined text exceeds int32."""
-        reads, pens, rdlens, refs, ws, wl = packed
+        reads, pens, rdlens, refs, ws, wl, _src = packed
         L = reads.shape[1]
         C = 0 if refs is None else refs.shape[1]
         m = hi - lo
@@ -674,6 +728,18 @@ class TPUAligner:
         small[:m, 2] = ws[lo:hi]
         return big, small
 
+    def _dp_chunk_mat(self, packed, lo, hi, B):
+        """Index-only chunk: [B, 4] = (src row, rdlen, wlen, wstart)."""
+        _reads, _pens, rdlens, _refs, ws, wl, src = packed
+        m = hi - lo
+        sdt = np.int64 if self._large_index else np.int32
+        small = np.zeros((B, 4), sdt)
+        small[:m, 0] = src[lo:hi]
+        small[:m, 1] = rdlens[lo:hi]
+        small[:m, 2] = wl[lo:hi]
+        small[:m, 3] = ws[lo:hi]
+        return small
+
     def _dispatch_dp_bt(self, problems, cols: int | None = None,
                         batch: int | None = None, lmax: int | None = None):
         """Dispatch the batched DP+backtrace chunks async; returns an
@@ -686,12 +752,27 @@ class TPUAligner:
         L, C = (lmax or o.l_max), (cols or o.dp_cols)
         # wide windows (mate rescue) exceed the Pallas tile's VMEM budget;
         # the XLA formulation streams its carries and handles any width
-        bt_fn = (self._sw_bt_fn
-                 if C <= o.pallas_cols_cap and L <= o.l_max
-                 else self._sw_bt_xla)
-        packed = self._pack_dp_inputs(problems, L, C)
-        host_refs = packed[3] is not None
+        pallas = C <= o.pallas_cols_cap and L <= o.l_max
+        use_mat = (self._dp_from_mat and self._dev_mat is not None
+                   and C <= self._DEVICE_REFS_MAX_C)
+        packed = self._pack_dp_inputs(problems, L, C,
+                                      need_rows=not use_mat)
         futs = []
+        if use_mat:
+            bt_fn = self._sw_bt_fn_mat if pallas else self._sw_bt_xla_mat
+            matr, matp = self._dev_mat
+            for lo in range(0, n, dp_batch):
+                hi = min(lo + dp_batch, n)
+                small = self._dp_chunk_mat(
+                    packed, lo, hi, self._dp_quant(hi - lo)
+                )
+                futs.append((lo, hi, _prefetch(bt_fn(
+                    self._put(small), matr, matp, self.idx.ref_words,
+                    self.swp, L, C,
+                ))))
+            return n, futs
+        bt_fn = self._sw_bt_fn if pallas else self._sw_bt_xla
+        host_refs = packed[3] is not None
         for lo in range(0, n, dp_batch):
             hi = min(lo + dp_batch, n)
             big, small = self._dp_chunk(
@@ -799,6 +880,10 @@ class TPUAligner:
         self._mat_reads = mat_r
         self._mat_pens = mat_p
         self._mat_lens = lens
+        if getattr(self, "_dp_from_mat", False):
+            # resident device copies for index-only DP dispatch; the
+            # padding-heavy layout compresses well over the relay link
+            self._dev_mat = (jnp.asarray(mat_r), jnp.asarray(mat_p))
 
     def min_scores(self, reads) -> np.ndarray:
         """Per-read clamped minimum scores (bt2_search.cpp:2476-2491).
@@ -1226,19 +1311,32 @@ class TPUAligner:
         futs = []
         for (W, L), group in by_w.items():
             B = min(o.dp_batch, 1024)
-            bt_fn = (self._sw_bt_fn
-                     if W <= o.pallas_cols_cap and L <= o.l_max
-                     else self._sw_bt_xla)
+            pallas = W <= o.pallas_cols_cap and L <= o.l_max
+            use_mat = (self._dp_from_mat and self._dev_mat is not None
+                       and W <= self._DEVICE_REFS_MAX_C)
             for lo in range(0, len(group), B):
                 chunk = group[lo : lo + B]
-                packed = self._pack_dp_inputs([c.problem for c in chunk], L, W)
-                big, small = self._dp_chunk(
-                    packed, 0, len(chunk), self._dp_quant(len(chunk))
+                packed = self._pack_dp_inputs(
+                    [c.problem for c in chunk], L, W,
+                    need_rows=not use_mat,
                 )
-                futs.append((chunk, _prefetch(bt_fn(
-                    self._put(big), self._put(small), self.idx.ref_words,
-                    self.swp, L, W, packed[3] is not None,
-                ))))
+                Bq = self._dp_quant(len(chunk))
+                if use_mat:
+                    bt_fn = (self._sw_bt_fn_mat if pallas
+                             else self._sw_bt_xla_mat)
+                    small = self._dp_chunk_mat(packed, 0, len(chunk), Bq)
+                    futs.append((chunk, _prefetch(bt_fn(
+                        self._put(small), *self._dev_mat,
+                        self.idx.ref_words, self.swp, L, W,
+                    ))))
+                else:
+                    bt_fn = self._sw_bt_fn if pallas else self._sw_bt_xla
+                    big, small = self._dp_chunk(packed, 0, len(chunk), Bq)
+                    futs.append((chunk, _prefetch(bt_fn(
+                        self._put(big), self._put(small),
+                        self.idx.ref_words, self.swp, L, W,
+                        packed[3] is not None,
+                    ))))
         for chunk, res in futs:
             a = np.asarray(res)
             ops = sw.unpack_ops2(np.ascontiguousarray(a[:, 3:]).view(np.uint8))
