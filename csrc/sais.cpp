@@ -203,11 +203,12 @@ extern "C" int bt_ibwt_i64(const uint8_t* bwt, uint8_t* text, int64_t n_rows,
 // ops: [n, ops_stride] uint8 rows, END->START order, 0=done 1=M 2=I 3=D.
 // For record k: read row = reads_mat + srcs[k]*reads_stride (codes, 4=N),
 // reference = text, window origin = wstarts[k] + start_cols[k].
-// Outputs per record: CIGAR runs (op chars + counts, up to cig_slots) and
-// an MD string (up to md_slot chars); stats_out[k*8..] =
-// {nm, xm, xo, xg, xn, span, ncig, mdlen}; ncig = -1 marks a record whose
-// slot overflowed (caller falls back to Python). Returns the index of the
-// first overflowed record or -1.
+// Outputs per record: the CIGAR as a ready-to-emit ASCII string (run-length
+// encoded, up to cig_slot chars) and an MD string (up to md_slot chars);
+// stats_out[k*8..] = {nm, xm, xo, xg, xn, span, ciglen, mdlen}; ciglen = -1
+// marks a record whose slot overflowed (caller falls back to Python),
+// ciglen = 0 an empty op row (no alignment traced). Returns the index of
+// the first overflowed record or -1.
 
 static const char BT_OPSYM[4] = {'?', 'M', 'I', 'D'};
 static const char BT_BASE[5] = {'A', 'C', 'G', 'T', 'N'};
@@ -217,7 +218,7 @@ extern "C" int64_t bt_finish_batch(
     const int32_t* start_cols, const int64_t* wstarts,
     const int8_t* reads_mat, int64_t reads_stride, const int64_t* srcs,
     const int8_t* text, int64_t text_len,
-    uint8_t* cig_ops, int32_t* cig_cnt, int64_t cig_slots,
+    char* cig_buf, int64_t cig_slot,
     char* md_buf, int64_t md_slot,
     int64_t* stats_out) {
     int64_t overflow = -1;
@@ -229,67 +230,63 @@ extern "C" int64_t bt_finish_batch(
         int64_t tpos = wstarts[k] + start_cols[k];
         int64_t i = 0;
         int64_t nm = 0, xm = 0, xo = 0, xg = 0, xn = 0;
-        int64_t ncig = 0, mdlen = 0, match_run = 0;
-        char last_op = 0, prev_kind = 0;
+        int64_t ciglen = 0, mdlen = 0, match_run = 0;
         bool ok = true;
-        auto md_num = [&](int64_t v) {
+        auto num_into = [&](char* buf, int64_t& len, int64_t slot, int64_t v) {
             char tmp[24];
-            int len = 0;
-            if (v == 0) tmp[len++] = '0';
-            while (v > 0) { tmp[len++] = char('0' + v % 10); v /= 10; }
-            if (mdlen + len > md_slot) { ok = false; return; }
-            for (int t = len - 1; t >= 0; t--)
-                md_buf[k * md_slot + mdlen++] = tmp[t];
+            int t = 0;
+            if (v == 0) tmp[t++] = '0';
+            while (v > 0) { tmp[t++] = char('0' + v % 10); v /= 10; }
+            if (len + t > slot) { ok = false; return; }
+            while (t > 0) buf[len++] = tmp[--t];
         };
         auto md_chr = [&](char c) {
             if (mdlen + 1 > md_slot) { ok = false; return; }
             md_buf[k * md_slot + mdlen++] = c;
         };
-        for (int64_t q = m; q-- > 0 && ok;) {  // reversed = START->END
-            uint8_t op = o[q];
-            char sym = BT_OPSYM[op];
-            if (sym != last_op) {
-                if (ncig >= cig_slots) { ok = false; break; }
-                cig_ops[k * cig_slots + ncig] = (uint8_t)sym;
-                cig_cnt[k * cig_slots + ncig] = 0;
-                ncig++;
-                last_op = sym;
-            }
-            cig_cnt[k * cig_slots + ncig - 1]++;
-            if (op == 1) {  // M
-                int rc = rd[i];
-                int fc = tpos < text_len ? text[tpos] : 4;
-                if (rc == fc && rc < 4) {
-                    match_run++;
-                } else {
-                    md_num(match_run);
+        // run-wise over the reversed (START->END) op string
+        for (int64_t q = m; q > 0 && ok;) {
+            uint8_t op = o[q - 1];
+            int64_t r = q - 1;
+            while (r > 0 && o[r - 1] == op) r--;
+            int64_t run = q - r;
+            q = r;
+            num_into(cig_buf + k * cig_slot, ciglen, cig_slot - 1, run);
+            if (!ok) break;
+            cig_buf[k * cig_slot + ciglen++] = BT_OPSYM[op];
+            if (op == 1) {  // M run: per-cell MD/mismatch accounting
+                for (int64_t t = 0; t < run; t++) {
+                    int rc = rd[i];
+                    int fc = tpos < text_len ? text[tpos] : 4;
+                    if (rc == fc && rc < 4) {
+                        match_run++;
+                    } else {
+                        num_into(md_buf + k * md_slot, mdlen, md_slot,
+                                 match_run);
+                        md_chr(BT_BASE[fc < 4 && fc >= 0 ? fc : 4]);
+                        match_run = 0;
+                        nm++; xm++;
+                        if (fc >= 4) xn++;
+                    }
+                    i++; tpos++;
+                }
+            } else if (op == 2) {  // I run: read chars, no ref (ref gap)
+                nm += run; xg += run; xo++;
+                i += run;
+            } else {  // D run: ref chars, no read (read gap)
+                num_into(md_buf + k * md_slot, mdlen, md_slot, match_run);
+                match_run = 0;
+                md_chr('^');
+                xo++;
+                for (int64_t t = 0; t < run; t++) {
+                    int fc = tpos < text_len ? text[tpos] : 4;
                     md_chr(BT_BASE[fc < 4 && fc >= 0 ? fc : 4]);
-                    match_run = 0;
-                    nm++; xm++;
-                    if (fc >= 4) xn++;
+                    tpos++;
                 }
-                i++; tpos++;
-                prev_kind = 'M';
-            } else if (op == 2) {  // I: read char, no ref (ref gap)
-                nm++; xg++;
-                if (prev_kind != 'I') xo++;
-                i++;
-                prev_kind = 'I';
-            } else {  // D: ref char, no read (read gap)
-                if (prev_kind != 'D') {
-                    md_num(match_run);
-                    match_run = 0;
-                    md_chr('^');
-                    xo++;
-                }
-                int fc = tpos < text_len ? text[tpos] : 4;
-                md_chr(BT_BASE[fc < 4 && fc >= 0 ? fc : 4]);
-                nm++; xg++;
-                tpos++;
-                prev_kind = 'D';
+                nm += run; xg += run;
             }
         }
-        md_num(match_run);
+        num_into(md_buf + k * md_slot, mdlen, md_slot, match_run);
         if (!ok) {
             if (overflow < 0) overflow = k;
             stats_out[k * 8 + 6] = -1;
@@ -301,7 +298,7 @@ extern "C" int64_t bt_finish_batch(
         stats_out[k * 8 + 3] = xg;
         stats_out[k * 8 + 4] = xn;
         stats_out[k * 8 + 5] = tpos - (wstarts[k] + start_cols[k]);
-        stats_out[k * 8 + 6] = ncig;
+        stats_out[k * 8 + 6] = ciglen;
         stats_out[k * 8 + 7] = mdlen;
     }
     return overflow;

@@ -215,10 +215,11 @@ class SamWriter:
     def cigar_str(self, res) -> str:
         from ..utils.cigar import cigar_string, cigar_xeq
 
-        cig = res.cigar
         if self.xeq and res.stats:
-            cig = cigar_xeq(cig, res.stats["md"])
-        return cigar_string(cig)
+            return cigar_string(cigar_xeq(res.cigar, res.stats["md"]))
+        if res.cigar_str:
+            return res.cigar_str  # native finisher's ready ASCII string
+        return cigar_string(res.cigar)
 
     def qual_str(self, qual: np.ndarray) -> str:
         return (np.asarray(qual, np.uint8) + 33).tobytes().decode("ascii")

@@ -88,50 +88,116 @@ class AlignOpts:
     pallas_cols_cap: int = 256
 
 
-@dataclasses.dataclass
-class AlnResult:
+class LazyStats:
+    """Mapping view over one native-finisher stats row (csrc/sais.cpp
+    bt_finish_batch) + raw MD bytes; values materialize on access so the
+    hot path never builds per-record dicts."""
+
+    __slots__ = ("_row", "_md")
+    _IDX = {"nm": 0, "xm": 1, "xo": 2, "xg": 3, "xn": 4, "ref_span": 5}
+
+    def __init__(self, row, md):
+        self._row = row  # list of ints (stats row, pre-tolist'ed)
+        self._md = md    # bytes | str
+
+    def __getitem__(self, k):
+        if k == "md":
+            md = self._md
+            if not isinstance(md, str):
+                md = self._md = md.decode("ascii")
+            return md
+        return self._row[self._IDX[k]]
+
+    def get(self, k, default=None):
+        try:
+            return self[k]
+        except KeyError:
+            return default
+
+    def __bool__(self):
+        return True
+
+    def __repr__(self):
+        d = {k: self._row[i] for k, i in self._IDX.items()}
+        d["md"] = self["md"]
+        return repr(d)
+
+
+class _LazyCigar:
+    """Shared lazy-``cigar`` property implementation: the op-tuple list is
+    parsed from the native finisher's ASCII string only when accessed."""
+
+    __slots__ = ()
+
+    @property
+    def cigar(self) -> list:
+        c = self._cigar
+        if c is None:
+            c = self._cigar = cigar_util.parse_cigar(self.cigar_str)
+        return c
+
+    @cigar.setter
+    def cigar(self, v):
+        self._cigar = v
+
+
+class AlnResult(_LazyCigar):
     """Per-read outcome."""
 
-    status: str  # "aligned" | "unaligned"
-    fw: bool = True
-    refid: int = -1
-    refoff: int = -1  # 0-based
-    score: int = 0
-    secbest: object = None
-    mapq: int = 0
-    cigar: list = dataclasses.field(default_factory=list)
-    stats: dict = dataclasses.field(default_factory=dict)
-    nhits: int = 0
-    span: int = 0  # reference chars consumed
-    # secondary alignments for -k/-a reporting (flag 0x100 records)
-    extra: list = dataclasses.field(default_factory=list)
+    __slots__ = ("status", "fw", "refid", "refoff", "score", "secbest",
+                 "mapq", "_cigar", "cigar_str", "stats", "nhits", "span",
+                 "extra")
+
+    def __init__(self, status, fw=True, refid=-1, refoff=-1, score=0,
+                 secbest=None, mapq=0, cigar=None, cigar_str="",
+                 stats=None, nhits=0, span=0, extra=None):
+        self.status = status  # "aligned" | "unaligned"
+        self.fw = fw
+        self.refid = refid
+        self.refoff = refoff  # 0-based
+        self.score = score
+        self.secbest = secbest
+        self.mapq = mapq
+        self._cigar = cigar
+        self.cigar_str = cigar_str  # ready ASCII CIGAR ("" -> from _cigar)
+        self.stats = stats if stats is not None else {}
+        self.nhits = nhits
+        self.span = span  # reference chars consumed
+        # secondary alignments for -k/-a reporting (flag 0x100 records)
+        self.extra = extra if extra is not None else []
 
 
-@dataclasses.dataclass
-class Candidate:
+class Candidate(_LazyCigar):
     """A scored DP endpoint for one read: a distinct (fw, joined end col)
     (the dedupe key the reference applies per DP problem via its redundancy
     checks, aligner_sw_driver.cpp:528-560). Backtrace details are filled
     lazily by TPUAligner.backtrace()."""
 
-    score: int
-    fw: bool
-    endj: int  # joined-text column where the alignment ends (exclusive)
-    problem: dict  # read/pens/wstart/wlen for the DP window
-    bc: int  # best end column within the window
-    # device-computed backtrace raw results (op string END->START + start
-    # col), finished lazily on host into cigar/stats:
-    ops_row: object = None
-    start_col: int = -1
-    # lazily-populated backtrace results:
-    resolved: bool = False
-    valid: bool = False  # False if straddles a fragment boundary
-    joined_start: int = -1
-    span: int = 0
-    refid: int = -1
-    refoff: int = -1
-    cigar: list = dataclasses.field(default_factory=list)
-    stats: dict = dataclasses.field(default_factory=dict)
+    __slots__ = ("score", "fw", "endj", "problem", "bc", "ops_row",
+                 "start_col", "resolved", "valid", "joined_start", "span",
+                 "refid", "refoff", "_cigar", "cigar_str", "stats")
+
+    def __init__(self, score, fw, endj, problem, bc, ops_row=None,
+                 start_col=-1):
+        self.score = score
+        self.fw = fw
+        self.endj = endj  # joined-text col where the alignment ends (excl)
+        self.problem = problem  # src/wstart/wlen/diag of the DP window
+        self.bc = bc  # best end column within the window
+        # device-computed backtrace raw results (op string END->START +
+        # start col), finished lazily on host into cigar/stats:
+        self.ops_row = ops_row
+        self.start_col = start_col
+        # lazily-populated backtrace results:
+        self.resolved = False
+        self.valid = False  # False if straddles a fragment boundary
+        self.joined_start = -1
+        self.span = 0
+        self.refid = -1
+        self.refoff = -1
+        self._cigar = None
+        self.cigar_str = ""
+        self.stats = {}
 
 
 class Problems:
@@ -856,27 +922,36 @@ class TPUAligner:
         the reference's fixed 160x200 SSE buffer lacks entirely."""
         o = self.opts
         n = len(reads)
-        longest = max((len(rd.seq) for rd in reads), default=0)
+        lens = np.fromiter((len(rd.seq) for rd in reads), np.int32, n)
+        longest = int(lens.max()) if n else 0
         L = o.l_max
         if longest > L:
             L = min(o.l_hard, ((longest + 31) // 32) * 32)
+        # vectorized fill (no per-length-group loop): concatenate all read
+        # bytes once, boolean-scatter into the padded [n, L] panel; the rc
+        # rows come from one flat reverse-within-read gather
+        flat_r = (np.concatenate([rd.seq for rd in reads])
+                  if n else np.zeros(0, np.int8))
+        flat_q = (np.concatenate([rd.qual for rd in reads])
+                  if n else np.zeros(0, np.uint8))
+        clipped = np.minimum(lens, L).astype(np.int64)
+        starts = np.cumsum(clipped) - clipped
+        pos = np.arange(int(clipped.sum()), dtype=np.int64)
+        pos -= np.repeat(starts, clipped)
+        if longest > L:  # drop tails of reads beyond the hard cap
+            starts_f = np.cumsum(lens.astype(np.int64)) - lens
+            keep = (np.arange(len(flat_r), dtype=np.int64)
+                    - np.repeat(starts_f, lens)) < L
+            flat_r, flat_q = flat_r[keep], flat_q[keep]
+        flat_p = self.mm_tab[flat_q]
+        rev_src = np.repeat(starts + clipped - 1, clipped) - pos
+        mask = np.arange(L, dtype=np.int32)[None, :] < clipped[:, None]
         mat_r = np.full((2 * n, L), 4, np.int8)
         mat_p = np.zeros((2 * n, L), np.uint8)
-        lens = np.zeros(n, np.int32)
-        groups: dict[int, list] = {}
-        for ri, rd in enumerate(reads):
-            ln = len(rd.seq)
-            lens[ri] = ln
-            groups.setdefault(min(ln, L), []).append(ri)
-        for ln, ris in groups.items():
-            seqs = np.stack([reads[ri].seq[:ln] for ri in ris]).astype(np.int8)
-            quals = np.stack([reads[ri].qual[:ln] for ri in ris])
-            pens = self.mm_tab[np.minimum(quals, 255)]
-            rows = 2 * np.asarray(ris, np.int64)
-            mat_r[rows, :ln] = seqs
-            mat_p[rows, :ln] = pens
-            mat_r[rows + 1, :ln] = dna.revcomp_batch(seqs)
-            mat_p[rows + 1, :ln] = pens[:, ::-1]
+        mat_r[0::2][mask] = flat_r
+        mat_p[0::2][mask] = flat_p
+        mat_r[1::2][mask] = dna.comp(flat_r[rev_src])
+        mat_p[1::2][mask] = flat_p[rev_src]
         self._mat_reads = mat_r
         self._mat_pens = mat_p
         self._mat_lens = lens
@@ -1363,34 +1438,40 @@ class TPUAligner:
                            srcs, self.text)
         if out is None:
             return False
-        cig_ops, cig_cnt, md_buf, stats = out
+        cig_buf, md_buf, stats = out
         spans = stats[:, 5]
         joined = wstarts + start_cols
         refid, refoff, valid = self.fm.refmap.joined_to_ref_batch(joined, spans)
+        # bulk scalar conversion: one C pass instead of 6 np-scalar int()
+        # casts per record
+        stats_l = stats.tolist()
+        joined_l = joined.tolist()
+        refid_l = refid.tolist()
+        refoff_l = refoff.tolist()
+        valid_l = valid.tolist()
+        cig_bytes = cig_buf.tobytes()
+        md_bytes = md_buf.tobytes()
+        cslot = cig_buf.shape[1]
+        mslot = md_buf.shape[1]
         for k, c in enumerate(cands):
-            ncig = int(stats[k, 6])
-            if ncig < 0:  # slot overflow: python fallback for this record
+            row = stats_l[k]
+            ciglen = row[6]
+            if ciglen < 0:  # slot overflow: python fallback for this record
                 c.resolved = True
                 self._finish_backtrace(c, c.ops_row, int(start_cols[k]))
                 continue
-            if ncig == 0:
+            if ciglen == 0:
                 continue  # no alignment traced
-            c.joined_start = int(joined[k])
-            c.span = int(spans[k])
-            if not valid[k]:
+            c.joined_start = joined_l[k]
+            c.span = row[5]
+            if not valid_l[k]:
                 continue  # fragment-boundary straddle (bt2_idx.cpp:54-128)
-            c.refid = int(refid[k])
-            c.refoff = int(refoff[k])
-            c.cigar = [
-                (chr(cig_ops[k, t]), int(cig_cnt[k, t])) for t in range(ncig)
-            ]
-            c.stats = {
-                "nm": int(stats[k, 0]), "xm": int(stats[k, 1]),
-                "xo": int(stats[k, 2]), "xg": int(stats[k, 3]),
-                "xn": int(stats[k, 4]),
-                "md": md_buf[k, : stats[k, 7]].tobytes().decode("ascii"),
-                "ref_span": int(spans[k]),
-            }
+            c.refid = refid_l[k]
+            c.refoff = refoff_l[k]
+            c.cigar_str = cig_bytes[k * cslot : k * cslot + ciglen].decode(
+                "ascii"
+            )
+            c.stats = LazyStats(row, md_bytes[k * mslot : k * mslot + row[7]])
             c.valid = True
         return True
 
@@ -1487,7 +1568,8 @@ class TPUAligner:
                     score=cand.score,
                     secbest=secbest,
                     mapq=mq,
-                    cigar=cand.cigar,
+                    cigar=cand._cigar,
+                    cigar_str=cand.cigar_str,
                     stats=cand.stats,
                     nhits=1,
                     span=cand.span,
@@ -1522,7 +1604,8 @@ class TPUAligner:
                 score=cand.score,
                 secbest=secbest,
                 mapq=255,
-                cigar=cand.cigar,
+                cigar=cand._cigar,
+                cigar_str=cand.cigar_str,
                 stats=cand.stats,
                 nhits=1,
                 span=cand.span,

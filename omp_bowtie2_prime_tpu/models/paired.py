@@ -57,7 +57,8 @@ def _to_result(cand: Candidate, secbest, mapq) -> AlnResult:
         score=cand.score,
         secbest=secbest,
         mapq=mapq,
-        cigar=cand.cigar,
+        cigar=cand._cigar,
+        cigar_str=cand.cigar_str,
         stats=cand.stats,
         nhits=1,
         span=cand.span,

@@ -78,7 +78,7 @@ def get_lib():
                                         ctypes.c_int64] + [ctypes.c_void_p] * 2 + [
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
             ctypes.c_void_p, ctypes.c_int64,
-            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
         ]
         _lib = lib
@@ -86,10 +86,11 @@ def get_lib():
 
 
 def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
-                 cig_slots: int = 16, md_slot: int = 384):
+                 cig_slot: int = 64, md_slot: int = 384):
     """Native CIGAR/MD/stats for a batch of backtraced alignments. Returns
-    (cig_ops [n, cig_slots] uint8, cig_cnt int32, md_buf bytes-2d,
-    stats [n, 8] int64) or None if the library is unavailable. Records with
+    (cig_buf [n, cig_slot] bytes-2d holding ready ASCII CIGAR strings,
+    md_buf bytes-2d, stats [n, 8] int64 = {nm,xm,xo,xg,xn,span,ciglen,
+    mdlen}) or None if the library is unavailable. Records with
     stats[k, 6] == -1 overflowed their slot (caller falls back)."""
     lib = get_lib()
     if lib is None:
@@ -101,8 +102,7 @@ def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
     reads_mat = np.ascontiguousarray(reads_mat, np.int8)
     text = np.ascontiguousarray(text, np.int8)
     n = len(ops_mat)
-    cig_ops = np.zeros((n, cig_slots), np.uint8)
-    cig_cnt = np.zeros((n, cig_slots), np.int32)
+    cig_buf = np.zeros((n, cig_slot), np.uint8)
     md_buf = np.zeros((n, md_slot), np.uint8)
     stats = np.zeros((n, 8), np.int64)
     lib.bt_finish_batch(
@@ -110,11 +110,11 @@ def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
         start_cols.ctypes.data, wstarts.ctypes.data,
         reads_mat.ctypes.data, np.int64(reads_mat.shape[1]), srcs.ctypes.data,
         text.ctypes.data, np.int64(len(text)),
-        cig_ops.ctypes.data, cig_cnt.ctypes.data, np.int64(cig_slots),
+        cig_buf.ctypes.data, np.int64(cig_slot),
         md_buf.ctypes.data, np.int64(md_slot),
         stats.ctypes.data,
     )
-    return cig_ops, cig_cnt, md_buf, stats
+    return cig_buf, md_buf, stats
 
 
 def sais_available() -> bool:

@@ -14,6 +14,19 @@ def cigar_string(cigar: list) -> str:
     return "".join(f"{n}{op}" for op, n in cigar)
 
 
+def parse_cigar(s: str) -> list:
+    """Inverse of cigar_string: '10M2D5M' -> [('M',10),('D',2),('M',5)]."""
+    out = []
+    n = 0
+    for ch in s:
+        if "0" <= ch <= "9":
+            n = n * 10 + ord(ch) - 48
+        else:
+            out.append((ch, n))
+            n = 0
+    return out
+
+
 def cigar_xeq(cigar: list, md: str) -> list:
     """Split M runs into =/X using the MD tag (--xeq; ref: sam.cpp CIGAR
     emission with xeq, StackedAln::buildCigar). MD grammar:
