@@ -1521,11 +1521,12 @@ class TPUAligner:
         ))
 
     def _finalize_unpaired(self, reads, minscs, cands, results) -> None:
-        sc = self.sc
         # pick winner per read; backtraces batched across reads, advancing
         # to the next-ranked candidate only when one proves invalid
         # (fragment-boundary straddle — rare)
         pend = {}  # ri -> (ranked list, next index)
+        rank = self.rank_candidates
+        read_rng = self.read_rng
         for ri, alns in enumerate(cands):
             if not alns:
                 continue
@@ -1533,13 +1534,17 @@ class TPUAligner:
                 pend[ri] = (list(alns.items()), 0)
             else:
                 pend[ri] = (
-                    self.rank_candidates(
-                        alns, (lambda rd=reads[ri]: self.read_rng(rd))
-                    ),
-                    0,
+                    rank(alns, (lambda rd=reads[ri]: read_rng(rd))), 0
                 )
         o = self.opts
         multi = o.allhits or o.khits > 1
+        # -k>1 / -a report modes don't compute a meaningful MAPQ
+        # (BowtieMapq2's !canMax short-circuit, unique.h:200-205)
+        mapq_fn = mapq_v3 if o.mapqv == 3 else mapq_v2_e2e
+        bonus = self.sc.match_bonus
+        mins_l = np.asarray(minscs, np.int64).tolist()
+        lens_l = self._mat_lens.tolist()
+        mq_cache: dict = {}  # distinct (score, secbest, minsc, len) are few
         while pend:
             self.backtrace_batch(
                 [ranked[i][1] for ranked, i in pend.values()]
@@ -1551,18 +1556,20 @@ class TPUAligner:
                     if i + 1 < len(ranked):
                         nxt[ri] = (ranked, i + 1)
                     continue
-                fw = cand.fw
                 secbest = ranked[1][1].score if len(ranked) > 1 else None
-                perfect = sc.match_bonus * len(reads[ri].seq)
-                # -k>1 / -a report modes don't compute a meaningful MAPQ
-                # (BowtieMapq2's !canMax short-circuit, unique.h:200-205)
-                mapq_fn = mapq_v3 if o.mapqv == 3 else mapq_v2_e2e
-                mq = 255 if multi else mapq_fn(
-                    cand.score, secbest, int(minscs[ri]), perfect
-                )
+                if multi:
+                    mq = 255
+                else:
+                    key = (cand.score, secbest, mins_l[ri], lens_l[ri])
+                    mq = mq_cache.get(key)
+                    if mq is None:
+                        mq = mq_cache[key] = mapq_fn(
+                            cand.score, secbest, mins_l[ri],
+                            bonus * lens_l[ri],
+                        )
                 res = AlnResult(
                     status="aligned",
-                    fw=fw,
+                    fw=cand.fw,
                     refid=cand.refid,
                     refoff=cand.refoff,
                     score=cand.score,
