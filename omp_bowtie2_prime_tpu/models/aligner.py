@@ -507,10 +507,24 @@ class TPUAligner:
         sl = o.seed_len
         if indices is None:
             indices = range(len(reads))
+        mat = getattr(self, "_mat_reads", None)
+        vec = None
+        if mat is not None:
+            idx = np.asarray(list(indices), np.int64)
+            fits = self._mat_lens[idx] <= mat.shape[1]
+            vec = self._instantiate_seeds_vec(idx[fits], roundi)
+            if fits.all():
+                return vec
+            indices = idx[~fits].tolist()  # long reads: grouped fallback
         groups: dict[int, list] = {}
         for ri in indices:
             groups.setdefault(len(reads[ri].seq), []).append(ri)
         seed_chunks, ri_chunks, fw_chunks, off_chunks = [], [], [], []
+        if vec is not None and len(vec[0]):
+            seed_chunks.append(vec[0])
+            ri_chunks.append(vec[1][0])
+            fw_chunks.append(vec[1][1])
+            off_chunks.append(vec[1][2])
         for ln, ris in sorted(groups.items()):
             if ln < sl:
                 continue
@@ -564,6 +578,52 @@ class TPUAligner:
             np.concatenate(off_chunks).astype(np.int32),
         )
         return seeds, meta
+
+    def _instantiate_seeds_vec(self, idx: np.ndarray, roundi: int):
+        """Group-free seed instantiation for reads resident in the batch
+        matrices: per-read depth counts by arithmetic, all seed windows by
+        one flat gather per orientation. Within-read seed order (depths
+        ascending, fw block before rc block) matches the grouped path."""
+        o = self.opts
+        sl = o.seed_len
+        lens = self._mat_lens[idx].astype(np.int64)
+        ivals = np.maximum(1, o.ival.f_vec(lens.astype(np.float64)))
+        nr = np.minimum(o.nrounds, ivals)
+        start = (ivals * roundi) // nr
+        count = np.where(
+            (roundi < nr) & (lens >= sl) & (start <= lens - sl),
+            (lens - sl - start) // ivals + 1,
+            0,
+        )
+        S = int(count.sum())
+        if S == 0:
+            return np.zeros((0, sl), np.int8), (
+                np.zeros(0, np.int32), np.zeros(0, bool),
+                np.zeros(0, np.int32),
+            )
+        rsel = np.repeat(np.arange(len(idx), dtype=np.int64), count)
+        k = np.arange(S, dtype=np.int64)
+        k -= np.repeat(np.cumsum(count) - count, count)
+        d = start[rsel] + k * ivals[rsel]  # fw 5' seed offsets
+        ri_s = idx[rsel]
+        mat = self._mat_reads
+        L = mat.shape[1]
+        flat = mat.reshape(-1)
+        j = np.arange(sl, dtype=np.int64)
+        chunks, metas = [], []
+        if not o.nofw:
+            chunks.append(flat[(2 * ri_s * L + d)[:, None] + j])
+            metas.append((ri_s, np.ones(S, bool), d))
+        if not o.norc:
+            rc_off = lens[rsel] - d - sl  # mirrored rc-read offsets
+            chunks.append(flat[((2 * ri_s + 1) * L + rc_off)[:, None] + j])
+            metas.append((ri_s, np.zeros(S, bool), rc_off))
+        seeds = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
+        return seeds, (
+            np.concatenate([m[0] for m in metas]).astype(np.int32),
+            np.concatenate([m[1] for m in metas]),
+            np.concatenate([m[2] for m in metas]).astype(np.int32),
+        )
 
     # ---------------- device phase helpers (padded chunking) ----------------
 
