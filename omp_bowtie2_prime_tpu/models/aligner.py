@@ -1391,16 +1391,28 @@ class TPUAligner:
             gstarts = np.flatnonzero(gf)
             win = order[gstarts]  # winner (vi-relative) per group
             firstpos = np.minimum.reduceat(order, gstarts)
-            for k in np.argsort(firstpos, kind="stable").tolist():
-                p_vi = int(win[k])
-                pi = int(vi[p_vi])
-                ri = int(riv[p_vi])
-                fwb = bool(fwv[p_vi])
-                ej = int(endj[p_vi])
-                cands[ri][(fwb, ej)] = Candidate(
-                    score=int(best[pi]), fw=fwb, endj=ej,
-                    problem=problems.one(pi), bc=int(bestcol[pi]),
-                    ops_row=ops[pi], start_col=int(startcols[pi]),
+            # bulk-convert every per-winner scalar once (np-scalar indexing
+            # per candidate was ~half the loop's cost)
+            emit = win[np.argsort(firstpos, kind="stable")]
+            pis = vi[emit]
+            pi_l = pis.tolist()
+            ri_l = riv[emit].tolist()
+            fw_l = fwv[emit].tolist()
+            ej_l = endj[emit].tolist()
+            sc_l = best[pis].tolist()
+            bc_l = bestcol[pis].tolist()
+            st_l = startcols[pis].tolist()
+            src_l = problems.src[pis].tolist()
+            ws_l = problems.wstart[pis].tolist()
+            wl_l = problems.wlen[pis].tolist()
+            dg_l = problems.diag[pis].tolist()
+            for t in range(len(emit)):
+                ri = ri_l[t]
+                cands[ri][(fw_l[t], ej_l[t])] = Candidate(
+                    score=sc_l[t], fw=fw_l[t], endj=ej_l[t],
+                    problem=dict(src=src_l[t], wstart=ws_l[t],
+                                 wlen=wl_l[t], diag=dg_l[t]),
+                    bc=bc_l[t], ops_row=ops[pi_l[t]], start_col=st_l[t],
                 )
         return cands
 
