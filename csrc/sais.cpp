@@ -205,10 +205,13 @@ extern "C" int bt_ibwt_i64(const uint8_t* bwt, uint8_t* text, int64_t n_rows,
 // reference = text, window origin = wstarts[k] + start_cols[k].
 // Outputs per record: the CIGAR as a ready-to-emit ASCII string (run-length
 // encoded, up to cig_slot chars) and an MD string (up to md_slot chars);
-// stats_out[k*8..] = {nm, xm, xo, xg, xn, span, ciglen, mdlen}; ciglen = -1
-// marks a record whose slot overflowed (caller falls back to Python),
-// ciglen = 0 an empty op row (no alignment traced). Returns the index of
-// the first overflowed record or -1.
+// stats_out[k*9..] = {nm, xm, xo, xg, xn, span, ciglen, mdlen, ns};
+// ns counts aligned columns involving an N on either side (matchesEx
+// == -1 in the reference backtrace, aligner_swsse_ee_u8.cpp:1281-1283,
+// capped by nCeil upstream). ciglen = -1 marks a record whose slot
+// overflowed (caller falls back to Python), ciglen = 0 an empty op row
+// (no alignment traced). Returns the index of the first overflowed
+// record or -1.
 
 static const char BT_OPSYM[4] = {'?', 'M', 'I', 'D'};
 static const char BT_BASE[5] = {'A', 'C', 'G', 'T', 'N'};
@@ -229,7 +232,7 @@ extern "C" int64_t bt_finish_batch(
         const int8_t* rd = reads_mat + srcs[k] * reads_stride;
         int64_t tpos = wstarts[k] + start_cols[k];
         int64_t i = 0;
-        int64_t nm = 0, xm = 0, xo = 0, xg = 0, xn = 0;
+        int64_t nm = 0, xm = 0, xo = 0, xg = 0, xn = 0, ns = 0;
         int64_t ciglen = 0, mdlen = 0, match_run = 0;
         bool ok = true;
         auto num_into = [&](char* buf, int64_t& len, int64_t slot, int64_t v) {
@@ -258,6 +261,7 @@ extern "C" int64_t bt_finish_batch(
                 for (int64_t t = 0; t < run; t++) {
                     int rc = rd[i];
                     int fc = tpos < text_len ? text[tpos] : 4;
+                    if (rc >= 4 || fc >= 4) ns++;
                     if (rc == fc && rc < 4) {
                         match_run++;
                     } else {
@@ -289,17 +293,18 @@ extern "C" int64_t bt_finish_batch(
         num_into(md_buf + k * md_slot, mdlen, md_slot, match_run);
         if (!ok) {
             if (overflow < 0) overflow = k;
-            stats_out[k * 8 + 6] = -1;
+            stats_out[k * 9 + 6] = -1;
             continue;
         }
-        stats_out[k * 8 + 0] = nm;
-        stats_out[k * 8 + 1] = xm;
-        stats_out[k * 8 + 2] = xo;
-        stats_out[k * 8 + 3] = xg;
-        stats_out[k * 8 + 4] = xn;
-        stats_out[k * 8 + 5] = tpos - (wstarts[k] + start_cols[k]);
-        stats_out[k * 8 + 6] = ciglen;
-        stats_out[k * 8 + 7] = mdlen;
+        stats_out[k * 9 + 0] = nm;
+        stats_out[k * 9 + 1] = xm;
+        stats_out[k * 9 + 2] = xo;
+        stats_out[k * 9 + 3] = xg;
+        stats_out[k * 9 + 4] = xn;
+        stats_out[k * 9 + 5] = tpos - (wstarts[k] + start_cols[k]);
+        stats_out[k * 9 + 6] = ciglen;
+        stats_out[k * 9 + 7] = mdlen;
+        stats_out[k * 9 + 8] = ns;
     }
     return overflow;
 }

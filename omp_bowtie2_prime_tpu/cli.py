@@ -336,7 +336,7 @@ def cmd_align(args):
                     if un_out:
                         fq_dump(un_out, rd)
                     if not args.no_unal:
-                        w.write_unaligned(rd)
+                        w.write_unaligned(rd, yf=res.filt)
                     else:
                         w.summary.add(0)
 

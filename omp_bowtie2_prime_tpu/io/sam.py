@@ -350,6 +350,9 @@ class SamWriter:
             ]
             if oaligned:
                 tags.append(("YS", "i", ores.score))
+        elif res.filt is not None:
+            # mate pre-filtered (e.g. N ceiling): YF:Z reason
+            tags.append(("YF", "Z", res.filt))
         tags.append(("YT", "Z", yt))
         if self.rg_id:
             tags.append(("RG", "Z", self.rg_id))

@@ -94,7 +94,8 @@ class LazyStats:
     hot path never builds per-record dicts."""
 
     __slots__ = ("_row", "_md")
-    _IDX = {"nm": 0, "xm": 1, "xo": 2, "xg": 3, "xn": 4, "ref_span": 5}
+    _IDX = {"nm": 0, "xm": 1, "xo": 2, "xg": 3, "xn": 4, "ref_span": 5,
+            "ns": 8}
 
     def __init__(self, row, md):
         self._row = row  # list of ints (stats row, pre-tolist'ed)
@@ -146,11 +147,11 @@ class AlnResult(_LazyCigar):
 
     __slots__ = ("status", "fw", "refid", "refoff", "score", "secbest",
                  "mapq", "_cigar", "cigar_str", "stats", "nhits", "span",
-                 "extra")
+                 "extra", "filt")
 
     def __init__(self, status, fw=True, refid=-1, refoff=-1, score=0,
                  secbest=None, mapq=0, cigar=None, cigar_str="",
-                 stats=None, nhits=0, span=0, extra=None):
+                 stats=None, nhits=0, span=0, extra=None, filt=None):
         self.status = status  # "aligned" | "unaligned"
         self.fw = fw
         self.refid = refid
@@ -165,6 +166,9 @@ class AlnResult(_LazyCigar):
         self.span = span  # reference chars consumed
         # secondary alignments for -k/-a reporting (flag 0x100 records)
         self.extra = extra if extra is not None else []
+        # pre-alignment filter reason ("NS" = N ceiling, YF:Z tag;
+        # AlnFlags::printYF, aligner_result.cpp:987-1000)
+        self.filt = filt
 
 
 class Candidate(_LazyCigar):
@@ -952,6 +956,13 @@ class TPUAligner:
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
         minscs = self.min_scores(reads)
 
+        # NOTE on the up-front N pre-filter (Scoring::nFilter): the fork
+        # BYPASSES it for every rdlen<256 read (`bool filt = rdlen<256`
+        # short-circuit, bt2_search.cpp:2495-2500) — verified empirically:
+        # a 13-N/80bp read is rejected by the BACKTRACE-level ns>nCeil cap
+        # (aligner_swsse_ee_u8.cpp:1284, reproduced in the finish paths)
+        # with the generic YF:Z:LN, never YF:Z:NS. We therefore apply no
+        # pre-filter either; n_filter_mask stays available for callers.
         active = list(range(n))
         for roundi in range(self.opts.nrounds):
             if not active:
@@ -1032,6 +1043,23 @@ class TPUAligner:
         m = np.minimum(sc.score_min.f_vec(lens), 0)
         m[(m < o.minsc_clamp) & (lens <= o.l_max)] = o.minsc_clamp
         return m
+
+    def n_filter_mask(self, reads) -> np.ndarray:
+        """True = read fails the N-ceiling pre-filter (Scoring::nFilter,
+        scoring.cpp:104-117: more Ns than nCeil.f(rdlen)); such reads are
+        never aligned and report YF:Z:NS. Uses the resident batch matrices
+        (padding is code 4, subtracted out)."""
+        lens = self._mat_lens.astype(np.int64)
+        mat = self._mat_reads
+        L = mat.shape[1]
+        row4 = (mat[0::2] == 4).sum(axis=1).astype(np.int64)
+        ns = row4 - (L - np.minimum(lens, L))
+        for ri in np.flatnonzero(lens > L).tolist():  # truncated tails
+            ns[ri] += int((np.asarray(reads[ri].seq[L:]) == 4).sum())
+        maxns = np.minimum(
+            self.sc.n_ceil.f_vec(lens.astype(np.float64)), lens
+        )
+        return ns > maxns
 
     def collect_candidates(self, reads, minscs, active, roundi):
         """Phases P2-P7 for one seeding round: returns per-read dicts
@@ -1525,6 +1553,8 @@ class TPUAligner:
         md_bytes = md_buf.tobytes()
         cslot = cig_buf.shape[1]
         mslot = md_buf.shape[1]
+        lens_l = self._mat_lens
+        nceil_cache: dict = {}
         for k, c in enumerate(cands):
             row = stats_l[k]
             ciglen = row[6]
@@ -1538,6 +1568,13 @@ class TPUAligner:
             c.span = row[5]
             if not valid_l[k]:
                 continue  # fragment-boundary straddle (bt2_idx.cpp:54-128)
+            if row[8]:  # Ns in the alignment: nCeil cap
+                rdlen = int(lens_l[srcs[k] >> 1])
+                mx = nceil_cache.get(rdlen)
+                if mx is None:
+                    mx = nceil_cache[rdlen] = self.sc.n_ceil_for(rdlen)
+                if row[8] > mx:
+                    continue  # too many Ns (aligner_swsse_ee_u8.cpp:1284)
             c.refid = refid_l[k]
             c.refoff = refoff_l[k]
             c.cigar_str = cig_bytes[k * cslot : k * cslot + ciglen].decode(
@@ -1563,7 +1600,10 @@ class TPUAligner:
         rdlen = int(self._mat_lens[src // 2])
         read = self._mat_reads[src][:rdlen]
         refw = self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]]
-        cand.stats = cigar_util.alignment_stats(read, refw, start_col, cigar)
+        stats = cigar_util.alignment_stats(read, refw, start_col, cigar)
+        if stats["ns"] > self.sc.n_ceil_for(rdlen):
+            return  # too many Ns (aligner_swsse_ee_u8.cpp:1284)
+        cand.stats = stats
         cand.valid = True
 
     @staticmethod

@@ -72,6 +72,7 @@ class PairedAligner:
         self.pe = pe or PEPolicy()
         self.mixed = mixed  # gReportMixed
         self.discord = discord  # gReportDiscordant
+        self._nfilt = np.zeros(0, bool)
 
     # ---------------- candidate pairing ----------------
 
@@ -125,6 +126,9 @@ class PairedAligner:
             ):
                 if not anchor_cands:
                     continue
+                other_i = 2 * pi + (1 if is1 else 0)
+                if self._nfilt[other_i]:
+                    continue  # filtered mate is never rescued into
                 if len(other_rd.seq) > o.l_max:
                     continue
                 # best valid anchor only (the reference anchors rescue DP on
@@ -155,7 +159,6 @@ class PairedAligner:
                 wlen = we - ws
                 if wlen < len(other_rd.seq) or wlen > self._rescue_cols():
                     continue
-                other_i = 2 * pi + (1 if is1 else 0)
                 src = 2 * other_i + (0 if ofw else 1)
                 problems.append(dict(src=src, wstart=ws, wlen=wlen))
                 meta.append((pi, is1, ofw))
@@ -177,6 +180,11 @@ class PairedAligner:
             reads.extend((rd1, rd2))
         minscs = al.min_scores(reads)
         al.build_read_matrices(reads)
+        # the fork bypasses the up-front N pre-filter (rdlen<256
+        # short-circuit, bt2_search.cpp:2495-2500); Ns are capped at the
+        # backtrace level instead (ns > nCeil candidate rejection)
+        nfilt = np.zeros(len(reads), bool)
+        self._nfilt = nfilt
 
         # accumulated candidates per mate-read across rounds
         acc = [dict() for _ in range(2 * npairs)]
@@ -187,7 +195,8 @@ class PairedAligner:
         for roundi in range(self.al.opts.nrounds):
             if not unresolved:
                 break
-            active = [i for pi in unresolved for i in (2 * pi, 2 * pi + 1)]
+            active = [i for pi in unresolved for i in (2 * pi, 2 * pi + 1)
+                      if not nfilt[i]]
             cands = al.collect_candidates(reads, minscs, active, roundi)
             for i in active:
                 for key, c in cands[i].items():
@@ -253,7 +262,8 @@ class PairedAligner:
                 continue
             out.append(self._emit_unpaired_pair(
                 rd1, rd2, acc[2 * pi], acc[2 * pi + 1],
-                int(minscs[2 * pi]), int(minscs[2 * pi + 1])))
+                int(minscs[2 * pi]), int(minscs[2 * pi + 1]),
+                bool(nfilt[2 * pi]), bool(nfilt[2 * pi + 1])))
         return out
 
     def _concordance_pass(self, pairs, unresolved, acc, best_pair,
@@ -334,7 +344,8 @@ class PairedAligner:
             return _to_result(cand, secbest, mq), len(ranked)
         return None, 0
 
-    def _emit_unpaired_pair(self, rd1, rd2, c1s, c2s, minsc1, minsc2) -> PairResult:
+    def _emit_unpaired_pair(self, rd1, rd2, c1s, c2s, minsc1, minsc2,
+                            f1=False, f2=False) -> PairResult:
         # one pair RNG consumed by mate 1's then mate 2's selection
         # (finishRead selects mate 1 before mate 2, aln_sink.cpp:1063+)
         rnd = self._pair_rng(rd1, rd2)
@@ -354,7 +365,8 @@ class PairedAligner:
                 )
             return PairResult(cat="discord", m1=r1, m2=r2,
                               tlen1=tlen1, tlen2=-tlen1)
-        un = AlnResult(status="unaligned")
+        un1 = AlnResult(status="unaligned", filt="NS" if f1 else None)
+        un2 = AlnResult(status="unaligned", filt="NS" if f2 else None)
         if not self.mixed:
-            return PairResult(cat="mixed", m1=un, m2=un)
-        return PairResult(cat="mixed", m1=r1 or un, m2=r2 or un)
+            return PairResult(cat="mixed", m1=un1, m2=un2)
+        return PairResult(cat="mixed", m1=r1 or un1, m2=r2 or un2)

@@ -89,8 +89,8 @@ def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
                  cig_slot: int = 64, md_slot: int = 384):
     """Native CIGAR/MD/stats for a batch of backtraced alignments. Returns
     (cig_buf [n, cig_slot] bytes-2d holding ready ASCII CIGAR strings,
-    md_buf bytes-2d, stats [n, 8] int64 = {nm,xm,xo,xg,xn,span,ciglen,
-    mdlen}) or None if the library is unavailable. Records with
+    md_buf bytes-2d, stats [n, 9] int64 = {nm,xm,xo,xg,xn,span,ciglen,
+    mdlen,ns}) or None if the library is unavailable. Records with
     stats[k, 6] == -1 overflowed their slot (caller falls back)."""
     lib = get_lib()
     if lib is None:
@@ -104,7 +104,7 @@ def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
     n = len(ops_mat)
     cig_buf = np.zeros((n, cig_slot), np.uint8)
     md_buf = np.zeros((n, md_slot), np.uint8)
-    stats = np.zeros((n, 8), np.int64)
+    stats = np.zeros((n, 9), np.int64)
     lib.bt_finish_batch(
         ops_mat.ctypes.data, np.int64(ops_mat.shape[1]), np.int64(n),
         start_cols.ctypes.data, wstarts.ctypes.data,

@@ -75,8 +75,9 @@ def cigar_xeq(cigar: list, md: str) -> list:
 
 
 def alignment_stats(read_codes, ref_window, start_col, cigar):
-    """Replay the alignment; returns dict with md, nm, xm, xo, xg, xn,
-    ref_span (ref chars consumed)."""
+    """Replay the alignment; returns dict with md, nm, xm, xo, xg, xn, ns,
+    ref_span (ref chars consumed). ns = aligned columns involving an N on
+    either side (score.ns_, capped by nCeil upstream)."""
     import numpy as np
 
     if len(cigar) == 1 and cigar[0][0] == "M":
@@ -88,7 +89,7 @@ def alignment_stats(read_codes, ref_window, start_col, cigar):
         bad = np.flatnonzero((rd != rf) | (rd >= 4) | (rf >= 4))
         if len(bad) == 0:
             return {"md": str(n), "nm": 0, "xm": 0, "xo": 0, "xg": 0,
-                    "xn": 0, "ref_span": n}
+                    "xn": 0, "ns": 0, "ref_span": n}
         runs = np.diff(np.concatenate([[-1], bad])) - 1
         parts = []
         for r, b in zip(runs, bad):
@@ -97,16 +98,19 @@ def alignment_stats(read_codes, ref_window, start_col, cigar):
         parts.append(str(n - int(bad[-1]) - 1))
         return {"md": "".join(parts), "nm": len(bad), "xm": len(bad),
                 "xo": 0, "xg": 0, "xn": int(np.sum(rf[bad] >= 4)),
+                "ns": int(np.sum((rd >= 4) | (rf >= 4))),
                 "ref_span": n}
     i = 0
     j = int(start_col)
     md_parts = []
     match_run = 0
-    nm = xm = xo = xg = xn = 0
+    nm = xm = xo = xg = xn = ns = 0
     for op, n in cigar:
         if op == "M":
             for _ in range(n):
                 rc, fc = int(read_codes[i]), int(ref_window[j])
+                if rc >= 4 or fc >= 4:
+                    ns += 1
                 if rc == fc and rc < 4:
                     match_run += 1
                 else:
@@ -143,5 +147,6 @@ def alignment_stats(read_codes, ref_window, start_col, cigar):
         "xo": xo,
         "xg": xg,
         "xn": xn,
+        "ns": ns,
         "ref_span": j - int(start_col),
     }

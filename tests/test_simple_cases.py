@@ -172,13 +172,19 @@ def test_gap_barrier_vetoes_end_gaps(al):
 def test_n_heavy_reads_follow_fork_semantics(al):
     """The fork BYPASSES the up-front N filter for every rdlen<256 read
     (filt = rdlen<256 short-circuit, bt2_search.cpp:2495-2524 — hence
-    its YF:Z:LN on all records): N-heavy reads still align when the
-    per-base N penalties (-1 each) stay within score-min."""
+    its YF:Z:LN on all records), but its BACKTRACE rejects alignments
+    with more than nCeil Ns (score.ns_ > nceil_,
+    aligner_swsse_ee_u8.cpp:1284). Verified against bowtie2-align-s:
+    nceil(80) = trunc(0 + 0.15*80) = 12, so 12 Ns align (AS = -12, one
+    npen each) and 13 Ns do not."""
     base = REF_S[100:180]
-    heavy = "N" * 13 + base[13:]  # upstream's nFilter would reject this
-    res = al.align_batch([mk(heavy, name="b")])[0]
+    at_cap = "N" * 12 + base[12:]
+    res = al.align_batch([mk(at_cap, name="b12")])[0]
     assert res.status == "aligned" and res.refoff == 100
-    assert res.score == -13  # one npen per N
+    assert res.score == -12  # one npen per N
+    over = "N" * 13 + base[13:]
+    res = al.align_batch([mk(over, name="b13")])[0]
+    assert res.status == "unaligned"
 
 
 def test_norc_nofw_orientation_gates():
