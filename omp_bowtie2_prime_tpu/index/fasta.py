@@ -53,6 +53,29 @@ class ReferenceMap:
                 return int(self.frag_joined[i] + (refoff - self.frag_ref[i]))
         return None
 
+    def ref_window(self, text: np.ndarray, refid: int, start: int,
+                   count: int) -> np.ndarray:
+        """Decode `count` chars of reference `refid` starting at per-ref
+        offset `start` into int8 codes, with positions outside any
+        fragment (N gaps / past the reference end) as 4 — the analog of
+        BitPairReference::getStretchNaive (reference.cpp:377-422), which
+        is what lets the reference's DP align across N runs.  `text` is
+        the joined (N-free) text the fragments index into."""
+        out = np.full(count, 4, np.int8)
+        sel = np.flatnonzero(self.frag_refid == refid)
+        end = start + count
+        for i in sel:
+            fs = int(self.frag_ref[i])
+            fe = fs + int(self.frag_len[i])
+            lo = max(start, fs)
+            hi = min(end, fe)
+            if lo < hi:
+                j = int(self.frag_joined[i])
+                out[lo - start : hi - start] = text[
+                    j + (lo - fs) : j + (hi - fs)
+                ]
+        return out
+
     def ref_fragment_bounds(self, refid: int, refoff: int):
         """(joined_start, joined_end) of the fragment containing refoff, or
         None — mate windows are clamped to one fragment (like the reference's

@@ -179,10 +179,11 @@ class Candidate(_LazyCigar):
 
     __slots__ = ("score", "fw", "endj", "problem", "bc", "ops_row",
                  "start_col", "resolved", "valid", "joined_start", "span",
-                 "refid", "refoff", "_cigar", "cigar_str", "stats")
+                 "refid", "refoff", "_cigar", "cigar_str", "stats",
+                 "bridge")
 
     def __init__(self, score, fw, endj, problem, bc, ops_row=None,
-                 start_col=-1):
+                 start_col=-1, bridge=None):
         self.score = score
         self.fw = fw
         self.endj = endj  # joined-text col where the alignment ends (excl)
@@ -202,6 +203,9 @@ class Candidate(_LazyCigar):
         self._cigar = None
         self.cigar_str = ""
         self.stats = {}
+        # N-bridge DP problems (window spans an intra-reference N gap)
+        # carry their ref-space frame: (refid, ref_lo, refw int8 window)
+        self.bridge = bridge
 
 
 class Problems:
@@ -1261,6 +1265,23 @@ class TPUAligner:
         collection — shared by the fused-device and host rank/frame
         paths."""
         o = self.opts
+        # windows spanning an intra-reference N gap leave the joined-text
+        # fast path entirely (see _run_bridge); zero overhead when the
+        # genome has no such gaps
+        bridge_cands = []
+        bi = self._bridge_problem_indices(problems)
+        if len(bi):
+            bridge_probs = problems.take(bi)
+            keep = np.ones(len(problems), bool)
+            keep[bi] = False
+            problems = problems.take(np.flatnonzero(keep))
+            bridge_cands = self._run_bridge(minscs, bridge_probs)
+            if not len(problems):
+                cands = [{} for _ in range(n)]
+                for ri, key, cand in bridge_cands:
+                    if key not in cands[ri]:
+                        cands[ri][key] = cand
+                return cands
         # P7 + P8a fused: batched DP with device backtrace walk; ONE
         # compile shape (l_max x dp_cols) for the dominant bucket.
         # Splitting into read-length classes was tried and REVERTED: the
@@ -1442,7 +1463,154 @@ class TPUAligner:
                                  wlen=wl_l[t], diag=dg_l[t]),
                     bc=bc_l[t], ops_row=ops[pi_l[t]], start_col=st_l[t],
                 )
+        # N-bridge candidates join after the main stream (their fork-side
+        # tie order is unknowable: the fork's own records there are
+        # self-inconsistent — see DIFFERENTIAL.md)
+        for ri, key, cand in bridge_cands:
+            if key not in cands[ri]:
+                cands[ri][key] = cand
         return cands
+
+    # ---------------- N-bridge DP (windows spanning intra-ref N gaps) ----
+    # The reference's DP reference windows come from BitPairReference::
+    # getStretch, which decodes N-gap positions as code 4
+    # (reference.cpp:377-422) — so its DP aligns reads ACROSS short N runs,
+    # each N column a mismatch at the N penalty, capped by nCeil.  Our
+    # joined text removes N runs entirely, so problems whose window spans
+    # a same-reference fragment boundary are routed here: re-framed in
+    # per-reference coordinates with an explicit N-filled window (the
+    # getStretchNaive analog), DP'd through the host-rows kernel path, and
+    # finished directly in ref space.
+
+    _BRIDGE_EXTRA_MAX = 96  # max N-gap chars a window may absorb
+
+    def _has_intra_ref_gaps(self) -> bool:
+        flag = getattr(self, "_intra_gaps", None)
+        if flag is None:
+            fr = self.fm.refmap.frag_refid
+            flag = self._intra_gaps = bool(
+                len(fr) > 1 and (fr[1:] == fr[:-1]).any()
+            )
+        return flag
+
+    def _bridge_problem_indices(self, problems) -> np.ndarray:
+        """Indices of problems whose joined window crosses a fragment
+        boundary between fragments of the SAME reference (an N gap)."""
+        if not self._has_intra_ref_gaps() or len(problems) == 0:
+            return np.zeros(0, np.int64)
+        rm = self.fm.refmap
+        ws = problems.wstart
+        we = ws + problems.wlen
+        fi_s = np.searchsorted(rm.frag_joined, ws, side="right") - 1
+        fi_e = np.searchsorted(rm.frag_joined, we - 1, side="right") - 1
+        return np.flatnonzero(
+            (fi_s != fi_e) & (rm.frag_refid[fi_s] == rm.frag_refid[fi_e])
+        )
+
+    def _run_bridge(self, minscs, probs) -> list:
+        """DP the bridge problems with explicit ref-space N-filled windows;
+        returns [(ri, key, Candidate)] for valid-scoring endpoints."""
+        rm = self.fm.refmap
+        o = self.opts
+        ws = probs.wstart
+        we = ws + probs.wlen
+        fi_s = np.searchsorted(rm.frag_joined, ws, side="right") - 1
+        fi_e = np.searchsorted(rm.frag_joined, we - 1, side="right") - 1
+        refid = rm.frag_refid[fi_s].astype(np.int64)
+        ref_lo = rm.frag_ref[fi_s] + (ws - rm.frag_joined[fi_s])
+        ref_hi = rm.frag_ref[fi_e] + (we - 1 - rm.frag_joined[fi_e]) + 1
+        width = (ref_hi - ref_lo).astype(np.int64)
+        # unspannable windows (gap chars beyond any N/gap budget) drop out
+        keep = np.flatnonzero(
+            width - probs.wlen <= self._BRIDGE_EXTRA_MAX
+        )
+        if not len(keep):
+            return []
+        srcs = probs.src[keep]
+        rdl = self._mat_lens[srcs // 2].astype(np.int64)
+        n_b = len(keep)
+        C = int(-(-int(width[keep].max()) // 32) * 32)
+        L = o.l_max if rdl.max() <= o.l_max else int(
+            -(-int(rdl.max()) // 32) * 32
+        )
+        refs = np.full((n_b, C), 4, np.int8)
+        for t, k in enumerate(keep.tolist()):
+            refs[t, : width[k]] = rm.ref_window(
+                self.text, int(refid[k]), int(ref_lo[k]), int(width[k])
+            )
+        reads = np.full((n_b, L), 4, np.int8)
+        pens = np.zeros((n_b, L), np.uint8)
+        W = self._mat_reads.shape[1]
+        w = min(W, L)
+        reads[:, :w] = self._mat_reads[srcs, :w]
+        pens[:, :w] = self._mat_pens[srcs, :w]
+        B = self._dp_quant(n_b)
+        big = np.empty((B, 2 * L + C), np.uint8)
+        big[:n_b, :L] = reads.view(np.uint8)
+        big[:n_b, L : 2 * L] = pens
+        big[:n_b, 2 * L :] = refs.view(np.uint8)
+        big[n_b:, :L] = 4
+        big[n_b:, L : 2 * L] = 0
+        big[n_b:, 2 * L :] = 4
+        sdt = np.int64 if self._large_index else np.int32
+        small = np.zeros((B, 3), sdt)
+        small[:n_b, 0] = rdl
+        small[:n_b, 1] = width[keep]
+        out = np.asarray(self._sw_bt_xla(
+            self._put(big), self._put(small), self.idx.ref_words,
+            self.swp, L, C, True,
+        ))[:n_b]
+        ops = sw.unpack_ops2(np.ascontiguousarray(out[:, 3:]).view(np.uint8))
+        best, bestcol, startcol = out[:, 0], out[:, 1], out[:, 2]
+        self.metrics.add(dps_bridge=n_b)
+        res = []
+        for t in range(n_b):
+            k = int(keep[t])
+            ri = int(probs.ri[keep[t]])
+            if best[t] < minscs[ri]:
+                continue
+            rid = int(refid[k])
+            end_ref = int(ref_lo[k]) + int(bestcol[t])
+            # dedupe key: the joined end position when it exists, else a
+            # synthetic ref-space key (negative, cannot collide)
+            jend = rm.ref_to_joined(rid, end_ref - 1)
+            key_end = jend + 1 if jend is not None else -(
+                (rid + 1) << 40
+            ) - end_ref
+            fwb = bool(probs.fw[keep[t]])
+            cand = Candidate(
+                score=int(best[t]), fw=fwb, endj=key_end,
+                problem=dict(src=int(srcs[t]), wstart=int(ws[k]),
+                             wlen=int(width[k]), diag=int(probs.diag[k])),
+                bc=int(bestcol[t]), ops_row=ops[t],
+                start_col=int(startcol[t]),
+                bridge=(rid, int(ref_lo[k]), refs[t]),
+            )
+            res.append((ri, (fwb, key_end), cand))
+        return res
+
+    def _finish_bridge(self, c: Candidate) -> None:
+        """Finish one bridge candidate directly in ref space (no joined
+        mapping, no fragment-straddle check: the window is built within
+        one reference)."""
+        rid, ref_lo, refw = c.bridge
+        cigar = sw.ops_to_cigar(c.ops_row)
+        if not cigar:
+            return
+        src = c.problem["src"]
+        rdlen = int(self._mat_lens[src // 2])
+        read = self._mat_reads[src][:rdlen]
+        stats = cigar_util.alignment_stats(read, refw, c.start_col, cigar)
+        if stats["ns"] > self.sc.n_ceil_for(rdlen):
+            return  # too many Ns (aligner_swsse_ee_u8.cpp:1284)
+        c.refid = rid
+        c.refoff = ref_lo + c.start_col
+        c.span = stats["ref_span"]
+        js = self.fm.refmap.ref_to_joined(rid, c.refoff)
+        c.joined_start = js if js is not None else -1
+        c.cigar = cigar
+        c.stats = stats
+        c.valid = True
 
     def backtrace(self, cand: Candidate) -> Candidate:
         """Backtrace one candidate (batched version preferred)."""
@@ -1461,6 +1629,11 @@ class TPUAligner:
         # finishing them is host work, batched through the native finisher
         # (csrc/sais.cpp bt_finish_batch) when available
         self.metrics.add(backtraces=len(todo))
+        for c in todo:
+            if c.bridge is not None:  # ref-space finish, no joined mapping
+                c.resolved = True
+                self._finish_bridge(c)
+        todo = [c for c in todo if not c.resolved]
         have_ops = [c for c in todo if c.ops_row is not None]
         if have_ops:
             for c in have_ops:

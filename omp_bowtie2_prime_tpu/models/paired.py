@@ -139,6 +139,8 @@ class PairedAligner:
                         break
                 else:
                     continue
+                if cand.joined_start < 0:
+                    continue  # N-bridge anchor starting inside a gap
                 win = self.pe.other_mate_window(
                     is1, cand.fw, cand.refoff, cand.span,
                     len(rd1.seq), len(rd2.seq),

@@ -53,7 +53,7 @@ class PipelineMetrics:
 
     FIELDS = (
         "reads", "seeds", "ranges_nonzero", "elts_resolved", "dps",
-        "dps_wide", "dp_cells", "candidates", "backtraces",
+        "dps_wide", "dps_bridge", "dp_cells", "candidates", "backtraces",
     )
 
     def __init__(self):

@@ -28,6 +28,9 @@ def main():
     ap.add_argument("--reads", type=int, default=20_000)
     ap.add_argument("--readlen", type=int, default=100)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--n-runs", type=int, default=0,
+                    help="sprinkle this many short N runs (1-6bp) into "
+                         "the genome to exercise the N-bridge DP path")
     ap.add_argument("--refbuild", default="/tmp/refbuild")
     ap.add_argument("--workdir", default="/tmp/bt2diff")
     args = ap.parse_args()
@@ -41,6 +44,9 @@ def main():
     fa = os.path.join(wd, "genome.fa")
     if not os.path.exists(fa):
         text = rng.integers(0, 4, args.size).astype(np.int8)
+        for _ in range(args.n_runs):  # intra-ref N gaps (bridge path)
+            p = int(rng.integers(100, args.size - 100))
+            text[p : p + int(rng.integers(1, 7))] = 4
         s = dna.decode(text)
         with open(fa, "w") as f:
             f.write(">synth\n")
