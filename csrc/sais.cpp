@@ -247,13 +247,57 @@ extern "C" int64_t bt_finish_batch(
             if (mdlen + 1 > md_slot) { ok = false; return; }
             md_buf[k * md_slot + mdlen++] = c;
         };
-        // run-wise over the reversed (START->END) op string
-        for (int64_t q = m; q > 0 && ok;) {
-            uint8_t op = o[q - 1];
-            int64_t r = q - 1;
-            while (r > 0 && o[r - 1] == op) r--;
-            int64_t run = q - r;
-            q = r;
+        // materialize the forward (START->END) op sequence, then
+        // left-align gap runs (StackedAln::leftAlign with pastMms=false,
+        // aligner_result.cpp:521-562: slide each gap left while the char
+        // opposite its rightmost column equals the char left of the gap
+        // AND that left column is an exact match)
+        std::vector<uint8_t> fwd(m);
+        for (int64_t t = 0; t < m; t++) fwd[t] = o[m - 1 - t];
+        {
+            // (i2, j2) track read idx / absolute ref pos at each ORIGINAL
+            // run boundary — invariant under the slides (a slide permutes
+            // columns within a prefix-closed span, total consumption at
+            // every original boundary is unchanged)
+            int64_t i2 = 0, j2 = tpos;
+            for (int64_t a = 0; a < m;) {
+                uint8_t op = fwd[a];
+                int64_t b = a + 1;
+                while (b < m && o[m - 1 - b] == op) b++;
+                int64_t g = b - a;
+                if ((op == 2 || op == 3) && a > 0) {
+                    int64_t is = i2, js = j2;  // run-start coords
+                    int64_t aa = a;
+                    while (aa > 0 && fwd[aa - 1] == 1) {
+                        int rl = rd[is - 1];
+                        int fl = (js - 1) < text_len ? text[js - 1] : 4;
+                        if (!(rl == fl && rl < 4)) break;  // not '='
+                        int opp;
+                        if (op == 2)  // I: compare read chars
+                            opp = rd[is + g - 1];
+                        else  // D: compare ref chars
+                            opp = (js + g - 1) < text_len
+                                      ? text[js + g - 1] : 4;
+                        int left = (op == 2) ? rl : fl;
+                        if (left != opp) break;
+                        fwd[aa - 1] = op;
+                        fwd[aa + g - 1] = 1;
+                        aa--; is--; js--;
+                    }
+                }
+                if (op == 1) { i2 += g; j2 += g; }
+                else if (op == 2) i2 += g;
+                else j2 += g;
+                a = b;
+            }
+        }
+        // run-wise over the forward op string
+        for (int64_t q2 = 0; q2 < m && ok;) {
+            uint8_t op = fwd[q2];
+            int64_t r = q2 + 1;
+            while (r < m && fwd[r] == op) r++;
+            int64_t run = r - q2;
+            q2 = r;
             num_into(cig_buf + k * cig_slot, ciglen, cig_slot - 1, run);
             if (!ok) break;
             cig_buf[k * cig_slot + ciglen++] = BT_OPSYM[op];

@@ -1600,6 +1600,7 @@ class TPUAligner:
         src = c.problem["src"]
         rdlen = int(self._mat_lens[src // 2])
         read = self._mat_reads[src][:rdlen]
+        cigar = cigar_util.left_align_cigar(cigar, read, refw, c.start_col)
         stats = cigar_util.alignment_stats(read, refw, c.start_col, cigar)
         if stats["ns"] > self.sc.n_ceil_for(rdlen):
             return  # too many Ns (aligner_swsse_ee_u8.cpp:1284)
@@ -1768,11 +1769,12 @@ class TPUAligner:
         if mapped is None:
             return  # straddles fragment boundary (bt2_idx.cpp:54-128)
         cand.refid, cand.refoff = mapped
-        cand.cigar = cigar
         src = pr["src"]
         rdlen = int(self._mat_lens[src // 2])
         read = self._mat_reads[src][:rdlen]
         refw = self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]]
+        cigar = cigar_util.left_align_cigar(cigar, read, refw, start_col)
+        cand.cigar = cigar
         stats = cigar_util.alignment_stats(read, refw, start_col, cigar)
         if stats["ns"] > self.sc.n_ceil_for(rdlen):
             return  # too many Ns (aligner_swsse_ee_u8.cpp:1284)

@@ -27,6 +27,73 @@ def parse_cigar(s: str) -> list:
     return out
 
 
+def left_align_cigar(cigar: list, read_codes, ref_window, start_col: int
+                     ) -> list:
+    """Left-align gap runs (StackedAln::leftAlign with pastMms=False,
+    aligner_result.cpp:521-562): slide each gap left while the char
+    opposite its rightmost column equals the char just left of the gap
+    AND that left column is an exact match. Start position and score are
+    invariant; only gap placement (CIGAR/MD) changes."""
+    if len(cigar) < 2:
+        return cigar
+    fwd = []
+    for op, n in cigar:
+        fwd.extend([op] * n)
+    orig = list(fwd)
+    m = len(fwd)
+    i = 0
+    j = int(start_col)
+    a = 0
+    changed = False
+    while a < m:
+        op = orig[a]
+        b = a + 1
+        while b < m and orig[b] == op:
+            b += 1
+        g = b - a
+        if op in ("I", "D") and a > 0:
+            isr, jsr = i, j
+            aa = a
+            while aa > 0 and fwd[aa - 1] == "M":
+                rl = int(read_codes[isr - 1])
+                fl = int(ref_window[jsr - 1]) if 0 <= jsr - 1 < len(
+                    ref_window) else 4
+                if not (rl == fl and rl < 4):
+                    break  # mismatch ('X'): pastMms=False stops here
+                if op == "I":
+                    opp = int(read_codes[isr + g - 1])
+                    left = rl
+                else:
+                    p = jsr + g - 1
+                    opp = int(ref_window[p]) if p < len(ref_window) else 4
+                    left = fl
+                if left != opp:
+                    break
+                fwd[aa - 1] = op
+                fwd[aa + g - 1] = "M"
+                aa -= 1
+                isr -= 1
+                jsr -= 1
+                changed = True
+        if op == "M":
+            i += g
+            j += g
+        elif op == "I":
+            i += g
+        else:
+            j += g
+        a = b
+    if not changed:
+        return cigar
+    out = []
+    for op in fwd:
+        if out and out[-1][0] == op:
+            out[-1] = (op, out[-1][1] + 1)
+        else:
+            out.append((op, 1))
+    return out
+
+
 def cigar_xeq(cigar: list, md: str) -> list:
     """Split M runs into =/X using the MD tag (--xeq; ref: sam.cpp CIGAR
     emission with xeq, StackedAln::buildCigar). MD grammar:
