@@ -92,3 +92,58 @@ def test_ref_window_decode(setup):
     w = fm.refmap.ref_window(al.text, 0, 295, 10)
     assert dna.decode(w) == s[295:305]
     assert w[300 - 295] == 4
+
+
+# ---- NCEIL policy cases (simple_tests.pl "N filtering 1-6", :3875-3930) --
+
+def _nceil_aligner(ref_str, nceil, seed_len=20, tmp=None):
+    from omp_bowtie2_prime_tpu.index.fasta import join_references
+    from omp_bowtie2_prime_tpu.index.builder import build_index_from_text
+    from omp_bowtie2_prime_tpu.models.aligner import AlignOpts
+    from omp_bowtie2_prime_tpu.utils.scoring import (
+        Scoring, SimpleFunc,
+    )
+
+    joined, refmap = join_references(["t0"], [dna.encode(ref_str)])
+    fm = build_index_from_text(joined, refmap, ftab_k=min(4, seed_len))
+    sc = Scoring(n_ceil=SimpleFunc.parse(nceil))
+    kw = {} if seed_len == 20 else dict(
+        ival=SimpleFunc.parse("C,1,0")
+    )
+    return TPUAligner(fm, scoring=sc,
+                      opts=AlignOpts(seed_len=seed_len, **kw))
+
+
+CLEAN_REF = "GAGACTTTATACGCATCGAACTATCGCTCTA"
+READ13 = "ATACGCATCGAAC"  # = CLEAN_REF[8:21]
+
+
+def test_nceil_zero_clean_ref_aligns():
+    al = _nceil_aligner(CLEAN_REF, "L,0,0", seed_len=13)
+    res = al.align_batch([mk(READ13)])[0]
+    assert (res.status, res.refoff) == ("aligned", 8)
+
+
+@pytest.mark.parametrize("npos", [10, 20, 8])
+def test_nceil_zero_ref_n_rejected(npos):
+    # any ref N inside the alignment makes ns=1 > nceil=0
+    ref = CLEAN_REF[:npos] + "N" + CLEAN_REF[npos + 1:]
+    al = _nceil_aligner(ref, "L,0,0", seed_len=4)
+    res = al.align_batch([mk(READ13)])[0]
+    assert res.status == "unaligned"
+
+
+def test_nceil_one_ref_n_allowed():
+    # NCEIL=L,0,0.1 -> nceil(13)=1: one ref N passes, scored at npen
+    ref = CLEAN_REF[:10] + "N" + CLEAN_REF[11:]
+    al = _nceil_aligner(ref, "L,0,0.1", seed_len=4)
+    res = al.align_batch([mk(READ13)])[0]
+    assert (res.status, res.refoff, res.score) == ("aligned", 8, -1)
+    assert res.stats["xn"] == 1
+
+
+def test_nceil_one_two_ref_ns_rejected():
+    ref = CLEAN_REF[:8] + "N" + CLEAN_REF[9:20] + "N" + CLEAN_REF[21:]
+    al = _nceil_aligner(ref, "L,0,0.1", seed_len=4)
+    res = al.align_batch([mk(READ13)])[0]
+    assert res.status == "unaligned"
