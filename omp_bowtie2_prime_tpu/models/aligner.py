@@ -638,7 +638,28 @@ class TPUAligner:
     def _search_resolve(self, seeds: np.ndarray):
         """Chunked fused search+resolve. Returns (tops, bots, offs_of) where
         offs_of(si) -> np array of resolved joined offsets for seed si
-        (first min(width, range_cap) SA rows; -1 = unresolved)."""
+        (first min(width, range_cap) SA rows; -1 = unresolved).
+
+        Identical seed sequences are searched ONCE: FM search + SA
+        resolution are pure functions of the seed text, and reads share
+        many seeds (lambda 10K: ~26% duplicates; more on repetitive
+        genomes), so instances are deduped up front and the per-unique
+        results fanned back out by index."""
+        if len(seeds) > 1024 and seeds.shape[1] <= 27:  # 5^27 < 2^63
+            key = np.zeros(len(seeds), np.int64)
+            for j in range(seeds.shape[1]):  # base-5 pack (codes 0..4)
+                key = key * 5 + seeds[:, j]
+            uniq, first, inv = np.unique(
+                key, return_index=True, return_inverse=True
+            )
+            if len(uniq) <= 0.92 * len(seeds):
+                tops, bots, (offs, start, end) = self._search_resolve_impl(
+                    seeds[first]
+                )
+                return tops[inv], bots[inv], (offs, start[inv], end[inv])
+        return self._search_resolve_impl(seeds)
+
+    def _search_resolve_impl(self, seeds: np.ndarray):
         o = self.opts
         S = len(seeds)
         npdt = np.asarray(self.idx.fchr).dtype
