@@ -165,3 +165,65 @@ def test_left_align_cigar_helper():
     read = dna.encode("ACTAAAAG")  # col 2 mismatches (T vs G)
     out = left_align_cigar([("M", 6), ("I", 1), ("M", 1)], read, ref, 0)
     assert out == [("M", 3), ("I", 1), ("M", 4)]  # stops at the mismatch
+
+
+# ---- XS:i (second-best score) cases (simple_tests.pl :1725-2051) ------
+
+def _xs_aligner(ref, smin="C,-6", mmp=(2, 6)):
+    sc = Scoring(
+        mmp_min=mmp[0], mmp_max=mmp[1],
+        score_min=SimpleFunc.parse(smin),
+    )
+    return mk_aligner(ref, scoring=sc, seed_len=7,
+                      ival=SimpleFunc.parse("C,1,0"))
+
+
+def qread(seq, quals):
+    codes = dna.encode(seq)
+    q = np.frombuffer(quals.encode(), np.uint8).astype(np.uint8) - 33
+    return Read(0, "q", codes, q)
+
+
+def test_xs_equal_best_pair():
+    # two placements, both one high-qual mismatch (-6): AS == XS == -6
+    # (simple_tests.pl "XS:i 1")
+    al = _xs_aligner("TTGTTCGATTGTTCGA")
+    res = al.align_batch([mk("TTGTTCGT")])[0]
+    assert res.status == "aligned"
+    assert res.refoff in (0, 8)
+    assert (res.score, res.secbest) == (-6, -6)
+    assert res.stats["md"] == "7A0"
+
+
+def test_xs_below_min_unaligned():
+    # score-min C,-5 excludes both -6 placements ("XS:i 2")
+    al = _xs_aligner("TTGTTCGATTGTTCGA", smin="C,-5")
+    res = al.align_batch([mk("TTGTTCGT")])[0]
+    assert res.status == "unaligned"
+
+
+def test_xs_perfect_vs_mismatch():
+    # exact at 8, mismatch -6 at 0: AS 0, XS -6 ("XS:i 3a")
+    al = _xs_aligner("TTGTTCGATTGTTCGT")
+    res = al.align_batch([mk("TTGTTCGT")])[0]
+    assert (res.status, res.refoff) == ("aligned", 8)
+    assert (res.score, res.secbest) == (0, -6)
+    assert res.stats["md"] == "8"
+
+
+def test_xs_quality_scaled():
+    # low-qual ('A' = phred 32) mismatch costs 2+trunc(32/40*4) = 5
+    # ("Q XS:i 1a"): AS == XS == -5
+    al = _xs_aligner("TTGTTCGATTGTTCGA")
+    res = al.align_batch([qread("TTGTTCGT", "IIIIIIIA")])[0]
+    assert res.status == "aligned"
+    assert (res.score, res.secbest) == (-5, -5)
+
+
+def test_xs_mp_constant():
+    # --mp 3,3: constant mismatch penalty 3 regardless of qual
+    # ("Q XS:i 1a ! --mp 3,3")
+    al = _xs_aligner("TTGTTCGATTGTTCGA", mmp=(3, 3))
+    res = al.align_batch([qread("TTGTTCGT", "IIIIIII!")])[0]
+    assert res.status == "aligned"
+    assert (res.score, res.secbest) == (-3, -3)
