@@ -80,7 +80,10 @@ class AlignOpts:
     # on-chip time of these kernels)
     seed_batch: int = 32768
     row_batch: int = 32768
-    resolve_expand: int = 2  # compaction slots per seed (retry wider on spill)
+    # compaction slots per seed lane for SA resolution (may be fractional;
+    # the walk kernel's cost is linear in slots, and post-dedupe demand is
+    # ~0.3/lane on unique genomes — spilled chunks retry at range_cap wide)
+    resolve_expand: float = 0.5
     dp_batch: int = 2048
     dp_cols: int = 200  # device window capacity, short-read bucket (cols)
     # widest window the Pallas SW kernel takes before its VMEM tile
@@ -699,7 +702,7 @@ class TPUAligner:
                     o.range_cap, o.resolve_expand,
                 ))
                 futs.append((ci, lo, hi, chunk, valid, res))
-        rmax = o.seed_batch * o.resolve_expand
+        rmax = int(o.seed_batch * o.resolve_expand)
         for ci, lo, hi, chunk, valid, res in futs:
             if packed_mode:
                 a = res

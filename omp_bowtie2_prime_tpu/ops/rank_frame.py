@@ -81,7 +81,7 @@ def rank_frame(
     tops,      # [NC, SB] index dtype
     bots,      # [NC, SB]
     starts,    # [NC, SB] compaction starts within the chunk
-    offs,      # [NC, SB*expand] resolved joined offsets (-1 unresolved)
+    offs,      # [NC, int(SB*expand)] resolved joined offsets (-1 unres.)
     m_ri,      # [S] int32 read index per seed (S = NC*SB; pad ri=n_reads)
     m_fw,      # [S] bool
     m_off,     # [S] int32 seed offset within the read
@@ -91,7 +91,7 @@ def rank_frame(
     text_n,    # scalar int32/int64 joined text length
     *,
     range_cap: int,
-    expand: int,
+    expand: float,
     max_elts: int,
     max_dp: int,
     p_cap: int,
@@ -101,12 +101,13 @@ def rank_frame(
     count, hit_nonz [n_reads], hit_elts [n_reads], overflow flag)."""
     NC, SB = tops.shape
     S = NC * SB
-    G = NC * SB * expand
+    spc = int(SB * expand)  # slots per chunk (expand may be fractional)
+    G = NC * spc
 
     w = (bots - tops).reshape(S).astype(I32)
-    base = (jnp.arange(NC, dtype=I32) * (SB * expand))[:, None]
+    base = (jnp.arange(NC, dtype=I32) * spc)[:, None]
     gstart = (starts.astype(I32) + base).reshape(S)
-    gend = jnp.broadcast_to(base + SB * expand, (NC, SB)).reshape(S)
+    gend = jnp.broadcast_to(base + spc, (NC, SB)).reshape(S)
     goffs = offs.reshape(G)
 
     ri = m_ri.astype(I32)
@@ -168,7 +169,7 @@ def rank_frame(
     intra = g - gstart[owner]
     slot_ok = (intra >= 0) & (intra < take_eff_stream[owner])
     srank = rank_of_stream[owner]
-    RC = max(range_cap, expand) + 1
+    RC = max(range_cap, int(expand)) + 1
     slot_key = jnp.where(slot_ok, srank * RC + intra, BIG)
     # g as second sort key -> fully deterministic order
     sk_sorted, g_e = _sort((slot_key, g), num_keys=2)

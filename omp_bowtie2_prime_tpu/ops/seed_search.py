@@ -68,17 +68,20 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
 
 
 def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
-                         cap: int, expand: int = 4):
+                         cap: int, expand: float = 4):
     """Fused seed search + SA resolution in ONE device dispatch (the fork
     splits these into phases P4/P6 with host work between,
     bt2_search.cpp:2638/2683; on a remote device each round-trip costs more
     than the kernel, so fuse them).
 
     For each seed the first min(width, cap) SA rows are compacted (cumsum
-    scatter) into a flat buffer of S*expand slots and resolved to joined
-    offsets. Returns (top, bot, starts, offs) with seed s's offsets at
-    offs[starts[s] : starts[s] + min(bot-top, cap)[s]]; seeds whose slots
-    spill past the buffer have starts[s] + width > S*expand (host skips).
+    scatter) into a flat buffer of int(S*expand) slots and resolved to
+    joined offsets (expand may be fractional: after seed dedupe the slot
+    demand is typically ~0.3 slots/lane, and the resolve walk's cost is
+    linear in the slot count). Returns (top, bot, starts, offs) with seed
+    s's offsets at offs[starts[s] : starts[s] + min(bot-top, cap)[s]];
+    seeds whose slots spill past the buffer have starts[s] + width >
+    int(S*expand) (host retries the chunk with a wider buffer).
     """
     from .walk import resolve_rows
 
@@ -86,7 +89,7 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
     rowdt = top.dtype
     S = seeds.shape[0]
     width = jnp.minimum(bot - top, cap)
-    rmax = S * expand
+    rmax = int(S * expand)
     starts = jnp.cumsum(width) - width
     k = jnp.arange(cap, dtype=rowdt)[None, :]
     rows2d = top[:, None] + k
