@@ -15,7 +15,7 @@ import time
 
 BASELINE_READS_PER_SEC = 8000.0
 
-IDX = "/tmp/bt2tpu_bench_lambda_v2.npz"
+IDX = "/tmp/bt2tpu_bench_lambda_v3.npz"
 READS = "/root/reference/example/reads/reads_1.fq"
 FASTA = "/root/reference/example/reference/lambda_virus.fa"
 
@@ -30,7 +30,7 @@ def main():
     if os.path.exists(IDX):
         fm = FMIndex.load(IDX)
     else:
-        fm = build_index(FASTA)
+        fm = build_index(FASTA, ftab_k=12)  # wide jump table: 2 fewer LF steps
         fm.save(IDX)
 
     al = TPUAligner(fm)

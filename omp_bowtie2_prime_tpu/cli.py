@@ -58,7 +58,8 @@ def cmd_build(args):
         large = args.large_index or len(joined) >= (1 << 32) - 1
         save_bt2(joined, refmap, base, large=large,
                  off_rate=4 if args.offrate is None else args.offrate,
-                 ftab_chars=args.ftab_chars)
+                 ftab_chars=10 if args.ftab_chars is None
+                 else args.ftab_chars)
         ext = "bt2l" if large else "bt2"
         print(f"wrote {base}.[1234].{ext} + .rev.[12].{ext} "
               f"({len(joined)} bases) in {time.time()-t0:.1f}s",
@@ -415,8 +416,9 @@ def main(argv=None):
     b.add_argument("fasta", nargs="+")
     b.add_argument("out")
     b.add_argument("-t", "--ftabchars", "--ftab-chars", type=int,
-                   default=10, dest="ftab_chars",
-                   help="ftab k-mer length (bowtie2-build -t)")
+                   default=None, dest="ftab_chars",
+                   help="ftab k-mer length (bowtie2-build -t; default "
+                        "auto: 12 for genomes >= 1 Mbp, 10 below)")
     b.add_argument("--sa-rate", type=int, default=8,
                    help="text-position SA sample rate (native .npz layout)")
     b.add_argument("-o", "--offrate", type=int, default=None,

@@ -79,13 +79,21 @@ def _ftab(text: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, np.ndar
 def build_index_from_text(
     text: np.ndarray,
     refmap,
-    ftab_k: int = 10,
+    ftab_k: int | None = None,
     srate: int = 8,
 ) -> FMIndex:
-    """Build the FM index over a joined ACGT text (codes 0..3)."""
+    """Build the FM index over a joined ACGT text (codes 0..3).
+
+    ftab_k=None picks automatically: 12 for genomes >= 1 Mbp (the 2x4^12
+    x 4B = 134 MB jump table cuts two LF steps off every seed search —
+    the device search loop is latency-bound, so steps are wall-clock),
+    10 below (tiny test genomes gain nothing from a big table).
+    """
     text = np.asarray(text, dtype=np.int8)
     assert text.min(initial=0) >= 0 and text.max(initial=0) < 4
     n = len(text)
+    if ftab_k is None:
+        ftab_k = 12 if n >= 1_000_000 else 10
     nrows = n + 1
     sa = suffix_array(text)
     bwt, zoff = bwt_from_sa(text, sa)
@@ -138,7 +146,8 @@ def build_index_from_text(
     )
 
 
-def build_index(fasta_paths, ftab_k: int = 10, srate: int = 8) -> FMIndex:
+def build_index(fasta_paths, ftab_k: int | None = None,
+                srate: int = 8) -> FMIndex:
     """FASTA file(s) -> FMIndex (the bowtie2-build equivalent entry point)."""
     names, seqs = parse_fasta(fasta_paths)
     joined, refmap = join_references(names, seqs)

@@ -36,22 +36,34 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
     seeds = seeds.astype(jnp.int32)
     B, L = seeds.shape
     k = idx.ftab_k
-    assert L >= k, "seed shorter than ftab k"
 
     has_n = jnp.any(seeds >= 4, axis=-1)
     alive = valid & ~has_n
     rowdt = idx.fchr.dtype
-
-    # ftab jump on the last k chars (backward search starts at seed end)
-    q = pack_kmer(seeds[:, L - k :])
     zero = jnp.zeros((), rowdt)
-    top = jnp.where(alive, rank.wide_lookup(idx.ftab_top, q), zero)
-    bot = jnp.where(alive, rank.wide_lookup(idx.ftab_bot, q), zero)
+
+    if L >= k:
+        # ftab jump on the last k chars (backward search starts at seed end)
+        q = pack_kmer(seeds[:, L - k :])
+        top = jnp.where(alive, rank.wide_lookup(idx.ftab_top, q), zero)
+        bot = jnp.where(alive, rank.wide_lookup(idx.ftab_bot, q), zero)
+        nsteps = L - k
+    else:
+        # seed shorter than the ftab k-mer (e.g. -L below the index's
+        # ftab chars): start from the C-array row range of the LAST char
+        # (startSearchSeedBi's fchr fallback, aligner_seed.cpp:769-776)
+        # and LF through the remaining L-1 chars
+        c_last = seeds[:, L - 1]
+        top = jnp.where(alive, rank.small_lookup(idx.fchr, c_last, 4), zero)
+        bot = jnp.where(
+            alive, rank.small_lookup(idx.fchr, c_last + 1, 5), zero
+        )
+        nsteps = L - 1
 
     def step(i, carry):
         top, bot = carry
-        # walk right-to-left over the remaining L-k chars
-        pos = L - k - 1 - i
+        # walk right-to-left over the remaining chars
+        pos = nsteps - 1 - i
         c = jax.lax.dynamic_index_in_dim(seeds, pos, axis=1, keepdims=False)
         live = bot > top
         ntop, nbot = rank.lf_range(idx, c, top, bot)
@@ -59,8 +71,8 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
         bot = jnp.where(live, nbot, top)
         return top, bot
 
-    if L > k:
-        top, bot = jax.lax.fori_loop(0, L - k, step, (top, bot))
+    if nsteps > 0:
+        top, bot = jax.lax.fori_loop(0, nsteps, step, (top, bot))
     bot = jnp.maximum(top, bot)
     empty = ~alive
     zero = jnp.zeros((), top.dtype)

@@ -90,3 +90,47 @@ def test_resolve_all_rows_exhaustive(setup):
     valid = np.concatenate([np.ones(nrows, bool), np.zeros(pad, bool)])
     offs = np.asarray(jax.jit(resolve_rows)(idx, jnp.asarray(rows), jnp.asarray(valid)))
     assert np.array_equal(offs[:nrows], sa)
+
+
+def test_search_seed_shorter_than_ftab_k(setup):
+    """Seeds shorter than the index's ftab k-mer take the fchr-init path
+    (startSearchSeedBi's fallback, aligner_seed.cpp:769-776) — needed now
+    that big genomes default to ftab_k=12 while -L may go as low as 3."""
+    t, fm, idx, sa, search, resolve = setup  # index built with ftab_k=6
+    rng = np.random.default_rng(7)
+    for slen in (3, 5):  # both < ftab_k
+        b = 32
+        seeds = np.empty((b, slen), dtype=np.int32)
+        pos = rng.integers(0, len(t) - slen, b)
+        for i in range(b):
+            if i % 3 == 2:
+                seeds[i] = rng.integers(0, 4, slen)
+            else:
+                seeds[i] = t[pos[i] : pos[i] + slen]
+        valid = np.ones(b, dtype=bool)
+        top, bot = search_seeds(idx, jnp.asarray(seeds), jnp.asarray(valid))
+        top, bot = np.asarray(top), np.asarray(bot)
+        for i in range(b):
+            assert bot[i] - top[i] == naive_search(
+                t, seeds[i].astype(np.int8)
+            ), (slen, i)
+
+
+def test_wide_ftab_k12_matches_k6(setup):
+    """A k=12 jump table gives identical ranges to the k=6 index."""
+    t, fm, idx, sa, search, resolve = setup
+    fm12 = build_index_from_text(t, None, ftab_k=12)
+    idx12 = DeviceIndex.from_host(fm12)
+    rng = np.random.default_rng(13)
+    seeds, _ = make_seeds(t, rng, 48, with_n=2)
+    valid = np.ones(48, dtype=bool)
+    t6, b6 = search_seeds(idx, jnp.asarray(seeds), jnp.asarray(valid))
+    t12, b12 = search_seeds(idx12, jnp.asarray(seeds), jnp.asarray(valid))
+    t6, b6 = np.asarray(t6), np.asarray(b6)
+    t12, b12 = np.asarray(t12), np.asarray(b12)
+    # widths agree everywhere; rows agree wherever the range is nonempty
+    # (empty lanes stop at whatever row the last live step left them on,
+    # which legitimately depends on where the jump landed)
+    np.testing.assert_array_equal(b6 - t6, b12 - t12)
+    nz = b6 > t6
+    np.testing.assert_array_equal(t6[nz], t12[nz])
