@@ -32,7 +32,9 @@ import numpy as np
 from ..utils import dna
 from ..utils import rng as refrng
 from ..utils.mapq import mapq_v2_e2e
-from ..utils.pe import PEPolicy, PE_ALS_DISCORD, fragment_length
+from ..utils.pe import (
+    PEPolicy, PE_ALS_DISCORD, fragment_length, mate_fw_expectations,
+)
 from .aligner import AlnResult, Candidate, TPUAligner
 
 
@@ -73,6 +75,20 @@ class PairedAligner:
         self.mixed = mixed  # gReportMixed
         self.discord = discord  # gReportDiscordant
         self._nfilt = np.zeros(0, bool)
+        # --nofw/--norc are FRAGMENT-strand bans in paired mode: the
+        # reference remaps them per mate through the orientation policy
+        # (nofw[mate] = mateNfw ? gNofw : gNorc, bt2_search.cpp:3085-3088).
+        # Both read orientations must still seed (mates differ), so the
+        # per-read flags are neutralized on the engine and enforced here
+        # as per-mate candidate-orientation bans.
+        o = aligner.opts
+        m1fw, m2fw = mate_fw_expectations(self.pe.pol)
+        self._ban = (
+            (o.nofw if m1fw else o.norc, o.norc if m1fw else o.nofw),
+            (o.nofw if m2fw else o.norc, o.norc if m2fw else o.nofw),
+        )
+        if o.nofw or o.norc:
+            aligner.opts = dataclasses.replace(o, nofw=False, norc=False)
 
     # ---------------- candidate pairing ----------------
 
@@ -148,6 +164,8 @@ class PairedAligner:
                 if win is None:
                     continue
                 oleft, oll, olr, orl, orr, ofw = win
+                if self._ban[other_i % 2][0 if ofw else 1]:
+                    continue  # rescue orientation strand-banned
                 bounds = self.al.fm.refmap.ref_fragment_bounds(
                     cand.refid, cand.refoff
                 )
@@ -201,7 +219,10 @@ class PairedAligner:
                       if not nfilt[i]]
             cands = al.collect_candidates(reads, minscs, active, roundi)
             for i in active:
+                ban = self._ban[i % 2]
                 for key, c in cands[i].items():
+                    if ban[0 if key[0] else 1]:
+                        continue
                     cur = acc[i].get(key)
                     if cur is None or c.score > cur.score:
                         acc[i][key] = c

@@ -43,6 +43,17 @@ def policy_from_flags(m1fw: bool, m2fw: bool) -> int:
     return PE_POLICY_RR
 
 
+def mate_fw_expectations(pol: int) -> tuple[bool, bool]:
+    """Inverse of policy_from_flags: the (gMate1fw, gMate2fw) orientation
+    each mate takes when the fragment aligns to the forward strand."""
+    return {
+        PE_POLICY_FR: (True, False),
+        PE_POLICY_RF: (False, True),
+        PE_POLICY_FF: (True, True),
+        PE_POLICY_RR: (False, False),
+    }[pol]
+
+
 @dataclasses.dataclass(frozen=True)
 class PEPolicy:
     pol: int = PE_POLICY_FR

@@ -14,10 +14,15 @@ import sys
 def pytest_configure(config):
     if os.environ.get("BT2TPU_TEST_REEXEC") == "1":
         return
-    import jax
+    # Do NOT probe jax.default_backend() here: when the axon tunnel is in a
+    # hung phase, backend init blocks forever. If the axon plugin would
+    # register (PALLAS_AXON_POOL_IPS set), re-exec unconditionally with it
+    # cleared so the fresh interpreter never touches the tunnel.
+    if not os.environ.get("PALLAS_AXON_POOL_IPS"):
+        import jax
 
-    if jax.default_backend() == "cpu":
-        return
+        if jax.default_backend() == "cpu":
+            return
     capman = config.pluginmanager.getplugin("capturemanager")
     if capman is not None:
         capman.stop_global_capturing()
@@ -25,6 +30,7 @@ def pytest_configure(config):
     env["JAX_PLATFORM_NAME"] = "cpu"
     env["JAX_PLATFORMS"] = "cpu"
     env["BT2TPU_TEST_REEXEC"] = "1"
+    env.pop("PALLAS_AXON_POOL_IPS", None)  # keep the axon plugin unregistered
     flags = env.get("XLA_FLAGS", "")
     if "xla_force_host_platform_device_count" not in flags:
         env["XLA_FLAGS"] = (

@@ -222,3 +222,28 @@ def test_paired_sam_self_consistent(pgenome, tmp_path):
         assert (fl & 0x40) or (fl & 0x80)
     summ = w.summary.render()
     assert "were paired" in summ
+
+
+def test_paired_strand_ban_nofw_norc(pgenome):
+    """--nofw/--norc are fragment-strand bans in paired mode: the reference
+    remaps them per mate through the orientation policy (nofw[mate] =
+    mateNfw ? gNofw : gNorc, bt2_search.cpp:3085-3088). For FR pairs
+    planted on the forward strand, --nofw kills both mates (mate1's fw and
+    mate2's rc alignments are the banned fragment) while --norc leaves the
+    pair fully concordant."""
+    import dataclasses as dc
+
+    text, fm, _al, _pal = pgenome
+    rng = np.random.default_rng(33)
+    pairs = [make_pair(text, rng, i)[:2] for i in range(6)]
+
+    al = TPUAligner(fm)
+    al.opts = dc.replace(al.opts, nofw=True)
+    res = PairedAligner(al).align_pairs(pairs)
+    assert all(p.cat == "mixed" and p.m1.status == "unaligned"
+               and p.m2.status == "unaligned" for p in res)
+
+    al2 = TPUAligner(fm)
+    al2.opts = dc.replace(al2.opts, norc=True)
+    res2 = PairedAligner(al2).align_pairs(pairs)
+    assert sum(p.cat == "concord" for p in res2) >= 5
