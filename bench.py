@@ -20,6 +20,47 @@ READS = "/root/reference/example/reads/reads_1.fq"
 FASTA = "/root/reference/example/reference/lambda_virus.fa"
 
 
+def supervise():
+    """The axon tunnel has whole-process hang phases (device init or any
+    device call can block >10 min with no error). A hung benchmark process
+    cannot recover in-process, so run the measurement in child processes
+    with a watchdog and retry until one completes; every retry reuses the
+    persistent compile cache, so only the tunnel window matters."""
+    import subprocess
+
+    budget = float(os.environ.get("BT2TPU_BENCH_BUDGET", 2100))  # 35 min
+    deadline = time.time() + budget
+    attempt = 0
+    while time.time() < deadline:
+        attempt += 1
+        child_to = min(900.0, max(min(180.0, budget), deadline - time.time()))
+        env = dict(os.environ, BT2TPU_BENCH_CHILD="1")
+        try:
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                timeout=child_to, env=env, capture_output=True, text=True,
+            )
+        except subprocess.TimeoutExpired as e:
+            for st in (e.stderr,):
+                if st:
+                    sys.stderr.write(st if isinstance(st, str) else st.decode())
+            sys.stderr.write(
+                f"bench attempt {attempt}: killed after {child_to:.0f}s "
+                f"(hung tunnel window); retrying\n")
+            continue
+        sys.stderr.write(p.stderr)
+        line = next(
+            (l for l in p.stdout.splitlines() if l.startswith("{")), None)
+        if p.returncode == 0 and line:
+            print(line)
+            return
+        sys.stderr.write(f"bench attempt {attempt}: exit {p.returncode}\n")
+    sys.stderr.write(
+        f"bench: no successful measurement within the {budget:.0f}s budget "
+        "(degraded device tunnel); refusing to print a made-up number\n")
+    sys.exit(1)
+
+
 def main():
     sys.stderr.write(f"devices: {__import__('jax').devices()}\n")
     from omp_bowtie2_prime_tpu.index.format import FMIndex
@@ -83,4 +124,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BT2TPU_BENCH_CHILD") == "1":
+        main()
+    else:
+        supervise()
