@@ -73,7 +73,9 @@ def gather_ref_windows(ref_words, wstart, wlen, C: int):
 
 @dataclasses.dataclass(frozen=True)
 class SWParams:
-    """Static DP parameters (device kernel specializes on these)."""
+    """Static DP parameters (device kernel specializes on these).
+    `ma` (match bonus) is only consumed by the local kernels: end-to-end
+    mode is monotone with ma = 0 by construction (scoring.h:28-30)."""
 
     rdg_open: int = 8  # first read-gap char (const+linear)
     rdg_ext: int = 3
@@ -81,6 +83,7 @@ class SWParams:
     rfg_ext: int = 3
     npen: int = 1
     gbar: int = 4
+    ma: int = 0
 
     @classmethod
     def from_scoring(cls, sc) -> "SWParams":
@@ -91,6 +94,7 @@ class SWParams:
             rfg_ext=sc.ref_gap_extend,
             npen=sc.npen,
             gbar=sc.gap_barrier,
+            ma=sc.match_bonus,
         )
 
 
@@ -539,3 +543,222 @@ def backtrace_numpy(read, pen_mm, refw, p: SWParams, H, E, F, end_col):
         edits=edits,
         cigar=[(o, n) for o, n in cigar],
     )
+
+
+# ---------------------------------------------------------------------------
+# Local-mode kernels. The reference fork REMOVED its local SSE kernels
+# (--local prints "not supported", bt2_search.cpp:1345-1348) but kept the
+# whole local policy surface (match bonus DEFAULT_MATCH_BONUS_LOCAL=2,
+# scoring.h:32-33; --score-min G,20,8 scoring.h:54-55; local presets
+# presets.cpp:62-92; local MAPQ table unique.h:330-383). These kernels
+# restore upstream bowtie2's local capability on the same row-scan DP:
+# the recurrence gains the classic Smith-Waterman 0 floor (alignments may
+# start at any cell), the best cell is tracked over ALL rows (alignments
+# may end before the read does -> trailing soft clip), and the backtrace
+# stops at the first 0-valued H cell (-> leading soft clip).
+# ---------------------------------------------------------------------------
+
+
+def sw_local_tb_batch(
+    reads: jnp.ndarray,  # [B, L] int32 codes (4 = N/pad)
+    pen_mm: jnp.ndarray,  # [B, L]
+    rdlens: jnp.ndarray,  # [B]
+    refs: jnp.ndarray,  # [B, W]
+    wlens: jnp.ndarray,  # [B]
+    p: SWParams,
+):
+    """Local DP with trace bits. Returns (best [B], bestrow [B],
+    bestcol [B], tb [B, L, W+1] uint8). Trace bits 0-3 as in
+    sw_e2e_tb_batch, plus bit4: H == 0 (local start point — the backtrace
+    stops here). Ties for the best cell resolve to the smallest row, then
+    the smallest column (deterministic; the reference's RNG tie-break died
+    with its local kernels)."""
+    reads = reads.astype(jnp.int32)
+    pen_mm = pen_mm.astype(jnp.int32)
+    refs = refs.astype(jnp.int32)
+    B, L = reads.shape
+    W = refs.shape[1]
+    C = W + 1
+
+    cols = jnp.arange(C, dtype=jnp.int32)[None, :]
+    col_ok = cols <= wlens[:, None]
+
+    h0 = jnp.where(col_ok, 0, NEG).astype(jnp.int32)
+    f0 = jnp.full((B, C), NEG, jnp.int32)
+    tb0 = jnp.zeros((B, L, C), jnp.uint8)
+    best0 = jnp.zeros(B, jnp.int32)
+    brow0 = jnp.zeros(B, jnp.int32)
+    bcol0 = jnp.zeros(B, jnp.int32)
+
+    k_ext = cols * p.rdg_ext
+
+    def body(i, carry):
+        h_prev, f_prev, best, brow, bcol, tb = carry
+        rc = jax.lax.dynamic_index_in_dim(reads, i - 1, axis=1)
+        pm = jax.lax.dynamic_index_in_dim(pen_mm, i - 1, axis=1)
+        rd_n = rc >= 4
+        ref_n = refs >= 4
+        s = jnp.where(
+            rd_n | ref_n, -p.npen, jnp.where(refs == rc, p.ma, -pm)
+        ).astype(jnp.int32)
+
+        gap_ok = (i > p.gbar) & (i <= rdlens - p.gbar)
+        gmask = jnp.where(gap_ok, 0, NEG)[:, None].astype(jnp.int32)
+
+        f = jnp.maximum(h_prev - p.rfg_open + gmask, f_prev - p.rfg_ext)
+        f = jnp.maximum(f, NEG)
+
+        diag = jnp.concatenate(
+            [jnp.full((B, 1), NEG, jnp.int32), h_prev[:, :-1] + s], axis=1
+        )
+        h_open = jnp.maximum(diag, f)
+
+        scan = jax.lax.cummax(h_open + k_ext, axis=1)
+        e = jnp.concatenate(
+            [
+                jnp.full((B, 1), NEG, jnp.int32),
+                scan[:, :-1] - p.rdg_open - k_ext[:, 1:] + p.rdg_ext + gmask,
+            ],
+            axis=1,
+        )
+        e = jnp.maximum(e, NEG)
+
+        # the 0 floor: any cell may start a fresh local alignment.
+        # E sources below 0 can never surface through the floor (an E >= 0
+        # needs a source H >= rdg_open > 0), so scanning pre-floor h_open
+        # stays exact — same induction as the end-to-end scan.
+        h = jnp.maximum(jnp.maximum(h_open, e), 0)
+        h = jnp.where(col_ok, h, NEG)
+
+        b0 = (diag >= h).astype(jnp.uint8)
+        b1 = (f >= h).astype(jnp.uint8)
+        b2 = ((h_prev - p.rfg_open + gmask) >= f).astype(jnp.uint8)
+        left_open = jnp.concatenate(
+            [
+                jnp.zeros((B, 1), jnp.int32),
+                ((h[:, :-1] - p.rdg_open + gmask) >= e[:, 1:]).astype(jnp.int32),
+            ],
+            axis=1,
+        ).astype(jnp.uint8)
+        b4 = (h == 0).astype(jnp.uint8)
+        row_bits = b0 | (b1 << 1) | (b2 << 2) | (left_open << 3) | (b4 << 4)
+        tb = jax.lax.dynamic_update_slice_in_dim(
+            tb, row_bits[:, None, :], i - 1, axis=1
+        )
+
+        # best-cell tracking, only over real read rows (i <= rdlen)
+        hm = jnp.where(col_ok & (i <= rdlens)[:, None], h, NEG)
+        rowbest = jnp.max(hm, axis=1)
+        rowarg = jnp.argmax(hm, axis=1).astype(jnp.int32)
+        upd = rowbest > best
+        best = jnp.where(upd, rowbest, best)
+        brow = jnp.where(upd, i, brow)
+        bcol = jnp.where(upd, rowarg, bcol)
+        return h, f, best, brow, bcol, tb
+
+    _, _, best, brow, bcol, tb = jax.lax.fori_loop(
+        1, L + 1, body, (h0, f0, best0, brow0, bcol0, tb0)
+    )
+    return best, brow, bcol, tb
+
+
+def sw_local_backtrace_batch(
+    reads: jnp.ndarray,  # [B, L] int32 codes (4 = N/pad)
+    pen_mm: jnp.ndarray,
+    rdlens: jnp.ndarray,
+    refs: jnp.ndarray,
+    wlens: jnp.ndarray,
+    p: SWParams,
+):
+    """Fused local DP + device backtrace. Returns (best [B], bestrow [B],
+    bestcol [B], packed ops [B, ceil((L+W+1)/4)] uint8 END->START,
+    start_col [B], start_row [B]). Leading soft clip = start_row chars,
+    trailing = rdlen - bestrow."""
+    best, brow, bcol, tb = sw_local_tb_batch(
+        reads, pen_mm, rdlens, refs, wlens, p
+    )
+    B, L = reads.shape
+    C = refs.shape[1] + 1
+    MAXOPS = L + C
+    tbf = tb.reshape(B, L * C)
+
+    def step(k, carry):
+        i, j, state, ops = carry
+        bidx = jnp.clip(i - 1, 0, L - 1) * C + j
+        bits = jnp.take_along_axis(
+            tbf, bidx[:, None], axis=1)[:, 0].astype(jnp.int32)
+        in_h = state == 0
+        # stop on read start OR a 0-valued H cell reached in H state
+        done = (i <= 0) | (in_h & ((bits & 16) > 0))
+        m_ok = in_h & ((bits & 1) > 0) & (j > 0)
+        f_br = (state == 1) | (in_h & ~m_ok & ((bits & 2) > 0))
+        op = jnp.where(done, 0, jnp.where(m_ok, 1, jnp.where(f_br, 2, 3)))
+        e_br = ~m_ok & ~f_br
+        ops = jax.lax.dynamic_update_slice_in_dim(
+            ops, op.astype(jnp.uint8)[:, None], k, axis=1
+        )
+        ni = jnp.where(done | e_br, i, i - 1)
+        nj = jnp.where(done | f_br, j, j - 1)
+        nstate = jnp.where(
+            done, state,
+            jnp.where(
+                m_ok, 0,
+                jnp.where(
+                    f_br,
+                    jnp.where((bits & 4) > 0, 0, 1),
+                    jnp.where((bits & 8) > 0, 0, 2),
+                ),
+            ),
+        )
+        return ni, nj, nstate, ops
+
+    init = (
+        brow.astype(jnp.int32),
+        bcol.astype(jnp.int32),
+        jnp.zeros(B, jnp.int32),
+        jnp.zeros((B, MAXOPS), jnp.uint8),
+    )
+    i_fin, j_fin, _, ops = jax.lax.fori_loop(0, MAXOPS, step, init)
+    return best, brow, bcol, pack_ops2(ops), j_fin, i_fin
+
+
+def sw_local_full_numpy(read, pen_mm, refw, p: SWParams):
+    """Local-mode numpy oracle: full floored H/E/F, [L+1, W+1] int64."""
+    read = np.asarray(read)
+    refw = np.asarray(refw, dtype=np.int64)
+    L = len(read)
+    W = len(refw)
+    H = np.full((L + 1, W + 1), NEG, dtype=np.int64)
+    E = np.full((L + 1, W + 1), NEG, dtype=np.int64)
+    F = np.full((L + 1, W + 1), NEG, dtype=np.int64)
+    H[0, :] = 0
+    k_ext = np.arange(W + 1, dtype=np.int64) * p.rdg_ext
+    for i in range(1, L + 1):
+        gap_ok = (i > p.gbar) and (i <= L - p.gbar)
+        rc = int(read[i - 1])
+        if rc >= 4:
+            s = np.full(W, -p.npen, dtype=np.int64)
+        else:
+            s = np.where(
+                refw >= 4, -p.npen,
+                np.where(refw == rc, p.ma, -int(pen_mm[i - 1])),
+            )
+        f = np.maximum(
+            (H[i - 1] - p.rfg_open) if gap_ok else NEG, F[i - 1] - p.rfg_ext
+        )
+        np.maximum(f, NEG, out=f)
+        F[i] = f
+        ho = np.empty(W + 1, dtype=np.int64)
+        ho[0] = f[0]
+        np.maximum(H[i - 1, :-1] + s, f[1:], out=ho[1:])
+        if gap_ok:
+            scan = np.maximum.accumulate(ho + k_ext)
+            e = np.empty(W + 1, dtype=np.int64)
+            e[0] = NEG
+            e[1:] = scan[:-1] - p.rdg_open - k_ext[1:] + p.rdg_ext
+            np.maximum(e, NEG, out=e)
+        else:
+            e = np.full(W + 1, NEG, dtype=np.int64)
+        E[i] = e
+        H[i] = np.maximum(np.maximum(ho, e), 0)
+    return H, E, F
