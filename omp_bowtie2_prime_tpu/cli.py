@@ -15,7 +15,9 @@ input: -U/-1/-2/--interleaved/--tab5/--tab6, -f/-q, -u/-s, -5/-3,
 --no-overlap; reporting: -k, -a, --no-unal, --un/--al; output: --rg-id,
 --rg, --no-hd, --no-sq, -p/--threads (accepted; batching replaces thread
 parallelism), --reorder (output is always in input order), -t/--time,
---local (not supported, like the fork bt2_search.cpp:1345-1348).
+--local/--ma/-local presets (soft-clipping local alignment — restored
+beyond the fork, which removed its local kernels and prints "not
+supported", bt2_search.cpp:1345-1348).
 """
 
 from __future__ import annotations
@@ -146,10 +148,13 @@ def cmd_align(args):
     from .utils.presets import PRESETS, PRESETS_LOCAL, DEFAULT_PRESET
     from .utils.scoring import Scoring, SimpleFunc
 
-    if args.local:
-        # the fork warns and continues in end-to-end mode
-        # (bt2_search.cpp:1345-1348)
-        print("WARNING: localAlign not supported", file=sys.stderr)
+    # --local / -local presets: soft-clipping local alignment. The fork
+    # warns "not supported" (bt2_search.cpp:1345-1348); we restore
+    # upstream bowtie2's local mode (match bonus 2, --score-min G,20,8,
+    # -local presets, local MAPQ table) on the sw_local_* kernels.
+    if getattr(args, "preset_local", None):
+        args.local = True
+        args.preset = args.preset_local
     if args.M is not None:
         print("Warning: -M is deprecated.  Use -D and -R to adjust "
               "effort instead.", file=sys.stderr)
@@ -160,7 +165,15 @@ def cmd_align(args):
     fm = _load_index(args.index)
 
     # ---- policy: preset then explicit overrides (presets.cpp order) ----
-    preset = PRESETS[args.preset or DEFAULT_PRESET]
+    if args.local:
+        # --local remaps plain preset names to their -local variants
+        # (%LOCAL% substitution in the reference's preset cases)
+        base = args.preset or "sensitive"
+        if not base.endswith("-local"):
+            base += "-local"
+        preset = PRESETS_LOCAL[base]
+    else:
+        preset = PRESETS[args.preset or DEFAULT_PRESET]
     seed_len = args.seed_len if args.seed_len is not None else preset.seed_len
     ival = SimpleFunc.parse(args.ival) if args.ival else preset.ival
     nrounds = args.reseed if args.reseed is not None else preset.nrounds
@@ -178,13 +191,20 @@ def cmd_align(args):
     )
     if args.score_min:
         sc_kwargs["score_min"] = SimpleFunc.parse(args.score_min)
+    elif args.local:
+        # DEFAULT_MIN_CONST_LOCAL/LINEAR_LOCAL = G,20,8 (scoring.h:54-55)
+        sc_kwargs["score_min"] = SimpleFunc.parse("G,20,8")
+    if args.ma is not None:
+        sc_kwargs["match_bonus"] = args.ma
+    elif args.local:
+        sc_kwargs["match_bonus"] = 2  # DEFAULT_MATCH_BONUS_LOCAL
     if args.n_ceil:
         sc_kwargs["n_ceil"] = SimpleFunc.parse(args.n_ceil)
     sc = Scoring(**sc_kwargs)
 
     opts = AlignOpts(
         seed_len=seed_len, ival=ival, nrounds=nrounds, dps=dps,
-        nofw=args.nofw, norc=args.norc,
+        nofw=args.nofw, norc=args.norc, local=args.local,
         khits=args.khits, allhits=args.allhits,
         mapqv=args.mapqv, maxhalf=args.dpad,
         seed_boost=args.seed_boost, rng_seed=args.seed,
@@ -508,6 +528,14 @@ def main(argv=None):
     a.add_argument("--very-sensitive", dest="preset", action="store_const", const="very-sensitive")
     a.add_argument("--end-to-end", action="store_true", default=True)
     a.add_argument("--local", action="store_true", default=False)
+    # the -local preset names imply --local (bt2_search.cpp preset cases)
+    for _p in ("very-fast", "fast", "sensitive", "very-sensitive"):
+        a.add_argument(
+            f"--{_p}-local", dest="preset_local", action="store_const",
+            const=f"{_p}-local",
+        )
+    a.add_argument("--ma", type=int, default=None,
+                   help="match bonus (local default 2, e2e 0)")
     a.add_argument("-L", "--seed-len", type=int, default=None)
     a.add_argument("-i", "--ival", default=None)
     a.add_argument("-N", type=int, default=0)

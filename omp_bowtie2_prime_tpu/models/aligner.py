@@ -31,7 +31,7 @@ from ..index.format import DeviceIndex, FMIndex
 from ..ops import seed_search, sw, walk
 from ..utils import dna
 from ..utils import rng as refrng
-from ..utils.mapq import mapq_v2_e2e, mapq_v3
+from ..utils.mapq import mapq_v2_e2e, mapq_v2_local, mapq_v3
 from ..utils.metrics import PhaseTimers, PipelineMetrics
 from ..utils.scoring import Scoring, SimpleFunc, SIMPLE_FUNC_SQRT
 from ..utils import cigar as cigar_util
@@ -67,6 +67,11 @@ class AlignOpts:
     seed_boost: int = 300
     nofw: bool = False  # --nofw: skip forward-orientation seeds
     norc: bool = False  # --norc: skip reverse-complement seeds
+    # --local: soft-clipping local alignment. The fork removed its local
+    # kernels (bt2_search.cpp:1345-1348) but kept the whole local policy
+    # surface; this restores upstream bowtie2's local mode on the
+    # sw_local_* kernels (ops/sw.py)
+    local: bool = False
     khits: int = 1  # -k: report up to this many alignments
     allhits: bool = False  # -a: report all found alignments
     mapqv: int = 2  # --mapq-v: 2 = BowtieMapq2 (default), 3 = V3 table
@@ -183,10 +188,10 @@ class Candidate(_LazyCigar):
     __slots__ = ("score", "fw", "endj", "problem", "bc", "ops_row",
                  "start_col", "resolved", "valid", "joined_start", "span",
                  "refid", "refoff", "_cigar", "cigar_str", "stats",
-                 "bridge")
+                 "bridge", "row_lo", "row_hi")
 
     def __init__(self, score, fw, endj, problem, bc, ops_row=None,
-                 start_col=-1, bridge=None):
+                 start_col=-1, bridge=None, row_lo=0, row_hi=-1):
         self.score = score
         self.fw = fw
         self.endj = endj  # joined-text col where the alignment ends (excl)
@@ -209,6 +214,11 @@ class Candidate(_LazyCigar):
         # N-bridge DP problems (window spans an intra-reference N gap)
         # carry their ref-space frame: (refid, ref_lo, refw int8 window)
         self.bridge = bridge
+        # local mode: aligned read-row range [row_lo, row_hi) — soft clips
+        # are row_lo leading and rdlen - row_hi trailing chars
+        # (row_hi = -1 means the whole read: end-to-end mode)
+        self.row_lo = row_lo
+        self.row_hi = row_hi
 
 
 class Problems:
@@ -399,6 +409,20 @@ class TPUAligner:
         )
         if str(jnp.asarray(self.idx.fchr).dtype) == "int64":
             use_pallas = False  # large-index path uses the XLA DP kernel
+        if o.local:
+            use_pallas = False  # local DP runs on the XLA kernels
+
+        # local-mode DP adapter: same (best, bestcol, ops, startcol) head
+        # as the e2e kernel, plus (bestrow, startrow) — the soft-clip
+        # endpoints — appended to the packed header (hdr width 5 not 3)
+        def _local_bt(reads, pens, rdlens, refs, wlens, p):
+            best, brow, bcol, opsp, stc, srow = sw.sw_local_backtrace_batch(
+                reads, pens, rdlens, refs, wlens, p
+            )
+            return best, bcol, opsp, stc, brow, srow
+
+        dp_fn = _local_bt if o.local else sw.sw_e2e_backtrace_batch
+        self._hdr_w = 5 if o.local else 3
         def _bt_packed(fn):
             # ONE packed input put and ONE packed result copy per DP
             # dispatch (tunnel round-trips + relay bandwidth dominate):
@@ -421,7 +445,7 @@ class TPUAligner:
                     refs = sw.gather_ref_windows(
                         refw, small[:, 2], small[:, 1], C
                     )
-                best, bestcol, opsp, stc = fn(
+                best, bestcol, opsp, stc, *extra = fn(
                     reads, pens, small[:, 0].astype(jnp.int32), refs,
                     small[:, 1].astype(jnp.int32), p
                 )
@@ -433,7 +457,8 @@ class TPUAligner:
                 )
                 hdr = jnp.stack(
                     [best.astype(jnp.int32), bestcol.astype(jnp.int32),
-                     stc.astype(jnp.int32)], axis=1,
+                     stc.astype(jnp.int32)]
+                    + [x.astype(jnp.int32) for x in extra], axis=1,
                 )
                 return jnp.concatenate([hdr, w], axis=1)
 
@@ -463,7 +488,7 @@ class TPUAligner:
                 refs = sw.gather_ref_windows(
                     refw, small[:, 3], small[:, 2], C
                 )
-                best, bestcol, opsp, stc = fn(
+                best, bestcol, opsp, stc, *extra = fn(
                     reads, pens, small[:, 1].astype(jnp.int32), refs,
                     small[:, 2].astype(jnp.int32), p
                 )
@@ -475,14 +500,15 @@ class TPUAligner:
                 )
                 hdr = jnp.stack(
                     [best.astype(jnp.int32), bestcol.astype(jnp.int32),
-                     stc.astype(jnp.int32)], axis=1,
+                     stc.astype(jnp.int32)]
+                    + [x.astype(jnp.int32) for x in extra], axis=1,
                 )
                 return jnp.concatenate([hdr, w], axis=1)
 
             return jax.jit(wrapped, static_argnums=(4, 5, 6))
 
-        self._sw_bt_xla = _bt_packed(sw.sw_e2e_backtrace_batch)
-        self._sw_bt_xla_mat = _bt_packed_mat(sw.sw_e2e_backtrace_batch)
+        self._sw_bt_xla = _bt_packed(dp_fn)
+        self._sw_bt_xla_mat = _bt_packed_mat(dp_fn)
         if use_pallas:
             from ..ops.sw_pallas import sw_e2e_backtrace_pallas
 
@@ -942,30 +968,41 @@ class TPUAligner:
             ))))
         return n, futs
 
-    @staticmethod
-    def _collect_dp_bt(state):
+    def _collect_dp_bt(self, state):
         n, futs = state
+        hw = self._hdr_w
         best = np.full(n, sw.NEG, np.int64)
         bestcol = np.zeros(n, np.int32)
         startcols = np.zeros(n, np.int32)
         all_ops: list = [None] * n
+        # local mode: (bestrow, startrow) soft-clip endpoints ride in the
+        # two extra header columns
+        rows = (
+            (np.zeros(n, np.int32), np.zeros(n, np.int32))
+            if hw == 5 else None
+        )
         for lo, hi, res in futs:
-            a = np.asarray(res)  # [B, 3 + opwords] int32 (see _bt_packed)
+            a = np.asarray(res)  # [B, hdr_w + opwords] int32 (_bt_packed)
             m = hi - lo
             best[lo:hi] = a[:m, 0]
             bestcol[lo:hi] = a[:m, 1]
             startcols[lo:hi] = a[:m, 2]
+            if rows is not None:
+                rows[0][lo:hi] = a[:m, 3]  # bestrow (trailing clip bound)
+                rows[1][lo:hi] = a[:m, 4]  # startrow (leading clip)
             ops_np = sw.unpack_ops2(
-                np.ascontiguousarray(a[:m, 3:]).view(np.uint8)
+                np.ascontiguousarray(a[:m, hw:]).view(np.uint8)
             )
             for k in range(m):
                 all_ops[lo + k] = ops_np[k]
-        return best, bestcol, all_ops, startcols
+        return best, bestcol, all_ops, startcols, rows
 
     def _run_dp_bt(self, problems, cols: int | None = None,
                    batch: int | None = None, lmax: int | None = None):
         """Batched DP with fused device backtrace walk: returns
-        (best, bestcol, ops list, startcols) for every problem."""
+        (best, bestcol, ops list, startcols, rows) for every problem —
+        rows is None in end-to-end mode, (bestrow, startrow) arrays in
+        local mode."""
         return self._collect_dp_bt(
             self._dispatch_dp_bt(problems, cols, batch, lmax)
         )
@@ -1068,7 +1105,10 @@ class TPUAligner:
         lens = np.fromiter(
             (len(rd.seq) for rd in reads), np.float64, len(reads)
         )
-        m = np.minimum(sc.score_min.f_vec(lens), 0)
+        m = sc.score_min.f_vec(lens)
+        if o.local:
+            return m  # positive G-func floor (G,20,8); no u8 clamp
+        m = np.minimum(m, 0)
         m[(m < o.minsc_clamp) & (lens <= o.l_max)] = o.minsc_clamp
         return m
 
@@ -1317,7 +1357,8 @@ class TPUAligner:
             irr_mask = (problems.wlen > o.dp_cols) | (lens_p > o.l_max)
             irr_i = np.flatnonzero(irr_mask)
             if not len(irr_i):
-                best, bestcol, ops, startcols = self._run_dp_bt(problems)
+                best, bestcol, ops, startcols, rows = \
+                    self._run_dp_bt(problems)
             else:
                 reg_i = np.flatnonzero(~irr_mask)
                 n_all = len(problems)
@@ -1325,6 +1366,10 @@ class TPUAligner:
                 bestcol = np.zeros(n_all, np.int32)
                 startcols = np.zeros(n_all, np.int32)
                 ops = [None] * n_all
+                rows = (
+                    (np.zeros(n_all, np.int32), np.zeros(n_all, np.int32))
+                    if o.local else None
+                )
                 # FIXED length classes (no per-batch shape churn -> the
                 # compile cache stays warm across batches)
                 jobs = []
@@ -1351,10 +1396,13 @@ class TPUAligner:
                     for (cols, lm, bt), idxs in jobs
                 ]
                 for idxs, st in states:
-                    b, bc, op, stc = self._collect_dp_bt(st)
+                    b, bc, op, stc, rws = self._collect_dp_bt(st)
                     best[idxs] = b
                     bestcol[idxs] = bc
                     startcols[idxs] = stc
+                    if rows is not None:
+                        rows[0][idxs] = rws[0]
+                        rows[1][idxs] = rws[1]
                     for t, i in enumerate(idxs.tolist()):
                         ops[i] = op[t]
 
@@ -1395,7 +1443,7 @@ class TPUAligner:
                 ),
             )
             with self.timers.phase("extendDPWide"):
-                b, bc, op, stc = self._run_dp_bt(
+                b, bc, op, stc, rws = self._run_dp_bt(
                     wide_probs, cols=wcols, batch=wbatch, lmax=wlmax
                 )
             # fused-path arrays can be read-only views of the device copy
@@ -1408,6 +1456,9 @@ class TPUAligner:
             best[esc] = b
             bestcol[esc] = bc
             startcols[esc] = stc
+            if rows is not None and rws is not None:
+                rows[0][esc] = rws[0]
+                rows[1][esc] = rws[1]
             for t, i in enumerate(esc.tolist()):
                 ops[i] = op[t]
 
@@ -1479,6 +1530,9 @@ class TPUAligner:
             ws_l = problems.wstart[pis].tolist()
             wl_l = problems.wlen[pis].tolist()
             dg_l = problems.diag[pis].tolist()
+            if rows is not None:
+                rhi_l = rows[0][pis].tolist()
+                rlo_l = rows[1][pis].tolist()
             for t in range(len(emit)):
                 ri = ri_l[t]
                 cands[ri][(fw_l[t], ej_l[t])] = Candidate(
@@ -1486,6 +1540,8 @@ class TPUAligner:
                     problem=dict(src=src_l[t], wstart=ws_l[t],
                                  wlen=wl_l[t], diag=dg_l[t]),
                     bc=bc_l[t], ops_row=ops[pi_l[t]], start_col=st_l[t],
+                    row_lo=rlo_l[t] if rows is not None else 0,
+                    row_hi=rhi_l[t] if rows is not None else -1,
                 )
         # N-bridge candidates join after the main stream (their fork-side
         # tie order is unknowable: the fork's own records there are
@@ -1584,8 +1640,13 @@ class TPUAligner:
             self._put(big), self._put(small), self.idx.ref_words,
             self.swp, L, C, True,
         ))[:n_b]
-        ops = sw.unpack_ops2(np.ascontiguousarray(out[:, 3:]).view(np.uint8))
+        hw = self._hdr_w
+        ops = sw.unpack_ops2(
+            np.ascontiguousarray(out[:, hw:]).view(np.uint8)
+        )
         best, bestcol, startcol = out[:, 0], out[:, 1], out[:, 2]
+        brows = out[:, 3] if hw == 5 else None
+        srows = out[:, 4] if hw == 5 else None
         self.metrics.add(dps_bridge=n_b)
         res = []
         for t in range(n_b):
@@ -1609,6 +1670,8 @@ class TPUAligner:
                 bc=int(bestcol[t]), ops_row=ops[t],
                 start_col=int(startcol[t]),
                 bridge=(rid, int(ref_lo[k]), refs[t]),
+                row_lo=int(srows[t]) if srows is not None else 0,
+                row_hi=int(brows[t]) if brows is not None else -1,
             )
             res.append((ri, (fwb, key_end), cand))
         return res
@@ -1624,6 +1687,10 @@ class TPUAligner:
         src = c.problem["src"]
         rdlen = int(self._mat_lens[src // 2])
         read = self._mat_reads[src][:rdlen]
+        row_hi = c.row_hi if c.row_hi >= 0 else rdlen
+        ql, qr = c.row_lo, rdlen - row_hi
+        if ql or qr:
+            read = read[ql:row_hi]  # local: flanks soft-clip
         cigar = cigar_util.left_align_cigar(cigar, read, refw, c.start_col)
         stats = cigar_util.alignment_stats(read, refw, c.start_col, cigar)
         if stats["ns"] > self.sc.n_ceil_for(rdlen):
@@ -1633,6 +1700,12 @@ class TPUAligner:
         c.span = stats["ref_span"]
         js = self.fm.refmap.ref_to_joined(rid, c.refoff)
         c.joined_start = js if js is not None else -1
+        if ql or qr:
+            cigar = (
+                ([("S", ql)] if ql else [])
+                + cigar
+                + ([("S", qr)] if qr else [])
+            )
         c.cigar = cigar
         c.stats = stats
         c.valid = True
@@ -1663,7 +1736,11 @@ class TPUAligner:
         if have_ops:
             for c in have_ops:
                 c.resolved = True
-            if not self._finish_candidates_native(have_ops):
+            # the native finisher replays from read row 0: local-mode
+            # soft-clipped candidates take the Python path
+            if self.opts.local or not self._finish_candidates_native(
+                have_ops
+            ):
                 for c in have_ops:
                     self._finish_backtrace(c, c.ops_row, c.start_col)
         todo = [c for c in todo if c.ops_row is None]
@@ -1710,11 +1787,17 @@ class TPUAligner:
                         self.idx.ref_words, self.swp, L, W,
                         packed[3] is not None,
                     ))))
+        hw = self._hdr_w
         for chunk, res in futs:
             a = np.asarray(res)
-            ops = sw.unpack_ops2(np.ascontiguousarray(a[:, 3:]).view(np.uint8))
+            ops = sw.unpack_ops2(
+                np.ascontiguousarray(a[:, hw:]).view(np.uint8)
+            )
             startcol = a[:, 2]
             for k, c in enumerate(chunk):
+                if hw == 5:  # local: refresh the soft-clip endpoints
+                    c.row_hi = int(a[k, 3])
+                    c.row_lo = int(a[k, 4])
                 self._finish_backtrace(c, ops[k], int(startcol[k]))
 
     def _finish_candidates_native(self, cands: list) -> bool:
@@ -1796,12 +1879,25 @@ class TPUAligner:
         src = pr["src"]
         rdlen = int(self._mat_lens[src // 2])
         read = self._mat_reads[src][:rdlen]
+        # local mode: the op string covers read rows [row_lo, row_hi);
+        # the flanks become soft clips (upstream local semantics — the
+        # fork removed its local kernels, bt2_search.cpp:1345-1348)
+        row_hi = cand.row_hi if cand.row_hi >= 0 else rdlen
+        ql, qr = cand.row_lo, rdlen - row_hi
+        if ql or qr:
+            read = read[ql:row_hi]
         refw = self.text[pr["wstart"] : pr["wstart"] + pr["wlen"]]
         cigar = cigar_util.left_align_cigar(cigar, read, refw, start_col)
-        cand.cigar = cigar
         stats = cigar_util.alignment_stats(read, refw, start_col, cigar)
         if stats["ns"] > self.sc.n_ceil_for(rdlen):
             return  # too many Ns (aligner_swsse_ee_u8.cpp:1284)
+        if ql or qr:
+            cigar = (
+                ([("S", ql)] if ql else [])
+                + cigar
+                + ([("S", qr)] if qr else [])
+            )
+        cand.cigar = cigar
         cand.stats = stats
         cand.valid = True
 
@@ -1851,7 +1947,12 @@ class TPUAligner:
         multi = o.allhits or o.khits > 1
         # -k>1 / -a report modes don't compute a meaningful MAPQ
         # (BowtieMapq2's !canMax short-circuit, unique.h:200-205)
-        mapq_fn = mapq_v3 if o.mapqv == 3 else mapq_v2_e2e
+        if o.mapqv == 3:
+            mapq_fn = mapq_v3
+        elif o.local:
+            mapq_fn = mapq_v2_local  # non-monotone branch, unique.h:330-383
+        else:
+            mapq_fn = mapq_v2_e2e
         bonus = self.sc.match_bonus
         mins_l = np.asarray(minscs, np.int64).tolist()
         lens_l = self._mat_lens.tolist()

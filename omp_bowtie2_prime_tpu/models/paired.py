@@ -31,7 +31,7 @@ import numpy as np
 
 from ..utils import dna
 from ..utils import rng as refrng
-from ..utils.mapq import mapq_v2_e2e
+from ..utils.mapq import mapq_v2_e2e, mapq_v2_local
 from ..utils.pe import (
     PEPolicy, PE_ALS_DISCORD, fragment_length, mate_fw_expectations,
 )
@@ -245,7 +245,7 @@ class PairedAligner:
         if unresolved:
             problems, meta = self._rescue_problems(pairs, minscs, acc, unresolved)
             if problems:
-                best, bestcol, ops, startcols = al._run_dp_bt(
+                best, bestcol, ops, startcols, rows = al._run_dp_bt(
                     problems, cols=self._rescue_cols()
                 )
                 for k, (pi, is1, ofw) in enumerate(meta):
@@ -260,6 +260,8 @@ class PairedAligner:
                             score=int(best[k]), fw=ofw, endj=endj,
                             problem=problems[k], bc=int(bestcol[k]),
                             ops_row=ops[k], start_col=int(startcols[k]),
+                            row_lo=int(rows[1][k]) if rows else 0,
+                            row_hi=int(rows[0][k]) if rows else -1,
                         )
                 unresolved = self._concordance_pass(
                     pairs, unresolved, acc, best_pair, secbest_csc
@@ -332,7 +334,8 @@ class PairedAligner:
         c1, c2 = combo
         perfect = sc.match_bonus * (len(rd1.seq) + len(rd2.seq))
         csc = c1.score + c2.score
-        mq = mapq_v2_e2e(csc, secbest_csc, minsc1 + minsc2, perfect)
+        mq_fn = mapq_v2_local if self.al.opts.local else mapq_v2_e2e
+        mq = mq_fn(csc, secbest_csc, minsc1 + minsc2, perfect)
         m1 = _to_result(c1, None, mq)
         m2 = _to_result(c2, None, mq)
         tlen1 = fragment_length(
@@ -358,12 +361,13 @@ class PairedAligner:
             return None, 0
         ranked = TPUAligner.rank_candidates(cands, rnd)
         secbest = ranked[1][1].score if len(ranked) > 1 else None
+        mq_fn = mapq_v2_local if self.al.opts.local else mapq_v2_e2e
         for (_fw, _endj), cand in ranked:
             self.al.backtrace(cand)
             if not cand.valid:
                 continue
             perfect = sc.match_bonus * len(rd.seq)
-            mq = mapq_v2_e2e(cand.score, secbest, minsc, perfect)
+            mq = mq_fn(cand.score, secbest, minsc, perfect)
             return _to_result(cand, secbest, mq), len(ranked)
         return None, 0
 

@@ -7,9 +7,9 @@ SEEDLEN (-L), DPS (-D seed-extension fail-streak budget), ROUNDS (-R
 re-seed rounds) and IVAL (-i seed interval function). The fork supports
 exact seeds only (aligner_seed.h:356-369), matching SEED=0 everywhere.
 
-Local-mode presets are listed for surface completeness; the fork prints
-"--local mode is not supported" (bt2_search.cpp:1345-1348) and so does the
-CLI here.
+The fork prints "--local mode is not supported" (bt2_search.cpp:1345-1348);
+here the -local presets drive the restored local alignment mode
+(models/aligner.py AlignOpts.local).
 """
 
 from __future__ import annotations
@@ -39,8 +39,7 @@ PRESETS = {
     "very-sensitive": Preset(20, 20, 3, _sqrt(1.0, 0.50)),
 }
 
-# --local presets (presets.cpp:64-95) — unsupported at runtime, kept for
-# option-surface parity
+# --local presets (presets.cpp:64-95)
 PRESETS_LOCAL = {
     "very-fast-local": Preset(25, 5, 1, _sqrt(1.0, 2.00)),
     "fast-local": Preset(22, 10, 2, _sqrt(1.0, 1.75)),

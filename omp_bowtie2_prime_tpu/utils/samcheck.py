@@ -60,6 +60,7 @@ def check_record(fields, refseqs: dict, sc: Scoring | None = None) -> list[str]:
                 rc, fc = int(read[i]), int(ref[j])
                 if rc == fc and rc < 4:
                     run += 1
+                    score += sc.match_bonus  # local mode: +ma per match
                 else:
                     md_parts.append(str(run))
                     md_parts.append(dna.decode([fc]))

@@ -159,14 +159,14 @@ def test_cli_paired(genome, tmp_path):
     assert int(recs[0][8]) == 300 and int(recs[1][8]) == -300
 
 
-def test_cli_local_unsupported(genome, tmp_path, capsys):
-    """--local warns and continues in end-to-end mode, exactly like the
-    fork (bt2_search.cpp:1345-1348)."""
+def test_cli_local_accepted(genome, tmp_path, capsys):
+    """--local no longer warns: local mode is implemented (the fork prints
+    "not supported", bt2_search.cpp:1345-1348 — a capability we restore)."""
     d, text, idx = genome
     out = tmp_path / "l.sam"
     run_cli(["align", "-x", idx, "-U", "/dev/null", "--local",
              "-S", str(out)])
-    assert "localAlign not supported" in capsys.readouterr().err
+    assert "not supported" not in capsys.readouterr().err
     assert out.exists()
 
 
@@ -264,3 +264,28 @@ def test_solexa_qual_conversion():
     for sol, want in table.items():
         got = int(np.round(10.0 * np.log10(1.0 + 10.0 ** (sol / 10.0))))
         assert got == want, (sol, got, want)
+
+
+def test_cli_local_mode(genome, tmp_path):
+    """--local soft-clips a garbage 5' flank (restored local capability;
+    the fork prints "not supported", bt2_search.cpp:1345-1348), and the
+    -local preset names imply --local."""
+    d, text, idx = genome
+    fq = tmp_path / "loc.fq"
+    core = dna.decode(text[4000:4090])
+    garb = dna.decode((text[3988:4000] + 2) % 4)  # mismatches everywhere
+    make_fastq(str(fq), [("lq0", garb + core, "I" * 102)])
+    out = tmp_path / "loc.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out), "--local"])
+    rec = [l for l in out.read_text().splitlines() if not l.startswith("@")][0]
+    f = rec.split("\t")
+    assert f[5] == "12S90M"
+    assert int(f[3]) == 4001  # SAM 1-based
+    assert "AS:i:180" in rec  # 90 matches x ma=2
+
+    out2 = tmp_path / "loc2.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out2),
+             "--very-sensitive-local"])
+    rec2 = [l for l in out2.read_text().splitlines()
+            if not l.startswith("@")][0]
+    assert rec2.split("\t")[5] == "12S90M"
