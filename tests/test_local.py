@@ -163,3 +163,17 @@ def test_local_never_extends_at_a_loss(lgenome):
     assert res.refoff == 15000
     assert cigar_string(res.cigar) == "40S60M"
     assert res.score == 120
+
+
+def test_local_long_read_irregular_class(lgenome):
+    """A 320bp read routes through the irregular (any-shape XLA) DP class
+    and still soft-clips its damaged 5' flank in local mode."""
+    text, fm, al = lgenome
+    core = text[6000:6300]
+    garb = (text[5980:6000] + 2) % 4
+    rd = mk(np.concatenate([garb, core]))
+    res = al.align_batch([rd])[0]
+    assert res.status == "aligned"
+    assert res.refoff == 6000
+    assert cigar_string(res.cigar) == "20S300M"
+    assert res.score == 600
