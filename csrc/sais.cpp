@@ -216,6 +216,10 @@ extern "C" int bt_ibwt_i64(const uint8_t* bwt, uint8_t* text, int64_t n_rows,
 static const char BT_OPSYM[4] = {'?', 'M', 'I', 'D'};
 static const char BT_BASE[5] = {'A', 'C', 'G', 'T', 'N'};
 
+// row_los/clip_his (nullable): local-mode soft clips. The op replay
+// starts at read index row_los[k] (leading clip) and clip_his[k] read
+// chars stay unaligned at the 3' end (trailing clip); both are emitted
+// as S runs around the CIGAR. End-to-end callers pass NULL.
 extern "C" int64_t bt_finish_batch(
     const uint8_t* ops, int64_t ops_stride, int64_t n,
     const int32_t* start_cols, const int64_t* wstarts,
@@ -223,7 +227,8 @@ extern "C" int64_t bt_finish_batch(
     const int8_t* text, int64_t text_len,
     char* cig_buf, int64_t cig_slot,
     char* md_buf, int64_t md_slot,
-    int64_t* stats_out) {
+    int64_t* stats_out,
+    const int32_t* row_los, const int32_t* clip_his) {
     int64_t overflow = -1;
     for (int64_t k = 0; k < n; k++) {
         const uint8_t* o = ops + k * ops_stride;
@@ -231,7 +236,7 @@ extern "C" int64_t bt_finish_batch(
         while (m < ops_stride && o[m] != 0) m++;
         const int8_t* rd = reads_mat + srcs[k] * reads_stride;
         int64_t tpos = wstarts[k] + start_cols[k];
-        int64_t i = 0;
+        int64_t i = row_los ? row_los[k] : 0;
         int64_t nm = 0, xm = 0, xo = 0, xg = 0, xn = 0, ns = 0;
         int64_t ciglen = 0, mdlen = 0, match_run = 0;
         bool ok = true;
@@ -259,7 +264,7 @@ extern "C" int64_t bt_finish_batch(
             // run boundary — invariant under the slides (a slide permutes
             // columns within a prefix-closed span, total consumption at
             // every original boundary is unchanged)
-            int64_t i2 = 0, j2 = tpos;
+            int64_t i2 = i, j2 = tpos;
             for (int64_t a = 0; a < m;) {
                 uint8_t op = fwd[a];
                 int64_t b = a + 1;
@@ -290,6 +295,11 @@ extern "C" int64_t bt_finish_batch(
                 else j2 += g;
                 a = b;
             }
+        }
+        if (row_los && row_los[k] > 0) {  // leading soft clip
+            num_into(cig_buf + k * cig_slot, ciglen, cig_slot - 1,
+                     row_los[k]);
+            if (ok) cig_buf[k * cig_slot + ciglen++] = 'S';
         }
         // run-wise over the forward op string
         for (int64_t q2 = 0; q2 < m && ok;) {
@@ -333,6 +343,11 @@ extern "C" int64_t bt_finish_batch(
                 }
                 nm += run; xg += run;
             }
+        }
+        if (ok && clip_his && clip_his[k] > 0) {  // trailing soft clip
+            num_into(cig_buf + k * cig_slot, ciglen, cig_slot - 1,
+                     clip_his[k]);
+            if (ok) cig_buf[k * cig_slot + ciglen++] = 'S';
         }
         num_into(md_buf + k * md_slot, mdlen, md_slot, match_run);
         if (!ok) {

@@ -1736,11 +1736,7 @@ class TPUAligner:
         if have_ops:
             for c in have_ops:
                 c.resolved = True
-            # the native finisher replays from read row 0: local-mode
-            # soft-clipped candidates take the Python path
-            if self.opts.local or not self._finish_candidates_native(
-                have_ops
-            ):
+            if not self._finish_candidates_native(have_ops):
                 for c in have_ops:
                     self._finish_backtrace(c, c.ops_row, c.start_col)
         todo = [c for c in todo if c.ops_row is None]
@@ -1815,8 +1811,15 @@ class TPUAligner:
         start_cols = np.fromiter((c.start_col for c in cands), np.int32, n)
         wstarts = np.fromiter((c.problem["wstart"] for c in cands), np.int64, n)
         srcs = np.fromiter((c.problem["src"] for c in cands), np.int64, n)
+        row_los = clip_his = None
+        if self.opts.local:
+            row_los = np.fromiter((c.row_lo for c in cands), np.int32, n)
+            row_his = np.fromiter((c.row_hi for c in cands), np.int32, n)
+            rdlens = self._mat_lens[srcs >> 1].astype(np.int32)
+            clip_his = np.where(row_his >= 0, rdlens - row_his, 0)
         out = finish_batch(ops_mat, start_cols, wstarts, self._mat_reads,
-                           srcs, self.text)
+                           srcs, self.text, row_los=row_los,
+                           clip_his=clip_his)
         if out is None:
             return False
         cig_buf, md_buf, stats = out

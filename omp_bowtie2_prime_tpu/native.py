@@ -80,18 +80,23 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64,
             ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p,
         ]
         _lib = lib
         return _lib
 
 
 def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
-                 cig_slot: int = 64, md_slot: int = 384):
+                 cig_slot: int = 64, md_slot: int = 384,
+                 row_los=None, clip_his=None):
     """Native CIGAR/MD/stats for a batch of backtraced alignments. Returns
     (cig_buf [n, cig_slot] bytes-2d holding ready ASCII CIGAR strings,
     md_buf bytes-2d, stats [n, 9] int64 = {nm,xm,xo,xg,xn,span,ciglen,
     mdlen,ns}) or None if the library is unavailable. Records with
-    stats[k, 6] == -1 overflowed their slot (caller falls back)."""
+    stats[k, 6] == -1 overflowed their slot (caller falls back).
+    row_los/clip_his (local mode): leading/trailing soft-clip char counts
+    per record — the replay starts at read index row_los[k] and xS runs
+    wrap the CIGAR."""
     lib = get_lib()
     if lib is None:
         return None
@@ -101,6 +106,9 @@ def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
     srcs = np.ascontiguousarray(srcs, np.int64)
     reads_mat = np.ascontiguousarray(reads_mat, np.int8)
     text = np.ascontiguousarray(text, np.int8)
+    if row_los is not None:
+        row_los = np.ascontiguousarray(row_los, np.int32)
+        clip_his = np.ascontiguousarray(clip_his, np.int32)
     n = len(ops_mat)
     cig_buf = np.zeros((n, cig_slot), np.uint8)
     md_buf = np.zeros((n, md_slot), np.uint8)
@@ -113,6 +121,8 @@ def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
         cig_buf.ctypes.data, np.int64(cig_slot),
         md_buf.ctypes.data, np.int64(md_slot),
         stats.ctypes.data,
+        row_los.ctypes.data if row_los is not None else None,
+        clip_his.ctypes.data if clip_his is not None else None,
     )
     return cig_buf, md_buf, stats
 
