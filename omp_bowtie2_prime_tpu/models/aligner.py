@@ -387,15 +387,18 @@ class TPUAligner:
             # packed table comes back instead of every range/offset array
             import os as _os_
 
-            # default ON for CPU/virtual-mesh backends; opt-in
-            # (BT2TPU_FUSED_RANK=1) on the remote axon TPU runtime, whose
-            # buffer management intermittently rejects one executable's
-            # outputs as another's inputs (InvalidArgument) from the
-            # second batch on — the host path is the automatic fallback
+            # default ON everywhere (BT2TPU_FUSED_RANK=0 opts out, auto
+            # host-path fallback on any device error stays). The
+            # second-batch "INVALID_ARGUMENT: Execution supplied N buffers
+            # but compiled program expected N+k" fault that kept this
+            # opt-in on the axon runtime was OUR bug, not the relay's:
+            # module-level jnp scalar constants captured as runtime
+            # executable constants that the jax-0.9 pjit C++ fast path
+            # drops on re-execution (fixed in ops/rank.py + rank_frame.py;
+            # regression: tests/test_fused_rank_redispatch.py)
             _fenv = _os_.environ.get("BT2TPU_FUSED_RANK")
-            _default_on = jax.default_backend() not in ("tpu", "axon")
             self._use_fused_rank = (
-                (_fenv == "1" or (_fenv != "0" and _default_on))
+                _fenv != "0"
                 and str(jnp.asarray(self.idx.fchr).dtype) == "int32"
             )
         # The hand-written Pallas DP kernel (ops/sw_pallas.py) is the

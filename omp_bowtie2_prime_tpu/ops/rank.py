@@ -19,14 +19,21 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..index.format import (
     BLK_BWT, BLK_MARK, BLK_MARKCP, BLK_OCC, BLOCK_U32, MARK_WORDS_PER_BLOCK,
     OCC_BLOCK, WORD_BASES, WORDS_PER_BLOCK,
 )
 
-_EVEN = jnp.uint32(0x55555555)
-_FULL = jnp.uint32(0xFFFFFFFF)
+# numpy (not jnp) scalars: module-level jnp constants are device arrays
+# that every trace captures as *runtime-supplied* executable constants,
+# and the jax-0.9 pjit C++ fast path drops them on re-execution
+# ("Execution supplied N buffers but compiled program expected N+k") —
+# the fault behind the fused-path axon poison. numpy scalars bake into
+# the HLO as literals instead.
+_EVEN = np.uint32(0x55555555)
+_FULL = np.uint32(0xFFFFFFFF)
 
 
 def _pair_limit_mask(nbases):

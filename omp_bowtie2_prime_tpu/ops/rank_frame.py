@@ -32,10 +32,14 @@ import functools
 import os
 
 import jax
+import numpy as np
 import jax.numpy as jnp
 
 I32 = jnp.int32
-BIG = jnp.int32(2**30)
+# numpy scalar on purpose — a module-level jnp scalar is a device array
+# captured as a runtime executable constant, which the jax-0.9 pjit C++
+# fast path fails to supply on re-execution (see ops/rank.py _EVEN note)
+BIG = np.int32(2**30)
 
 # diagnostic ablations for bisecting the axon-runtime fault (see
 # memory/tpu-env-gotchas): BT2TPU_RF_ABLATE=sorts,owner,scatter,segsum,
