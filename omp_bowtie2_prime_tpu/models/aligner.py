@@ -410,8 +410,10 @@ class TPUAligner:
         use_pallas = _pl == "1" or (
             _pl != "0" and jax.default_backend() in ("tpu", "axon")
         )
-        if str(jnp.asarray(self.idx.fchr).dtype) == "int64":
-            use_pallas = False  # large-index path uses the XLA DP kernel
+        # (the large-index int64 path also takes the Pallas kernel: it
+        # traces under a scoped x32 context — every DP input is int32 —
+        # so the global jax_enable_x64 flag no longer recurses Mosaic;
+        # see ops/sw_pallas.py sw_e2e_tb_pallas)
         if o.local:
             use_pallas = False  # local DP runs on the XLA kernels
 

@@ -100,8 +100,14 @@ def _dp_kernel(reads_ref, pens_ref, rdlens_ref, refs_ref, wlens_ref,
         # The current word rides in a loop carry and stores every row
         # (overwriting-in-place is cheaper than the load+or+store RMW:
         # one VMEM op per row instead of two)
-        d = (i - 1) // 8
-        shift = 4 * ((i - 1) % 8)
+        # lax.div/rem (truncating; i >= 1 so equal to floor) instead of
+        # Python // and %: the floor ops lower through a `sign` fallback
+        # that Mosaic re-traces at lowering time under the GLOBAL dtype
+        # config — with jax_enable_x64 on (large-index path) that
+        # re-trace emits int64 and Mosaic raises/recurses
+        i32 = jnp.int32
+        d = jax.lax.div(i - i32(1), i32(8))
+        shift = i32(4) * jax.lax.rem(i - i32(1), i32(8))
         word = row_bits << shift
         acc = jnp.where(shift == 0, word, acc | word)
         tb_ref[pl.ds(d, 1), :, :] = acc[None, :, :]
@@ -129,6 +135,18 @@ def sw_e2e_tb_pallas(reads, pen_mm, rdlens, refs, wlens, p: SWParams):
     Returns (best [B], bestcol [B], tbp [B, L/8, C] int32) where word
     (l//8) holds rows 8k..8k+7, 4 bits each (bit layout as ops/sw.py
     sw_e2e_tb_batch)."""
+    # Trace under x32 semantics regardless of the global flag: the
+    # large-index (int64, .bt2l-scale) pipeline enables jax_enable_x64
+    # globally, which turns the kernel's weak-typed literals into int64
+    # and Mosaic cannot lower 64-bit (it recursed in
+    # convert_element_type before raising). Every input here is int32,
+    # so x32 tracing is exact.
+    with jax.enable_x64(False):
+        return _sw_e2e_tb_pallas_body(reads, pen_mm, rdlens, refs, wlens,
+                                      p)
+
+
+def _sw_e2e_tb_pallas_body(reads, pen_mm, rdlens, refs, wlens, p):
     B, L = reads.shape
     W = refs.shape[1]
     C = W + 1

@@ -35,3 +35,4 @@ def test_pallas_matches_xla():
     )
     for a, b in zip(o1, o2):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
