@@ -289,10 +289,11 @@ def _rank_frame_mega(idx, seeds3, valid2, m_ri, m_fw, m_off, lens, mgn,
         text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
         max_dp=max_dp, p_cap=p_cap, n_reads=lens.shape[0],
     )
+    odt = probs.dtype  # int64 for .bt2l-scale genomes, else int32
     return jnp.concatenate([
         probs.reshape(-1),
-        jnp.stack([count.astype(jnp.int32), ov.astype(jnp.int32)]),
-        hn.astype(jnp.int32), he.astype(jnp.int32),
+        jnp.stack([count.astype(odt), ov.astype(odt)]),
+        hn.astype(odt), he.astype(odt),
     ])
 
 
@@ -397,10 +398,7 @@ class TPUAligner:
             # drops on re-execution (fixed in ops/rank.py + rank_frame.py;
             # regression: tests/test_fused_rank_redispatch.py)
             _fenv = _os_.environ.get("BT2TPU_FUSED_RANK")
-            self._use_fused_rank = (
-                _fenv != "0"
-                and str(jnp.asarray(self.idx.fchr).dtype) == "int32"
-            )
+            self._use_fused_rank = _fenv != "0"
         # The hand-written Pallas DP kernel (ops/sw_pallas.py) is the
         # default on TPU backends (output-identical to the XLA formulation,
         # slightly faster end to end); BT2TPU_PALLAS=0 opts out, =1 forces.
@@ -787,8 +785,9 @@ class TPUAligner:
                            mgn_pad, read_ok_pad):
         """Fused search+resolve+rank+frame: the per-seed range/offset
         tables never come to host — one packed problem table does.
-        Returns (problems int32 [count, 4], hit_nonz, hit_elts) or None
-        when a fixed table overflowed (caller reruns the host path)."""
+        Returns (problems [count, 4] in the index dtype (int64 for
+        .bt2l-scale genomes), hit_nonz, hit_elts) or None when a fixed
+        table overflowed (caller reruns the host path)."""
         o = self.opts
         S_act = len(seeds)
         SB = o.seed_batch
@@ -812,7 +811,9 @@ class TPUAligner:
             self._put_chunked(valid2),
             self._put(ri_p), self._put(fw_p), self._put(off_p),
             self._put(lens_pad), self._put(mgn_pad),
-            self._put(read_ok_pad), np.int32(self.fm.n),
+            self._put(read_ok_pad),
+            np.int64(self.fm.n) if self._large_index else
+            np.int32(self.fm.n),
             range_cap=o.range_cap, expand=o.resolve_expand,
             max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
             p_cap=P_CAP,

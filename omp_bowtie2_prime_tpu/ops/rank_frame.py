@@ -180,7 +180,9 @@ def rank_frame(
     epos_ok = sk_sorted < BIG  # stream-ordered validity
 
     owner_e = owner[g_e]
-    joff = goffs[g_e].astype(I32)
+    # joined offsets keep their index dtype: int64 for .bt2l-scale
+    # genomes (framing below follows cand.dtype; the output table widens)
+    joff = goffs[g_e]
     ri_e = jnp.where(epos_ok, ri[owner_e], n_reads)
     fw_e = m_fw[owner_e]
     soff_e = m_off[owner_e].astype(joff.dtype)
@@ -220,15 +222,16 @@ def rank_frame(
     count = jnp.sum(keep.astype(I32))
     srcs = 2 * ri_e + jnp.where(fw_e, 0, 1)
     tgt = jnp.where(keep & (out_pos < p_cap), out_pos, p_cap)
+    odt = cand.dtype  # int64 table for .bt2l-scale genomes
     if "scatter" in _ABLATE:
         problems = jnp.stack(
-            [srcs.astype(I32), wstart.astype(I32),
-             (wend - wstart).astype(I32), cand.astype(I32)], axis=1
+            [srcs.astype(odt), wstart.astype(odt),
+             (wend - wstart).astype(odt), cand.astype(odt)], axis=1
         )[: p_cap + 1]
     else:
-        problems = jnp.zeros((p_cap + 1, 4), I32)
-        problems = problems.at[tgt, 0].set(srcs.astype(I32))
-        problems = problems.at[tgt, 1].set(wstart.astype(I32))
-        problems = problems.at[tgt, 2].set((wend - wstart).astype(I32))
-        problems = problems.at[tgt, 3].set(cand.astype(I32))
+        problems = jnp.zeros((p_cap + 1, 4), odt)
+        problems = problems.at[tgt, 0].set(srcs.astype(odt))
+        problems = problems.at[tgt, 1].set(wstart.astype(odt))
+        problems = problems.at[tgt, 2].set((wend - wstart).astype(odt))
+        problems = problems.at[tgt, 3].set(cand.astype(odt))
     return problems[:p_cap], count, hit_nonz, hit_elts, overflow

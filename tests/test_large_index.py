@@ -33,7 +33,11 @@ def test_int64_rows_same_results():
 
     os.environ["BT2TPU_FORCE_LARGE"] = "1"
     try:
-        wide = TPUAligner(fm).align_batch(reads)
+        al64 = TPUAligner(fm)
+        assert al64._use_fused_rank  # int64 rides the fused device path
+        wide = al64.align_batch(reads)
+        # and must not have silently fallen back to the host stage
+        assert al64._use_fused_rank
     finally:
         del os.environ["BT2TPU_FORCE_LARGE"]
         jax.config.update("jax_enable_x64", False)  # don't leak into other tests
