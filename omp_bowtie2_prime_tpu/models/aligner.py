@@ -412,9 +412,6 @@ class TPUAligner:
         # traces under a scoped x32 context — every DP input is int32 —
         # so the global jax_enable_x64 flag no longer recurses Mosaic;
         # see ops/sw_pallas.py sw_e2e_tb_pallas)
-        if o.local:
-            use_pallas = False  # local DP runs on the XLA kernels
-
         # local-mode DP adapter: same (best, bestcol, ops, startcol) head
         # as the e2e kernel, plus (bestrow, startrow) — the soft-clip
         # endpoints — appended to the packed header (hdr width 5 not 3)
@@ -513,10 +510,24 @@ class TPUAligner:
         self._sw_bt_xla = _bt_packed(dp_fn)
         self._sw_bt_xla_mat = _bt_packed_mat(dp_fn)
         if use_pallas:
-            from ..ops.sw_pallas import sw_e2e_backtrace_pallas
+            if o.local:
+                from ..ops.sw_pallas import sw_local_backtrace_pallas
 
-            self._sw_bt_fn = _bt_packed(sw_e2e_backtrace_pallas)
-            self._sw_bt_fn_mat = _bt_packed_mat(sw_e2e_backtrace_pallas)
+                def _local_bt_pl(reads, pens, rdlens, refs, wlens, p):
+                    best, brow, bcol, opsp, stc, srow = (
+                        sw_local_backtrace_pallas(
+                            reads, pens, rdlens, refs, wlens, p
+                        )
+                    )
+                    return best, bcol, opsp, stc, brow, srow
+
+                pl_fn = _local_bt_pl
+            else:
+                from ..ops.sw_pallas import sw_e2e_backtrace_pallas
+
+                pl_fn = sw_e2e_backtrace_pallas
+            self._sw_bt_fn = _bt_packed(pl_fn)
+            self._sw_bt_fn_mat = _bt_packed_mat(pl_fn)
         else:
             self._sw_bt_fn = self._sw_bt_xla
             self._sw_bt_fn_mat = self._sw_bt_xla_mat

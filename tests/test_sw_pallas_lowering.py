@@ -31,3 +31,28 @@ def test_pallas_lowers_for_tpu_under_x64():
         assert len(exp.mlir_module()) > 0
     finally:
         jax.config.update("jax_enable_x64", prev)
+
+
+def test_local_pallas_lowers_for_tpu():
+    """The local-mode Pallas kernel (match bonus, zero floor, H==0 stop
+    bits, in-loop best-cell tracking) must lower for TPU, including under
+    global x64 like its e2e sibling."""
+    import jax.numpy as jnp
+
+    from omp_bowtie2_prime_tpu.ops.sw_pallas import sw_local_backtrace_pallas
+
+    prev = jax.config.jax_enable_x64
+    jax.config.update("jax_enable_x64", True)
+    try:
+        B, L, W = 256, 160, 224
+        args = (
+            jnp.zeros((B, L), jnp.int32), jnp.ones((B, L), jnp.int32),
+            jnp.full((B,), 100, jnp.int32), jnp.zeros((B, W), jnp.int32),
+            jnp.full((B,), 200, jnp.int32),
+        )
+        p = sw.SWParams(ma=2, rdg_open=5, rdg_ext=3, rfg_open=5, rfg_ext=3)
+        f = jax.jit(sw_local_backtrace_pallas, static_argnums=5)
+        exp = jax.export.export(f, platforms=("tpu",))(*args, p)
+        assert len(exp.mlir_module()) > 0
+    finally:
+        jax.config.update("jax_enable_x64", prev)
