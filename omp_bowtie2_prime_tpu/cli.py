@@ -467,7 +467,7 @@ def main(argv=None):
     a.add_argument("-b", "--bam", default=None)
     a.add_argument("--align-paired-reads", dest="bam_paired",
                    action="store_true")
-    a.add_argument("-u", "--upto", type=int, default=None)
+    a.add_argument("-u", "--upto", "--qupto", type=int, default=None)
     a.add_argument("-s", "--skip", dest="skip_reads", type=int, default=0)
     a.add_argument("-5", "--trim5", type=int, default=0)
     a.add_argument("-3", "--trim3", type=int, default=0)
@@ -518,7 +518,6 @@ def main(argv=None):
     a.add_argument("--sam-no-qname-trunc", action="store_true")
     a.add_argument("--omit-sec-seq", action="store_true")
     a.add_argument("--mm", action="store_true")
-    a.add_argument("--qupto", type=int, default=None)
     a.add_argument("-p", "--threads", type=int, default=1)  # batching model
     a.add_argument("--batch", type=int, default=8192)
     # presets / policy
