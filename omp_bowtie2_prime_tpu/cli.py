@@ -210,6 +210,12 @@ def cmd_align(args):
         seed_boost=args.seed_boost, rng_seed=args.seed,
     )
     aligner = TPUAligner(fm, sc, opts)
+    # -p 2+: a second aligner instance (sharing the device-resident
+    # index) feeds a second pipeline align worker, so one batch's host
+    # phases overlap the other's device waits (models/pipeline.py).
+    # More than 2 never helps on this single host core.
+    aligner2 = (TPUAligner(fm, sc, opts)
+                if getattr(args, "threads", 1) >= 2 else None)
 
     paired_src = None
     if args.m1 and args.m2:
@@ -311,8 +317,14 @@ def cmd_align(args):
                 else:
                     w.summary.add_pair(pres.cat, 0, 0)
 
+        pal_fns = None
+        if aligner2 is not None:
+            pal2 = PairedAligner(aligner2, pe, mixed=not args.no_mixed,
+                                 discord=not args.no_discordant)
+            pal_fns = [pal.align_pairs, pal2.align_pairs]
         nreads = 2 * run_pipeline(
-            batch_iterator(src, args.batch), pal.align_pairs, emit_pairs
+            batch_iterator(src, args.batch), pal.align_pairs, emit_pairs,
+            align_fns=pal_fns,
         )
     else:
         if args.cmdline:
@@ -362,7 +374,10 @@ def cmd_align(args):
                         w.summary.add(0)
 
         nreads = run_pipeline(
-            batch_iterator(src, args.batch), aligner.align_batch, emit_unpaired
+            batch_iterator(src, args.batch), aligner.align_batch,
+            emit_unpaired,
+            align_fns=([aligner.align_batch, aligner2.align_batch]
+                       if aligner2 is not None else None),
         )
     dt = time.time() - t0
     print(w.summary.render(), file=sys.stderr)
@@ -370,6 +385,9 @@ def cmd_align(args):
         # phase profile (MyTimer analog) + pipeline counters
         aligner.timers.report()
         aligner.metrics.report()
+        if aligner2 is not None:
+            aligner2.timers.report()
+            aligner2.metrics.report()
     if args.met_file:
         with open(args.met_file, "w") as mf:
             mf.write(aligner.timers.render() + "\n")
@@ -518,7 +536,10 @@ def main(argv=None):
     a.add_argument("--sam-no-qname-trunc", action="store_true")
     a.add_argument("--omit-sec-seq", action="store_true")
     a.add_argument("--mm", action="store_true")
-    a.add_argument("-p", "--threads", type=int, default=1)  # batching model
+    a.add_argument("-p", "--threads", type=int, default=1,
+                   help="2+ adds a second pipelined align worker (host "
+                        "phases of one batch overlap device waits of the "
+                        "other; output order unchanged)")
     a.add_argument("--batch", type=int, default=8192)
     # presets / policy
     a.add_argument("--very-fast", dest="preset", action="store_const", const="very-fast")

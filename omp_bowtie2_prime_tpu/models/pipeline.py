@@ -3,65 +3,124 @@
 The analog of the reference's dedicated parser thread + lock-free ready
 queue (PatternSourceReadAheadFactory, pat.h:1283-1402, readAsync :1380)
 and its input-order OutputQueue writer (outq.h:31-160). Three stages
-overlap: a producer thread parses FASTQ batches ahead, the main thread
-drives device alignment, and a writer thread formats/emits SAM in strict
+overlap: a producer thread parses FASTQ batches ahead, align worker(s)
+drive device alignment, and a writer thread formats/emits SAM in strict
 input order. Device waits release the GIL, so parsing and emission hide
 behind them.
+
+With two align workers (``align_fns`` of length 2, each a distinct
+aligner instance so per-batch state never races), batch B's host phases
+(rank, candidate collection, finish) run while batch A blocks on the
+device — the single-core analog of the fork's phase-barrier OpenMP pool:
+device executions serialize on the chip either way, so the overlap
+converts device wait into host progress. Output stays input-ordered via
+sequence-numbered batches reassembled at the writer.
 """
 
 from __future__ import annotations
 
+import heapq
 import queue
 import threading
 
 _DONE = object()
 
 
-def run_pipeline(batches, align_fn, emit_fn, depth: int = 2):
+def run_pipeline(batches, align_fn, emit_fn, depth: int = 2,
+                 align_fns=None):
     """batches: iterator of input batches; align_fn(batch) -> results;
-    emit_fn(batch, results) -> None (called in input order)."""
+    emit_fn(batch, results) -> None (called in input order).
+
+    align_fns: optional list of align callables, one per align worker
+    (each must own its per-batch state); align_fn is ignored when given.
+    """
+    fns = list(align_fns) if align_fns else [align_fn]
     in_q: queue.Queue = queue.Queue(maxsize=depth)
-    out_q: queue.Queue = queue.Queue(maxsize=depth)
+    out_q: queue.Queue = queue.Queue(maxsize=depth + len(fns))
     errs: list = []
+
+    def put_checked(q, item):
+        # bounded put that never deadlocks on a dead consumer: bail as
+        # soon as any stage recorded an error
+        while not errs:
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def producer():
         try:
-            for b in batches:
-                in_q.put(b)
+            for seq, b in enumerate(batches):
+                if not put_checked(in_q, (seq, b)):
+                    break
         except BaseException as e:  # surface parse errors in the main thread
             errs.append(e)
         finally:
-            in_q.put(_DONE)
+            for _ in fns:
+                put_checked(in_q, _DONE)
 
     def writer():
-        while True:
-            item = out_q.get()
-            if item is _DONE:
-                return
+        next_seq = 0
+        held: list = []  # (seq, batch, results) min-heap
+        done_workers = 0
+        while not errs:
             try:
-                emit_fn(*item)
+                item = out_q.get(timeout=0.2)
+            except queue.Empty:
+                continue
+            if item is _DONE:
+                done_workers += 1
+                if done_workers == len(fns):
+                    return
+                continue
+            heapq.heappush(held, item)
+            try:
+                while held and held[0][0] == next_seq:
+                    _, b, results = heapq.heappop(held)
+                    emit_fn(b, results)
+                    next_seq += 1
             except BaseException as e:
                 errs.append(e)
                 return
 
+    def align_worker(fn):
+        try:
+            while not errs:
+                try:
+                    item = in_q.get(timeout=0.2)
+                except queue.Empty:
+                    continue
+                if item is _DONE:
+                    return
+                seq, b = item
+                results = fn(b)
+                if not put_checked(out_q, (seq, b, results)):
+                    return
+                counts.append(len(b))
+        except BaseException as e:
+            errs.append(e)
+        finally:
+            put_checked(out_q, _DONE)
+
+    counts: list = []
     pt = threading.Thread(target=producer, daemon=True)
     wt = threading.Thread(target=writer, daemon=True)
     pt.start()
     wt.start()
-    n = 0
-    try:
-        while True:
-            if errs:
-                raise errs[0]
-            b = in_q.get()
-            if b is _DONE:
-                break
-            results = align_fn(b)
-            out_q.put((b, results))
-            n += len(b)
-    finally:
-        out_q.put(_DONE)
-        wt.join()
-        if errs:
-            raise errs[0]
-    return n
+    if len(fns) == 1:
+        # single worker runs inline (no extra thread hop on the hot path)
+        align_worker(fns[0])
+    else:
+        ats = [threading.Thread(target=align_worker, args=(fn,),
+                                daemon=True)
+               for fn in fns]
+        for t in ats:
+            t.start()
+        for t in ats:
+            t.join()
+    wt.join()
+    if errs:
+        raise errs[0]
+    return sum(counts)

@@ -1,0 +1,80 @@
+"""models/pipeline.py: ordered emission and error propagation, incl. the
+two-align-worker overlap mode (the reference analog is the reader-thread +
+OutputQueue contract, pat.h:1283-1402 / outq.h:31-160: output must be in
+input order regardless of worker interleaving)."""
+
+import time
+
+import pytest
+
+from omp_bowtie2_prime_tpu.models.pipeline import run_pipeline
+
+
+def test_single_worker_order():
+    got = []
+    n = run_pipeline(
+        iter([[1, 2], [3], [4, 5, 6]]),
+        lambda b: [x * 10 for x in b],
+        lambda b, r: got.append((b, r)),
+    )
+    assert n == 6
+    assert got == [([1, 2], [10, 20]), ([3], [30]), ([4, 5, 6], [40, 50, 60])]
+
+
+def test_two_workers_emit_in_input_order():
+    # stagger worker latency so completion order differs from input order
+    def mk(delay_even):
+        def fn(b):
+            if (b[0] % 2 == 0) == delay_even:
+                time.sleep(0.05)
+            return [x * 10 for x in b]
+
+        return fn
+
+    got = []
+    batches = [[i] for i in range(12)]
+    n = run_pipeline(
+        iter(batches), None, lambda b, r: got.append(b[0]),
+        align_fns=[mk(True), mk(False)],
+    )
+    assert n == 12
+    assert got == list(range(12))
+
+
+def test_two_workers_results_match_single():
+    batches = [[i, i + 1] for i in range(0, 20, 2)]
+    fn = lambda b: [x * x for x in b]  # noqa: E731
+    single, multi = [], []
+    run_pipeline(iter(batches), fn, lambda b, r: single.append(r))
+    run_pipeline(iter(batches), None, lambda b, r: multi.append(r),
+                 align_fns=[fn, fn])
+    assert single == multi
+
+
+def test_align_error_propagates():
+    def bad(b):
+        raise ValueError("boom")
+
+    with pytest.raises(ValueError, match="boom"):
+        run_pipeline(iter([[1]]), bad, lambda b, r: None)
+    with pytest.raises(ValueError, match="boom"):
+        run_pipeline(iter([[i] for i in range(8)]), None,
+                     lambda b, r: None, align_fns=[bad, bad])
+
+
+def test_emit_error_propagates_two_workers():
+    def emit(b, r):
+        raise RuntimeError("writer died")
+
+    with pytest.raises(RuntimeError, match="writer died"):
+        run_pipeline(iter([[i] for i in range(8)]), None, emit,
+                     align_fns=[lambda b: b, lambda b: b])
+
+
+def test_producer_error_propagates():
+    def batches():
+        yield [1]
+        raise OSError("parse fail")
+
+    with pytest.raises(OSError, match="parse fail"):
+        run_pipeline(batches(), lambda b: b, lambda b, r: None)
