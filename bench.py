@@ -77,9 +77,19 @@ def main():
     al = TPUAligner(fm)
     reads = list(read_fastq(READS))
 
+    # BT2TPU_BENCH_PIPE=1: two align workers over half batches (the CLI's
+    # -p 2 overlap mode, models/pipeline.py) — one batch's host phases
+    # hide behind the other's device waits. Byte-identical output.
+    pipe = os.environ.get("BT2TPU_BENCH_PIPE") == "1"
+    al2 = TPUAligner(fm) if pipe else None
+
     # warmup at the full batch shape: every timed pass is then compile-free
     al.align_batch(reads[:600])
     al.align_batch(reads)
+    if pipe:
+        half = (len(reads) + 1) // 2
+        al.align_batch(reads[:half])
+        al2.align_batch(reads[half:])
 
     # Adaptive best-of-N: the remote-device tunnel shows intermittent
     # multi-second stalls unrelated to the workload, so a fixed small
@@ -92,8 +102,22 @@ def main():
     while True:
         t0 = time.time()
         res = []
-        for lo in range(0, len(reads), B):
-            res.extend(al.align_batch(reads[lo : lo + B]))
+        if pipe:
+            from omp_bowtie2_prime_tpu.models.pipeline import run_pipeline
+
+            half = (len(reads) + 1) // 2
+            chunks = [reads[:half], reads[half:]]
+            out = {}
+            run_pipeline(
+                iter(enumerate(chunks)), None,
+                lambda b, r: out.__setitem__(b[0], r),
+                align_fns=[lambda b: al.align_batch(b[1]),
+                           lambda b: al2.align_batch(b[1])],
+            )
+            res = out[0] + out[1]
+        else:
+            for lo in range(0, len(reads), B):
+                res.extend(al.align_batch(reads[lo : lo + B]))
         dts.append(time.time() - t0)
         if len(dts) >= 3:
             best2 = sorted(dts)[:2]
