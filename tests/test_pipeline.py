@@ -71,6 +71,55 @@ def test_emit_error_propagates_two_workers():
                      align_fns=[lambda b: b, lambda b: b])
 
 
+def test_two_aligner_workers_match_single():
+    """Two TPUAligner instances over a shared index, driven concurrently
+    through the pipeline, must reproduce the single-aligner results
+    exactly (the -p 2 CLI mode; the reference analog is scripts/sim's
+    single- vs multi-threaded output identity contract)."""
+    import numpy as np
+
+    from omp_bowtie2_prime_tpu.index.builder import build_index_from_text
+    from omp_bowtie2_prime_tpu.index.fasta import join_references
+    from omp_bowtie2_prime_tpu.io.fastq import Read
+    from omp_bowtie2_prime_tpu.models.aligner import TPUAligner
+    from omp_bowtie2_prime_tpu.utils import dna
+
+    rng = np.random.default_rng(57)
+    text = rng.integers(0, 4, 20000).astype(np.int8)
+    joined, refmap = join_references(["chrW"], [text.copy()])
+    fm = build_index_from_text(joined, refmap, ftab_k=8)
+    reads = []
+    for i in range(120):
+        pos = int(rng.integers(0, len(text) - 100))
+        seq = text[pos: pos + 100].copy()
+        p = int(rng.integers(5, 95))
+        seq[p] = (seq[p] + 1) % 4
+        if rng.integers(0, 2):
+            seq = dna.revcomp(seq)
+        reads.append(Read(i, f"w{i}", seq.astype(np.int8),
+                          np.full(100, 35, np.uint8)))
+    batches = [reads[i: i + 30] for i in range(0, 120, 30)]
+
+    al = TPUAligner(fm)
+    single = []
+    run_pipeline(iter(batches), al.align_batch,
+                 lambda b, r: single.extend(r))
+
+    al1, al2 = TPUAligner(fm), TPUAligner(fm)
+    multi = []
+    run_pipeline(iter(batches), None, lambda b, r: multi.extend(r),
+                 align_fns=[al1.align_batch, al2.align_batch])
+
+    assert len(single) == len(multi) == 120
+    for a, b in zip(single, multi):
+        assert (a.status, getattr(a, "refoff", None),
+                getattr(a, "fw", None), getattr(a, "score", None),
+                getattr(a, "mapq", None)) == \
+               (b.status, getattr(b, "refoff", None),
+                getattr(b, "fw", None), getattr(b, "score", None),
+                getattr(b, "mapq", None))
+
+
 def test_producer_error_propagates():
     def batches():
         yield [1]
