@@ -22,7 +22,7 @@ from .format import (
     WORDS_PER_BLOCK,
 )
 
-_CHUNK = 1 << 20
+
 
 
 def _pack_padded(codes: np.ndarray, total: int) -> np.ndarray:
@@ -54,23 +54,25 @@ def _ftab(text: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, np.ndar
     correctly below any full k-mer sharing their prefix; full k-mers then map
     to exact key values and searchsorted left/right gives [top, bot).
     """
+    assert k <= 13  # 5**13 < 2**31: keys stay int32
     n = len(text)
     nrows = n + 1
-    s5 = np.zeros(n + k, dtype=np.int64)
-    s5[:n] = text.astype(np.int64) + 1
-    pow5 = 5 ** np.arange(k - 1, -1, -1, dtype=np.int64)
-    keys = np.empty(nrows, dtype=np.int64)
-    for lo in range(0, nrows, _CHUNK):
-        hi = min(lo + _CHUNK, nrows)
-        pos = sa[lo:hi, None] + np.arange(k, dtype=np.int64)[None, :]
-        keys[lo:hi] = s5[pos] @ pow5
-    # keys are sorted (SA order is lexicographic)
+    # per-position keys by rolling Horner over the text (sequential
+    # passes; the old per-SA-row [chunk, k] gather + int64 matmul was
+    # memory-bound and ~10x slower on this host)
+    s5 = np.zeros(n + k, dtype=np.int32)
+    np.add(text, 1, out=s5[:n], casting="unsafe")
+    acc = np.zeros(nrows, dtype=np.int32)
+    for j in range(k):
+        acc *= 5
+        acc += s5[j : j + nrows]
+    keys = acc[sa]  # SA order is lexicographic -> keys sorted
     nq = 4**k
-    q = np.arange(nq, dtype=np.int64)
-    q5 = np.zeros(nq, dtype=np.int64)
+    q = np.arange(nq, dtype=np.int32)
+    q5 = np.zeros(nq, dtype=np.int32)
     for j in range(k):
         digit = (q >> (2 * (k - 1 - j))) & 3
-        q5 += (digit + 1) * pow5[j]
+        q5 += (digit + 1) * np.int32(5 ** (k - 1 - j))
     top = np.searchsorted(keys, q5, side="left").astype(np.uint32)
     bot = np.searchsorted(keys, q5, side="right").astype(np.uint32)
     return top, bot

@@ -133,8 +133,9 @@ def sais_available() -> bool:
 
 def suffix_array_sais(text: np.ndarray) -> np.ndarray | None:
     """SA of text (codes 0..3) + implicit sentinel, via native SA-IS.
-    Matches utils.suffix_array.suffix_array's contract: returns int64
-    [len(text)+1] with SA[0] == len(text). None if the library is absent."""
+    Matches utils.suffix_array.suffix_array's contract: returns int32
+    (int64 for >=2^31-1 rows) [len(text)+1] with SA[0] == len(text).
+    None if the library is absent."""
     lib = get_lib()
     if lib is None:
         return None
@@ -155,7 +156,8 @@ def suffix_array_sais(text: np.ndarray) -> np.ndarray | None:
         )
     if rc != 0:
         return None
-    return sa.astype(np.int64)
+    return sa  # native dtype; upconverting 8B/row here doubles build RAM
+               # traffic for nothing on this low-bandwidth host
 
 
 def inverse_bwt(bwt: np.ndarray, zoff: int, sentinel_last: bool = False) -> np.ndarray:

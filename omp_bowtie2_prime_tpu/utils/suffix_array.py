@@ -16,7 +16,8 @@ def suffix_array(text: np.ndarray) -> np.ndarray:
     """Suffix array of `text` + implicit terminal sentinel.
 
     text: int array with codes >= 0 (sentinel is smaller than all codes).
-    Returns int64 SA of length len(text)+1; SA[0] == len(text) (the
+    Returns integer SA (int32 when it fits, else int64) of length
+    len(text)+1; SA[0] == len(text) (the
     sentinel-only suffix sorts first).
 
     Uses the native SA-IS extension (csrc/sais.cpp) when available —
@@ -60,9 +61,9 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     """BWT chars for each SA row; the row with SA==0 gets a dummy 0 and its
     index is returned as zoff (ref: Ebwt's _zOff, bt2_idx.h)."""
     t = np.asarray(text, dtype=np.int8)
-    sa = np.asarray(sa, dtype=np.int64)
-    prev = np.where(sa > 0, sa - 1, 0)
-    bwt = t[prev].copy()
+    sa = np.asarray(sa)  # keep the builder's index dtype (int32 < 2^31)
+    prev = sa - (sa > 0)
+    bwt = t[prev]
     zoff_rows = np.nonzero(sa == 0)[0]
     assert len(zoff_rows) == 1
     zoff = int(zoff_rows[0])
