@@ -109,8 +109,9 @@ def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
     off_size = 8 if large else 4
     occ_t = np.uint64 if large else np.uint32
     sa = _bt2_sa(text)
-    bwt = np.where(sa > 0, text[np.maximum(sa - 1, 0)], 0).astype(np.uint8)
+    bwt = text[sa - (sa > 0)].view(np.uint8)  # codes 0..3: view, no copy
     zoff = int(np.flatnonzero(sa == 0)[0])
+    bwt[zoff] = 0
 
     cnt = np.bincount(text, minlength=4).astype(np.uint64)
     fchr = np.zeros(5, np.uint64)
@@ -127,36 +128,47 @@ def _write_bt2_pair(text, refmap, p1, p2, line_rate, off_rate, ftab_chars,
     bb[: n + 1] = bwt
     bb[zoff] = 0
     packed = (bb[0::4] | (bb[1::4] << 2) | (bb[2::4] << 4) | (bb[3::4] << 6))
-    # occ counts at each side start (over bases, excluding $ slot)
-    occ_mask = np.ones(n + 1, bool)
-    occ_mask[zoff] = False
-    per_row = np.zeros((4, num_sides * side_bwt * 4), np.int64)
+    # occ counts at each side start (over bases, excluding the $ slot):
+    # one bincount of side_id*4+char + an exclusive per-side prefix sum
+    # (the old per-row [4, rows] int64 cumsum moved 1.5 GB per call)
+    side_bases = side_bwt * 4
+    blk = bb.reshape(num_sides, side_bases)
+    per_side = np.empty((num_sides, 4), np.int64)
     for c in range(4):
-        col = np.zeros(num_sides * side_bwt * 4, np.int64)
-        col[: n + 1] = (bwt == c) & occ_mask
-        per_row[c] = np.cumsum(col) - col  # counts BEFORE each row
-    side_starts = np.arange(num_sides) * side_bwt * 4
-    occ_sides = per_row[:, side_starts].T.astype(occ_t)  # [sides, 4]
+        per_side[:, c] = (blk == c).sum(axis=1)
+    # bb's tail padding and the $ slot are 0-valued: uncount them from A
+    per_side[num_sides - 1, 0] -= num_sides * side_bases - (n + 1)
+    per_side[zoff // side_bases, 0] -= 1
+    occ_sides = np.zeros((num_sides, 4), np.int64)
+    occ_sides[1:] = np.cumsum(per_side, axis=0)[:-1]
+    occ_sides = occ_sides.astype(occ_t)  # [sides, 4]
 
     # ftab/eftab (buildToDisk semantics, bt2_idx.h:3064-3098, 3217-3262)
     k = ftab_chars
     ftab_len = (1 << (2 * k)) + 1
     long_m = (n - sa) >= k
     long_rows = sa[long_m]
-    pos = long_rows[:, None] + np.arange(k)[None, :]
-    pow4 = (4 ** np.arange(k - 1, -1, -1)).astype(np.int64)
-    sufint = (text[pos].astype(np.int64) @ pow4)
-    c_raw = np.bincount(sufint + 1, minlength=ftab_len).astype(np.int64)
+    # k-mer integers by rolling Horner in text order (sequential passes +
+    # one gather; the per-row [rows, k] gather + int64 matmul was ~10x
+    # slower on this host). 4**15 < 2**31 keeps int32.
+    assert k <= 15
+    nkeys = max(n - k + 1, 0)
+    acc4 = np.zeros(nkeys, dtype=np.int32)
+    for j in range(k):
+        acc4 *= 4
+        acc4 += text[j : j + nkeys]
+    sufint = acc4[long_rows]  # int32; bincount upcasts internally
+    c_raw = np.zeros(ftab_len, np.int64)
+    c_raw[1:] = np.bincount(sufint, minlength=ftab_len - 1)
     absorb = np.zeros(ftab_len, np.int64)
     long_pos = np.flatnonzero(long_m)
-    sufint_at = np.full(len(sa), -1, np.int64)
-    sufint_at[long_pos] = sufint
     for p in np.flatnonzero(~long_m):
+        # a short suffix absorbs into the k-mer slot of the next long row
         j = np.searchsorted(long_pos, p)
         if j == len(long_pos):
             absorb[ftab_len - 1] += 1
         else:
-            absorb[sufint_at[long_pos[j]]] += 1
+            absorb[int(sufint[j])] += 1
     hi = np.cumsum(c_raw + absorb)
     lo = hi - absorb
     ftab = lo.astype(np.uint64)
