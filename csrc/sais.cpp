@@ -27,18 +27,37 @@ void bucket_bounds(const C* s, I n, I K, std::vector<I>& bkt, bool tails) {
 }
 
 // Induce L-type then S-type suffixes from the placed LMS suffixes.
+// The loops are bound by cache misses on s[j-1]/is_s[j-1] (j jumps
+// around the text): prefetch the sources a fixed distance ahead, the
+// same mitigation the reference applies to its rank sides
+// (SideLocus prefetch, bt2_idx.h:383-389).
 template <typename C, typename I>
 void induce(const C* s, I* SA, I n, I K, const std::vector<uint8_t>& is_s,
             std::vector<I>& bkt) {
+    constexpr I PF = 24;
     // induce L left-to-right from bucket heads
     bucket_bounds(s, n, K, bkt, false);
     for (I i = 0; i < n; i++) {
+        if (i + PF < n) {
+            I jp = SA[i + PF];
+            if (jp != I(-1) && jp > 0) {
+                __builtin_prefetch(&s[jp - 1]);
+                __builtin_prefetch(&is_s[jp - 1]);
+            }
+        }
         I j = SA[i];
         if (j != I(-1) && j > 0 && !is_s[j - 1]) SA[bkt[s[j - 1]]++] = j - 1;
     }
     // induce S right-to-left from bucket tails
     bucket_bounds(s, n, K, bkt, true);
     for (I i = n; i-- > 0;) {
+        if (i >= PF) {
+            I jp = SA[i - PF];
+            if (jp != I(-1) && jp > 0) {
+                __builtin_prefetch(&s[jp - 1]);
+                __builtin_prefetch(&is_s[jp - 1]);
+            }
+        }
         I j = SA[i];
         if (j != I(-1) && j > 0 && is_s[j - 1]) SA[--bkt[s[j - 1]]] = j - 1;
     }
