@@ -298,7 +298,8 @@ def cmd_align(args):
             olap_ok=not args.no_overlap,
         )
         pal = PairedAligner(aligner, pe, mixed=not args.no_mixed,
-                            discord=not args.no_discordant)
+                            discord=not args.no_discordant,
+                            qc_filter=args.qc_filter)
         src = _transform_reads(paired_src, args, True)
 
         def emit_pairs(batch, results):
@@ -320,7 +321,8 @@ def cmd_align(args):
         pal_fns = None
         if aligner2 is not None:
             pal2 = PairedAligner(aligner2, pe, mixed=not args.no_mixed,
-                                 discord=not args.no_discordant)
+                                 discord=not args.no_discordant,
+                                 qc_filter=args.qc_filter)
             pal_fns = [pal.align_pairs, pal2.align_pairs]
         nreads = 2 * run_pipeline(
             batch_iterator(src, args.batch), pal.align_pairs, emit_pairs,
@@ -373,10 +375,27 @@ def cmd_align(args):
                     else:
                         w.summary.add(0)
 
+        def _qc_wrap(fn):
+            # --qc-filter: qseq filter-field-0 reads never align
+            # (qcfilt, bt2_search.cpp:2517-2520; YF:Z:QC)
+            if not args.qc_filter:
+                return fn
+
+            def wrapped(batch):
+                from .models.aligner import AlnResult
+
+                keep = [rd for rd in batch if not rd.qcfail]
+                sub = iter(fn(keep) if keep else [])
+                return [AlnResult(status="unaligned", filt="QC")
+                        if rd.qcfail else next(sub) for rd in batch]
+
+            return wrapped
+
         nreads = run_pipeline(
-            batch_iterator(src, args.batch), aligner.align_batch,
+            batch_iterator(src, args.batch), _qc_wrap(aligner.align_batch),
             emit_unpaired,
-            align_fns=([aligner.align_batch, aligner2.align_batch]
+            align_fns=([_qc_wrap(aligner.align_batch),
+                        _qc_wrap(aligner2.align_batch)]
                        if aligner2 is not None else None),
         )
     dt = time.time() - t0
@@ -518,6 +537,9 @@ def main(argv=None):
     a.add_argument("--no-sq", action="store_true")
     a.add_argument("--xeq", action="store_true")
     a.add_argument("-t", "--time", action="store_true")
+    a.add_argument("--qc-filter", action="store_true",
+                   help="discard reads whose qseq filter field is 0 "
+                        "(YF:Z:QC; qcfilt bt2_search.cpp:2517-2520)")
     a.add_argument("--met-stderr", "--metrics-stderr", action="store_true",
                    dest="met_stderr")
     a.add_argument("--met-file", "--metrics-file", default=None,
@@ -531,7 +553,6 @@ def main(argv=None):
     # or not applicable to the deterministic batched engine)
     a.add_argument("--seed", type=int, default=0)
     a.add_argument("--non-deterministic", action="store_true")
-    a.add_argument("--qc-filter", action="store_true")
     a.add_argument("--no-1mm-upfront", action="store_true")
     a.add_argument("--sam-no-qname-trunc", action="store_true")
     a.add_argument("--omit-sec-seq", action="store_true")

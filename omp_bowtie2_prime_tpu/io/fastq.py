@@ -22,6 +22,7 @@ class Read:
     name: str
     seq: np.ndarray  # int8 codes, N=4
     qual: np.ndarray  # uint8 phred (already -33'd)
+    qcfail: bool = False  # qseq filter field '0' (read.h r.filter)
 
     def __len__(self) -> int:
         return len(self.seq)
@@ -159,7 +160,8 @@ def read_qseq(path: str, start_id: int = 0) -> Iterator[Read]:
             q = np.maximum(
                 np.frombuffer(parts[9].encode(), np.uint8), 33
             ) - 33
-            yield Read(rdid, name, seq, q.astype(np.uint8))
+            yield Read(rdid, name, seq, q.astype(np.uint8),
+                       qcfail=parts[10] == "0")
             rdid += 1
 
 

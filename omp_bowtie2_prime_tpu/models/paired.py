@@ -69,11 +69,13 @@ def _to_result(cand: Candidate, secbest, mapq) -> AlnResult:
 
 class PairedAligner:
     def __init__(self, aligner: TPUAligner, pe: PEPolicy | None = None,
-                 mixed: bool = True, discord: bool = True):
+                 mixed: bool = True, discord: bool = True,
+                 qc_filter: bool = False):
         self.al = aligner
         self.pe = pe or PEPolicy()
         self.mixed = mixed  # gReportMixed
         self.discord = discord  # gReportDiscordant
+        self.qc_filter = qc_filter  # --qc-filter (bt2_search.cpp:2518)
         self._nfilt = np.zeros(0, bool)
         # --nofw/--norc are FRAGMENT-strand bans in paired mode: the
         # reference remaps them per mate through the orientation policy
@@ -202,8 +204,15 @@ class PairedAligner:
         al.build_read_matrices(reads)
         # the fork bypasses the up-front N pre-filter (rdlen<256
         # short-circuit, bt2_search.cpp:2495-2500); Ns are capped at the
-        # backtrace level instead (ns > nCeil candidate rejection)
-        nfilt = np.zeros(len(reads), bool)
+        # backtrace level instead (ns > nCeil candidate rejection).
+        # --qc-filter: a mate whose qseq filter field was '0' never
+        # aligns (qcfilt, bt2_search.cpp:2517-2520; YF:Z:QC)
+        if self.qc_filter:
+            nfilt = np.array(
+                [getattr(rd, "qcfail", False) for rd in reads], bool
+            )
+        else:
+            nfilt = np.zeros(len(reads), bool)
         self._nfilt = nfilt
 
         # accumulated candidates per mate-read across rounds
@@ -392,8 +401,12 @@ class PairedAligner:
                 )
             return PairResult(cat="discord", m1=r1, m2=r2,
                               tlen1=tlen1, tlen2=-tlen1)
-        un1 = AlnResult(status="unaligned", filt="NS" if f1 else None)
-        un2 = AlnResult(status="unaligned", filt="NS" if f2 else None)
+        un1 = AlnResult(status="unaligned",
+                        filt=("QC" if self.qc_filter else "NS") if f1
+                        else None)
+        un2 = AlnResult(status="unaligned",
+                        filt=("QC" if self.qc_filter else "NS") if f2
+                        else None)
         if not self.mixed:
             return PairResult(cat="mixed", m1=un1, m2=un2)
         return PairResult(cat="mixed", m1=r1 or un1, m2=r2 or un2)

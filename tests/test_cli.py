@@ -289,3 +289,34 @@ def test_cli_local_mode(genome, tmp_path):
     rec2 = [l for l in out2.read_text().splitlines()
             if not l.startswith("@")][0]
     assert rec2.split("\t")[5] == "12S90M"
+
+
+def test_qc_filter_qseq(genome, tmp_path):
+    """--qc-filter drops qseq reads whose filter field is 0 with YF:Z:QC
+    (qcfilt bt2_search.cpp:2517-2520, printYF aligner_result.cpp:987-992);
+    without the flag the field is ignored ("don't believe upstream qc",
+    bt2_search.cpp:369)."""
+    d, text, idx = genome
+    s_ok = dna.decode(text[3000:3100])
+    s_bad = dna.decode(text[5000:5100])
+    qf = tmp_path / "r.qseq"
+    q = "I" * 100
+    qf.write_text(
+        f"M\t1\t1\t1\t0\t0\t0\t1\t{s_ok}\t{q}\t1\n"
+        f"M\t1\t1\t1\t0\t1\t0\t1\t{s_bad}\t{q}\t0\n"
+    )
+    out = tmp_path / "qc.sam"
+    run_cli(["align", "-x", idx, "--qseq", "-U", str(qf), "-S", str(out),
+             "--qc-filter"])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 2
+    assert recs[0][2] != "*"           # passing read aligns
+    assert recs[1][1] == "4"           # filtered read unaligned
+    assert "YF:Z:QC" in recs[1]
+
+    out2 = tmp_path / "noqc.sam"
+    run_cli(["align", "-x", idx, "--qseq", "-U", str(qf), "-S", str(out2)])
+    recs2 = [l.split("\t") for l in out2.read_text().splitlines()
+             if not l.startswith("@")]
+    assert recs2[1][2] != "*"          # field ignored without the flag
