@@ -107,7 +107,7 @@ def _transform_reads(src, args, paired: bool):
                 10.0 * np.log10(1.0 + np.power(10.0, sol / 10.0))
             ).astype(np.uint8)
         t5, t3 = args.trim5, args.trim3
-        if args.trim_to is not None and len(rd.seq) > args.trim_to:
+        if args.trim_to is not None and len(rd.seq) > args.trim_to[1]:
             side, n = args.trim_to
             if side == 5:
                 t5 = max(t5, len(rd.seq) - n)
@@ -219,7 +219,8 @@ def cmd_align(args):
 
     paired_src = None
     if args.m1 and args.m2:
-        paired_src = open_paired_reads(args.m1, args.m2)
+        paired_src = open_paired_reads(args.m1, args.m2,
+                                       int_quals=args.int_quals)
     elif args.interleaved:
         paired_src = read_interleaved(args.interleaved)
     elif args.tab6:
@@ -347,7 +348,8 @@ def cmd_align(args):
                    "raw" if args.fmt_raw else
                    "qseq" if args.fmt_qseq else
                    "fastq" if args.fmt_fastq else None)
-            rsrc = open_reads(args.reads, fmt=fmt)
+            rsrc = open_reads(args.reads, fmt=fmt,
+                              int_quals=args.int_quals)
         src = _transform_reads(rsrc, args, False)
 
         def emit_unpaired(batch, results):

@@ -49,7 +49,8 @@ def _open(path: str):
     return open(path, "r")
 
 
-def read_fastq(path: str, start_id: int = 0) -> Iterator[Read]:
+def read_fastq(path: str, start_id: int = 0,
+               int_quals: bool = False) -> Iterator[Read]:
     rdid = start_id
     with _open(path) as f:
         while True:
@@ -63,9 +64,16 @@ def read_fastq(path: str, start_id: int = 0) -> Iterator[Read]:
             f.readline()  # +
             qual = f.readline().strip()
             name = h[1:].split()[0] if len(h) > 1 else f"read{rdid}"
-            q = np.frombuffer(qual.encode("ascii"), dtype=np.uint8)
-            q = np.maximum(q, 33) - 33
-            yield Read(rdid, name, dna.encode(seq), q.astype(np.uint8))
+            if int_quals:
+                # --int-quals: space-separated phred integers, no ASCII
+                # offset (ref: qual.h intToPhred33 path)
+                q = np.maximum(
+                    np.array(qual.split(), np.int16), 0
+                ).astype(np.uint8)
+            else:
+                q = np.frombuffer(qual.encode("ascii"), dtype=np.uint8)
+                q = (np.maximum(q, 33) - 33).astype(np.uint8)
+            yield Read(rdid, name, dna.encode(seq), q)
             rdid += 1
 
 
@@ -178,7 +186,8 @@ def cmdline_reads(csv: str, start_id: int = 0) -> Iterator[Read]:
         rdid += 1
 
 
-def open_reads(path: str, start_id: int = 0, fmt: str | None = None) -> Iterator[Read]:
+def open_reads(path: str, start_id: int = 0, fmt: str | None = None,
+               int_quals: bool = False) -> Iterator[Read]:
     """Open reads; fmt in {fastq, fasta, raw, qseq} or None to sniff
     FASTQ vs FASTA from the first byte."""
     if fmt == "raw":
@@ -188,12 +197,12 @@ def open_reads(path: str, start_id: int = 0, fmt: str | None = None) -> Iterator
     if fmt == "fasta":
         return read_fasta_reads(path, start_id)
     if fmt == "fastq":
-        return read_fastq(path, start_id)
+        return read_fastq(path, start_id, int_quals=int_quals)
     with _open(path) as f:
         first = f.read(1)
     if first == ">":
         return read_fasta_reads(path, start_id)
-    return read_fastq(path, start_id)
+    return read_fastq(path, start_id, int_quals=int_quals)
 
 
 def _strip_mate_suffix(name: str) -> str:
@@ -203,10 +212,11 @@ def _strip_mate_suffix(name: str) -> str:
     return name
 
 
-def open_paired_reads(path1: str, path2: str,
-                      start_id: int = 0) -> Iterator[tuple[Read, Read]]:
+def open_paired_reads(path1: str, path2: str, start_id: int = 0,
+                      int_quals: bool = False) -> Iterator[tuple[Read, Read]]:
     """-1/-2 paired input (ref: PatternComposer paired mux, pat.h:961)."""
-    it1, it2 = open_reads(path1, start_id), open_reads(path2, start_id)
+    it1 = open_reads(path1, start_id, int_quals=int_quals)
+    it2 = open_reads(path2, start_id, int_quals=int_quals)
     for rd1, rd2 in zip(it1, it2):
         rd2.rdid = rd1.rdid
         rd1.name = _strip_mate_suffix(rd1.name)

@@ -320,3 +320,70 @@ def test_qc_filter_qseq(genome, tmp_path):
     recs2 = [l.split("\t") for l in out2.read_text().splitlines()
              if not l.startswith("@")]
     assert recs2[1][2] != "*"          # field ignored without the flag
+
+
+def test_cli_trim_to(genome, tmp_path):
+    """--trim-to [5:|3:]N trims the specified end down to N bases
+    (ARG_TRIM_TO, bt2_search.cpp parseOption; default side is 3')."""
+    d, text, idx = genome
+    core = dna.decode(text[6000:6100])
+    fq = tmp_path / "r.fq"
+    # 20 junk bases on the 5' side: --trim-to 5:100 must remove them
+    make_fastq(str(fq), [("q0", "A" * 20 + core, "I" * 120)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--trim-to", "5:100"])
+    rec = [l.split("\t") for l in out.read_text().splitlines()
+           if not l.startswith("@")][0]
+    assert int(rec[3]) == 6001 and rec[5] == "100M"
+
+    # junk on the 3' side: plain --trim-to N defaults to the 3' end
+    fq2 = tmp_path / "r2.fq"
+    make_fastq(str(fq2), [("q1", core + "A" * 20, "I" * 120)])
+    out2 = tmp_path / "o2.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq2), "-S", str(out2),
+             "--trim-to", "100"])
+    rec2 = [l.split("\t") for l in out2.read_text().splitlines()
+            if not l.startswith("@")][0]
+    assert int(rec2[3]) == 6001 and rec2[5] == "100M"
+
+
+def test_cli_int_quals(genome, tmp_path):
+    """--int-quals: FASTQ qual line is space-separated phred integers
+    (qual.h int parsing). Mismatch penalty is qual-scaled (MX=6, MN=2),
+    so one mismatch costs 6 at q40 but 2 at q0."""
+    d, text, idx = genome
+    seq = text[7000:7100].copy()
+    seq[50] = (seq[50] + 1) % 4  # one mismatch mid-read
+    s = dna.decode(seq)
+    for quals, as_exp in (("40", -6), ("0", -2)):
+        fq = tmp_path / f"iq{quals}.fq"
+        fq.write_text(f"@q0\n{s}\n+\n{' '.join([quals] * 100)}\n")
+        out = tmp_path / f"iq{quals}.sam"
+        run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+                 "--int-quals"])
+        rec = [l.split("\t") for l in out.read_text().splitlines()
+               if not l.startswith("@")][0]
+        assert int(rec[3]) == 7001 and rec[5] == "100M"
+        assert f"AS:i:{as_exp}" in rec, (quals, rec)
+
+
+def test_cli_phred64(genome, tmp_path):
+    """--phred64: qual chars are phred+64. 'h' (104) = q40 either way
+    the flag decides: under phred64 it means 40, under phred33 it would
+    be 71 (clamped scaling still yields MX)."""
+    d, text, idx = genome
+    seq = text[8000:8100].copy()
+    seq[10] = (seq[10] + 1) % 4
+    s = dna.decode(seq)
+    fq = tmp_path / "p64.fq"
+    # '@' = 64 -> q0 under phred64; mismatch at a q0 base costs MN=2
+    quals = "h" * 10 + "@" + "h" * 89
+    make_fastq(str(fq), [("q0", s, quals)])
+    out = tmp_path / "p64.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--phred64"])
+    rec = [l.split("\t") for l in out.read_text().splitlines()
+           if not l.startswith("@")][0]
+    assert int(rec[3]) == 8001 and rec[5] == "100M"
+    assert "AS:i:-2" in rec
