@@ -551,9 +551,11 @@ def main(argv=None):
                         "(ARG_METRIC_IVAL; ours emits per batch)")
     a.add_argument("--mapq-v", dest="mapqv", type=int, default=2)
     a.add_argument("--reorder", action="store_true")  # always ordered
+    a.add_argument("--seed", type=int, default=0,
+                   help="global seed folded into every per-read RNG seed "
+                        "(genRandSeed, pat.cpp:45-82)")
     # accepted no-ops for surface compatibility (behavior already default
     # or not applicable to the deterministic batched engine)
-    a.add_argument("--seed", type=int, default=0)
     a.add_argument("--non-deterministic", action="store_true")
     a.add_argument("--no-1mm-upfront", action="store_true")
     a.add_argument("--sam-no-qname-trunc", action="store_true")
