@@ -244,6 +244,8 @@ def cmd_align(args):
         out, fm.refmap.refnames, fm.refmap.reflens, prog_args=cl,
         rg_id=args.rg_id, rg_fields=args.rg or [],
         no_hd=args.no_hd, no_sq=args.no_sq, xeq=args.xeq,
+        no_qname_trunc=args.sam_no_qname_trunc,
+        omit_sec_seq=args.omit_sec_seq,
     )
     w.write_header()
     def _wopen(path, force=None):
@@ -549,6 +551,11 @@ def main(argv=None):
     a.add_argument("--met", "--metrics", type=int, default=1, dest="met",
                    help="metrics reporting interval in seconds "
                         "(ARG_METRIC_IVAL; ours emits per batch)")
+    a.add_argument("--sam-no-qname-trunc", action="store_true",
+                   help="keep full QNAMEs (default truncates at first "
+                        "whitespace / 255 chars; truncQname sam.h:320-326)")
+    a.add_argument("--omit-sec-seq", action="store_true",
+                   help="print * for SEQ/QUAL on secondary alignments")
     a.add_argument("--mapq-v", dest="mapqv", type=int, default=2)
     a.add_argument("--reorder", action="store_true")  # always ordered
     a.add_argument("--seed", type=int, default=0,
@@ -558,8 +565,6 @@ def main(argv=None):
     # or not applicable to the deterministic batched engine)
     a.add_argument("--non-deterministic", action="store_true")
     a.add_argument("--no-1mm-upfront", action="store_true")
-    a.add_argument("--sam-no-qname-trunc", action="store_true")
-    a.add_argument("--omit-sec-seq", action="store_true")
     a.add_argument("--mm", action="store_true")
     a.add_argument("-p", "--threads", type=int, default=1,
                    help="2+ adds a second pipelined align worker (host "

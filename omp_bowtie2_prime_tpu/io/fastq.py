@@ -63,7 +63,10 @@ def read_fastq(path: str, start_id: int = 0,
             seq = f.readline().strip()
             f.readline()  # +
             qual = f.readline().strip()
-            name = h[1:].split()[0] if len(h) > 1 else f"read{rdid}"
+            # keep the FULL name line (whitespace included): the reference
+            # parses the whole line and truncates only at SAM output
+            # (sam.h:320-326); genRandSeed hashes the full name
+            name = h[1:] if len(h) > 1 else f"read{rdid}"
             if int_quals:
                 # --int-quals: space-separated phred integers, no ASCII
                 # offset (ref: qual.h intToPhred33 path)
@@ -90,7 +93,7 @@ def read_fasta_reads(path: str, start_id: int = 0) -> Iterator[Read]:
                     seq = dna.encode("".join(chunks))
                     yield Read(rdid, name, seq, np.full(len(seq), 40, np.uint8))
                     rdid += 1
-                name = line[1:].split()[0] if len(line) > 1 else f"read{rdid}"
+                name = line[1:] if len(line) > 1 else f"read{rdid}"
                 chunks = []
             else:
                 chunks.append(line)

@@ -175,7 +175,7 @@ class SamWriter:
     def __init__(self, out, refnames, reflens, prog_args: str = "",
                  yf_ln_quirk=True, rg_id: str | None = None,
                  rg_fields: list | None = None, no_hd=False, no_sq=False,
-                 xeq=False):
+                 xeq=False, no_qname_trunc=False, omit_sec_seq=False):
         self.out = out
         # SAM RNAME/@SQ truncate reference names at first whitespace
         # (printRefName, sam.cpp)
@@ -190,6 +190,19 @@ class SamWriter:
         self.no_hd = no_hd
         self.no_sq = no_sq
         self.xeq = xeq  # --xeq: =/X CIGARs (sam.cpp CIGAR emission)
+        # --sam-no-qname-trunc: by default QNAME is cut at the first
+        # whitespace and capped at 255 chars (truncQname, sam.h:320-326)
+        self.no_qname_trunc = no_qname_trunc
+        # --omit-sec-seq: secondary records print * SEQ/QUAL (sam.cpp)
+        self.omit_sec_seq = omit_sec_seq
+
+    def qname(self, name: str) -> str:
+        if self.no_qname_trunc:
+            return name
+        for i, ch in enumerate(name[:255]):
+            if ch.isspace():
+                return name[:i]
+        return name[:255]
 
     def write_header(self):
         """@HD/@SQ/@RG/@PG lines (ref: SamConfig::printHeader,
@@ -259,15 +272,16 @@ class SamWriter:
         fl = (0 if fw else FLAG_QUERY_STRAND) | (
             FLAG_NOT_PRIMARY if secondary else 0
         )
+        omit = secondary and self.omit_sec_seq
         rec = SamRecord(
-            name=read.name,
+            name=self.qname(read.name),
             flag=fl,
             rname=refname,
             pos=refoff0 + 1,
             mapq=mapq,
             cigar=cigar_str,
-            seq=dna.decode(seq),
-            qual=self.qual_str(qual),
+            seq="*" if omit else dna.decode(seq),
+            qual="*" if omit else self.qual_str(qual),
             tags=tags,
         )
         self.out.write(rec.line() + "\n")
@@ -357,7 +371,7 @@ class SamWriter:
         if self.rg_id:
             tags.append(("RG", "Z", self.rg_id))
         rec = SamRecord(
-            name=rd.name,
+            name=self.qname(rd.name),
             flag=fl,
             rname=rname,
             pos=pos,
@@ -381,7 +395,7 @@ class SamWriter:
         if self.rg_id:
             tags.append(("RG", "Z", self.rg_id))
         rec = SamRecord(
-            name=read.name,
+            name=self.qname(read.name),
             flag=4,
             seq=dna.decode(read.seq),
             qual=self.qual_str(read.qual),

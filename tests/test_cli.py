@@ -387,3 +387,47 @@ def test_cli_phred64(genome, tmp_path):
            if not l.startswith("@")][0]
     assert int(rec[3]) == 8001 and rec[5] == "100M"
     assert "AS:i:-2" in rec
+
+
+def test_qname_whitespace_truncation(genome, tmp_path):
+    """Parsers keep the FULL name line; SAM output truncates QNAME at the
+    first whitespace unless --sam-no-qname-trunc (truncQname,
+    sam.h:320-326). The un-file passthrough keeps the full line."""
+    d, text, idx = genome
+    s = dna.decode(text[9000:9100])
+    fq = tmp_path / "r.fq"
+    fq.write_text(f"@q0 descriptive words\n{s}\n+\n{'I' * 100}\n")
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out)])
+    rec = [l.split("\t") for l in out.read_text().splitlines()
+           if not l.startswith("@")][0]
+    assert rec[0] == "q0" and int(rec[3]) == 9001
+
+    out2 = tmp_path / "o2.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out2),
+             "--sam-no-qname-trunc"])
+    rec2 = [l.split("\t") for l in out2.read_text().splitlines()
+            if not l.startswith("@")][0]
+    assert rec2[0] == "q0 descriptive words"
+
+
+def test_omit_sec_seq(genome, tmp_path):
+    """--omit-sec-seq: secondary (-k 2) records print * SEQ/QUAL."""
+    d, text, idx = genome
+    seg = text[3000:3100]
+    dup_text = np.concatenate([text, seg, text[:50]])
+    joined, refmap = join_references(["chrD"], [dup_text.copy()])
+    fm = build_index_from_text(joined, refmap, ftab_k=8)
+    idx2 = tmp_path / "d.npz"
+    fm.save(str(idx2))
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [("q0", dna.decode(seg), "I" * 100)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", str(idx2), "-U", str(fq), "-S", str(out),
+             "-k", "2", "--omit-sec-seq"])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    prim = [r for r in recs if not int(r[1]) & 0x100][0]
+    sec = [r for r in recs if int(r[1]) & 0x100][0]
+    assert prim[9] != "*" and prim[10] != "*"
+    assert sec[9] == "*" and sec[10] == "*"
