@@ -161,6 +161,9 @@ def cmd_align(args):
     if args.N and args.N != 0:
         print("warning: only -N 0 (exact seeds) is supported; using 0",
               file=sys.stderr)
+    if args.non_deterministic:
+        # the fork rejects it the same way (bt2_search.cpp:1112)
+        print("WARNING: arbitraryRandom not supported", file=sys.stderr)
 
     fm = _load_index(args.index)
 
