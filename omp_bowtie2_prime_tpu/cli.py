@@ -220,9 +220,13 @@ def cmd_align(args):
     aligner2 = (TPUAligner(fm, sc, opts)
                 if getattr(args, "threads", 1) >= 2 else None)
 
+    fmt = ("fasta" if args.fmt_fasta else
+           "raw" if args.fmt_raw else
+           "qseq" if args.fmt_qseq else
+           "fastq" if args.fmt_fastq else None)
     paired_src = None
     if args.m1 and args.m2:
-        paired_src = open_paired_reads(args.m1, args.m2,
+        paired_src = open_paired_reads(args.m1, args.m2, fmt=fmt,
                                        int_quals=args.int_quals)
     elif args.interleaved:
         paired_src = read_interleaved(args.interleaved)
@@ -349,10 +353,6 @@ def cmd_align(args):
             k, freq = _parse_fasta_cont(args.fasta_cont)
             rsrc = read_fasta_continuous(args.reads, k, freq)
         else:
-            fmt = ("fasta" if args.fmt_fasta else
-                   "raw" if args.fmt_raw else
-                   "qseq" if args.fmt_qseq else
-                   "fastq" if args.fmt_fastq else None)
             rsrc = open_reads(args.reads, fmt=fmt,
                               int_quals=args.int_quals)
         src = _transform_reads(rsrc, args, False)

@@ -216,10 +216,11 @@ def _strip_mate_suffix(name: str) -> str:
 
 
 def open_paired_reads(path1: str, path2: str, start_id: int = 0,
+                      fmt: str | None = None,
                       int_quals: bool = False) -> Iterator[tuple[Read, Read]]:
     """-1/-2 paired input (ref: PatternComposer paired mux, pat.h:961)."""
-    it1 = open_reads(path1, start_id, int_quals=int_quals)
-    it2 = open_reads(path2, start_id, int_quals=int_quals)
+    it1 = open_reads(path1, start_id, fmt=fmt, int_quals=int_quals)
+    it2 = open_reads(path2, start_id, fmt=fmt, int_quals=int_quals)
     for rd1, rd2 in zip(it1, it2):
         rd2.rdid = rd1.rdid
         rd1.name = _strip_mate_suffix(rd1.name)

@@ -431,3 +431,23 @@ def test_omit_sec_seq(genome, tmp_path):
     sec = [r for r in recs if int(r[1]) & 0x100][0]
     assert prim[9] != "*" and prim[10] != "*"
     assert sec[9] == "*" and sec[10] == "*"
+
+
+def test_paired_qseq_format(genome, tmp_path):
+    """-1/-2 with --qseq routes both mates through the qseq parser
+    (ref: paired PatternSources honor the format flag, pat.cpp)."""
+    d, text, idx = genome
+    s1 = dna.decode(text[2000:2100])
+    s2 = dna.decode(dna.revcomp(text[2200:2300]))
+    q = "I" * 100
+    f1, f2 = tmp_path / "m1.qseq", tmp_path / "m2.qseq"
+    f1.write_text(f"M\t1\t1\t1\t0\t0\t0\t1\t{s1}\t{q}\t1\n")
+    f2.write_text(f"M\t1\t1\t1\t0\t0\t0\t2\t{s2}\t{q}\t1\n")
+    out = tmp_path / "pe.sam"
+    run_cli(["align", "-x", idx, "--qseq", "-1", str(f1), "-2", str(f2),
+             "-S", str(out)])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert len(recs) == 2
+    assert all(int(r[1]) & 0x2 for r in recs)  # concordant pair
+    assert sorted(int(r[3]) for r in recs) == [2001, 2201]
