@@ -280,9 +280,16 @@ def cmd_align(args):
     al_out = _wopen(args.al, getattr(args, "al_force", None)) if args.al else None
 
     def _conc_pair(base, force):
+        """Mate-file naming per the bowtie2 wrapper (bowtie2:519-536):
+        % substitutes the mate number; otherwise .1/.2 goes BEFORE the
+        final extension (un.fq -> un.1.fq), or is appended if none."""
         if "%" in base:
             return (_wopen(base.replace("%", "1"), force),
                     _wopen(base.replace("%", "2"), force))
+        root, dot, ext = base.rpartition(".")
+        if dot and "/" not in ext:
+            return (_wopen(f"{root}.1.{ext}", force),
+                    _wopen(f"{root}.2.{ext}", force))
         return _wopen(base + ".1", force), _wopen(base + ".2", force)
 
     unc_out = (_conc_pair(args.un_conc, getattr(args, "un_conc_force", None))

@@ -451,3 +451,25 @@ def test_paired_qseq_format(genome, tmp_path):
     assert len(recs) == 2
     assert all(int(r[1]) & 0x2 for r in recs)  # concordant pair
     assert sorted(int(r[3]) for r in recs) == [2001, 2201]
+
+
+def test_un_conc_file_naming(genome, tmp_path):
+    """--un-conc mate files: % substitutes the mate number, otherwise
+    .1/.2 is inserted before the final extension (bowtie2 wrapper
+    :519-536). Non-concordant pairs land one mate per file."""
+    d, text, idx = genome
+    rng = np.random.default_rng(9)
+    junk1 = "".join("ACGT"[c] for c in rng.integers(0, 4, 80))
+    junk2 = "".join("ACGT"[c] for c in rng.integers(0, 4, 80))
+    f1, f2 = tmp_path / "m1.fq", tmp_path / "m2.fq"
+    make_fastq(str(f1), [("p0", junk1, "I" * 80)])
+    make_fastq(str(f2), [("p0", junk2, "I" * 80)])
+    out = tmp_path / "o.sam"
+    un = tmp_path / "un.fq"
+    run_cli(["align", "-x", idx, "-1", str(f1), "-2", str(f2),
+             "-S", str(out), "--un-conc", str(un)])
+    assert (tmp_path / "un.1.fq").exists()
+    assert (tmp_path / "un.2.fq").exists()
+    assert not un.exists()
+    assert "@p0" in (tmp_path / "un.1.fq").read_text()
+    assert "@p0" in (tmp_path / "un.2.fq").read_text()
