@@ -269,7 +269,7 @@ def cmd_align(args):
         return open(path, "w")
 
     # --un-gz/--un-bz2 (etc.) are the same dumps with forced compression
-    for base in ("un", "al", "un_conc", "al_conc"):
+    for base in ("un", "al", "un_conc", "al_conc", "un_mates"):
         for comp in ("gz", "bz2"):
             v = getattr(args, f"{base}_{comp}", None)
             if v:
@@ -296,6 +296,11 @@ def cmd_align(args):
                if args.un_conc else None)
     alc_out = (_conc_pair(args.al_conc, getattr(args, "al_conc_force", None))
                if args.al_conc else None)
+    # --un-mates: unaligned mates of pairs that aligned neither
+    # concordantly nor discordantly, one file per mate (bowtie2:612-618)
+    unm_out = (_conc_pair(args.un_mates, getattr(args, "un_mates_force",
+                                                 None))
+               if args.un_mates else None)
 
     def fq_dump(f, rd):
         f.write(f"@{rd.name}\n{_dec(rd.seq)}\n+\n{w.qual_str(rd.qual)}\n")
@@ -329,6 +334,11 @@ def cmd_align(args):
                 if alc_out and pres.cat == "concord":
                     fq_dump(alc_out[0], rd1)
                     fq_dump(alc_out[1], rd2)
+                if unm_out and pres.cat == "mixed":
+                    if pres.m1.status != "aligned":
+                        fq_dump(unm_out[0], rd1)
+                    if pres.m2.status != "aligned":
+                        fq_dump(unm_out[1], rd2)
                 if not (args.no_unal and both_unal):
                     w.write_pair(rd1, rd2, pres.m1, pres.m2, pres.cat,
                                  pres.tlen1, pres.tlen2)
@@ -540,7 +550,10 @@ def main(argv=None):
     a.add_argument("--al", default=None)
     a.add_argument("--un-conc", default=None)
     a.add_argument("--al-conc", default=None)
-    for _b in ("un", "al", "un-conc", "al-conc"):
+    a.add_argument("--un-mates", default=None,
+                   help="write unaligned mates of non-conc/disc pairs, "
+                        "one file per mate (bowtie2 wrapper :612-618)")
+    for _b in ("un", "al", "un-conc", "al-conc", "un-mates"):
         for _c in ("gz", "bz2"):
             a.add_argument(f"--{_b}-{_c}", default=None,
                            dest=f"{_b.replace('-', '_')}_{_c}")

@@ -473,3 +473,25 @@ def test_un_conc_file_naming(genome, tmp_path):
     assert not un.exists()
     assert "@p0" in (tmp_path / "un.1.fq").read_text()
     assert "@p0" in (tmp_path / "un.2.fq").read_text()
+
+
+def test_un_mates_files(genome, tmp_path):
+    """--un-mates: for pairs aligned neither concordantly nor
+    discordantly, each unaligned mate goes to its per-mate file
+    (bowtie2 wrapper :612-618). An aligned mate of a mixed pair is NOT
+    dumped."""
+    d, text, idx = genome
+    rng = np.random.default_rng(10)
+    junk = "".join("ACGT"[c] for c in rng.integers(0, 4, 80))
+    good = dna.decode(text[5000:5080])
+    f1, f2 = tmp_path / "m1.fq", tmp_path / "m2.fq"
+    # p0: mate1 aligns, mate2 junk -> mixed pair; only mate2 dumped
+    make_fastq(str(f1), [("p0", good, "I" * 80)])
+    make_fastq(str(f2), [("p0", junk, "I" * 80)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-1", str(f1), "-2", str(f2),
+             "-S", str(out), "--un-mates", str(tmp_path / "unm.fq")])
+    m1 = (tmp_path / "unm.1.fq").read_text()
+    m2 = (tmp_path / "unm.2.fq").read_text()
+    assert "@p0" not in m1          # aligned mate not dumped
+    assert "@p0" in m2 and junk in m2
