@@ -454,11 +454,18 @@ def cmd_inspect(args):
 
     fm = _load_index(args.index)
     if args.summary:
-        print(f"Flags\t0")
+        # field names/order pinned against bowtie2-inspect-s -s output
+        # (bt2_inspect.cpp print_index_summary); the flag words are what
+        # bowtie2-build writes for every index it produces
+        print("Flags\t1")
+        print("Reverse flags\t5")
+        print("2.0-compatible\t1")
         print(f"SA-Sample\t1 in {fm.srate}")
-        print(f"FtabChars\t{fm.ftab_k}")
-        for name, ln in zip(fm.refmap.refnames, fm.refmap.reflens):
-            print(f"Sequence\t{name}\t{ln}")
+        print(f"FTab-Chars\t{fm.ftab_k}")
+        for i, (name, ln) in enumerate(
+            zip(fm.refmap.refnames, fm.refmap.reflens), 1
+        ):
+            print(f"Sequence-{i}\t{name}\t{ln}")
     elif args.names:
         for name in fm.refmap.refnames:
             print(name)
