@@ -237,7 +237,8 @@ def cmd_align(args):
     elif args.bam and args.bam_paired:
         from .io.bam import read_bam_pairs
 
-        paired_src = read_bam_pairs(args.bam)
+        paired_src = read_bam_pairs(
+            args.bam, preserve_tags=args.preserve_tags)
     elif args.cmdline:
         pass
     elif not args.reads and not args.bam:
@@ -247,12 +248,21 @@ def cmd_align(args):
 
     out = open(args.sam, "w") if args.sam != "-" else sys.stdout
     cl = " ".join(sys.argv)
+    if args.sam_append_comment and (
+        args.bam or args.tab5 or args.tab6 or args.fmt_raw or args.fmt_qseq
+        or args.cmdline
+    ):
+        # bt2_search.cpp:1700-1703
+        print("Error --sam-append-comment only works with FASTA (-f) and "
+              "FASTQ (-q) formats. ", file=sys.stderr)
+        sys.exit(1)
     w = SamWriter(
         out, fm.refmap.refnames, fm.refmap.reflens, prog_args=cl,
         rg_id=args.rg_id, rg_fields=args.rg or [],
         no_hd=args.no_hd, no_sq=args.no_sq, xeq=args.xeq,
         no_qname_trunc=args.sam_no_qname_trunc,
         omit_sec_seq=args.omit_sec_seq,
+        append_comment=args.sam_append_comment,
     )
     w.write_header()
     def _wopen(path, force=None):
@@ -363,7 +373,7 @@ def cmd_align(args):
         elif args.bam:
             from .io.bam import read_bam
 
-            rsrc = read_bam(args.bam)
+            rsrc = read_bam(args.bam, preserve_tags=args.preserve_tags)
         elif args.fasta_cont:
             from .io.fastq import read_fasta_continuous
 
@@ -535,6 +545,14 @@ def main(argv=None):
     a.add_argument("-b", "--bam", default=None)
     a.add_argument("--align-paired-reads", dest="bam_paired",
                    action="store_true")
+    a.add_argument("--preserve-tags", dest="preserve_tags",
+                   action="store_true",
+                   help="keep BAM input's aux tags on output records "
+                        "(sam.cpp printPreservedOptFlags)")
+    a.add_argument("--sam-append-comment", dest="sam_append_comment",
+                   action="store_true",
+                   help="append the read name's comment to each record "
+                        "(BC:Z: prefixed for CASAVA comments, sam.h)")
     a.add_argument("-u", "--upto", "--qupto", type=int, default=None)
     a.add_argument("-s", "--skip", dest="skip_reads", type=int, default=0)
     a.add_argument("-5", "--trim5", type=int, default=0)

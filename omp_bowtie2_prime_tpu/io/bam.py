@@ -27,6 +27,61 @@ _BAM_BASE[2] = 1  # C
 _BAM_BASE[4] = 2  # G
 _BAM_BASE[8] = 3  # T
 
+# BAM aux value types -> (struct fmt, size). All integer widths print as
+# SAM type 'i' (sam.cpp printPreservedOptFlags normalizes c/C/s/S/I -> i).
+_AUX_INT = {
+    "c": ("b", 1), "C": ("B", 1), "s": ("h", 2),
+    "S": ("H", 2), "i": ("i", 4), "I": ("I", 4),
+}
+
+
+def _fmt_aux(v, t: str) -> str:
+    # floats render via std::to_string (fixed 6 decimals) in the fork
+    return f"{v:.6f}" if t == "f" else str(v)
+
+
+def aux_to_text(data: bytes, off: int) -> str:
+    """Render a BAM record's aux block as SAM text, one leading tab per
+    tag (--preserve-tags; sam.cpp printPreservedOptFlags semantics:
+    integer widths normalize to ':i:', B arrays keep their subtype
+    letter, floats print fixed-6)."""
+    out = []
+    n = len(data)
+    while off + 3 <= n:
+        tag = data[off : off + 2].decode("ascii", "replace")
+        t = chr(data[off + 2])
+        off += 3
+        if t in _AUX_INT:
+            fmt, sz = _AUX_INT[t]
+            (v,) = struct.unpack_from("<" + fmt, data, off)
+            off += sz
+            out.append(f"\t{tag}:i:{v}")
+        elif t == "A":
+            out.append(f"\t{tag}:A:{chr(data[off])}")
+            off += 1
+        elif t == "f":
+            (v,) = struct.unpack_from("<f", data, off)
+            off += 4
+            out.append(f"\t{tag}:f:{_fmt_aux(v, 'f')}")
+        elif t in "ZH":
+            end = data.index(b"\x00", off)
+            out.append(
+                f"\t{tag}:{t}:{data[off:end].decode('ascii', 'replace')}"
+            )
+            off = end + 1
+        elif t == "B":
+            st = chr(data[off])
+            (count,) = struct.unpack_from("<I", data, off + 1)
+            off += 5
+            fmt, sz = _AUX_INT.get(st, ("f", 4))
+            vals = struct.unpack_from(f"<{count}{fmt}", data, off)
+            off += count * sz
+            body = ",".join(_fmt_aux(v, st) for v in vals)
+            out.append(f"\t{tag}:B:{st},{body}")
+        else:  # unknown type code: stop (cannot know the value width)
+            break
+    return "".join(out)
+
 
 def _records(path: str):
     with gzip.open(path, "rb") as f:
@@ -50,42 +105,23 @@ def _records(path: str):
             yield data
 
 
-def read_bam(path: str, start_id: int = 0) -> Iterator[Read]:
+def read_bam(path: str, start_id: int = 0,
+             preserve_tags: bool = False) -> Iterator[Read]:
     """Yield reads from a BAM file (alignment state ignored; reverse-flag
     records are restored to original strand)."""
     rdid = start_id
-    for data in _records(path):
-        (refid, pos, l_qname, mapq, bam_bin, n_cigar, flag, l_seq,
-         nrefid, npos, tlen) = struct.unpack("<iiBBHHHiiii", data[:32])
-        off = 32
-        name = data[off : off + l_qname - 1].decode()
-        off += l_qname
-        off += 4 * n_cigar
-        nb = (l_seq + 1) // 2
-        packed = np.frombuffer(data[off : off + nb], np.uint8)
-        off += nb
-        codes = np.empty(nb * 2, np.int8)
-        codes[0::2] = _BAM_BASE[(packed >> 4) & 0xF]
-        codes[1::2] = _BAM_BASE[packed & 0xF]
-        codes = codes[:l_seq]
-        qual = np.frombuffer(data[off : off + l_seq], np.uint8).copy()
-        off += l_seq
-        if qual.size and qual[0] == 0xFF:
-            qual = np.full(l_seq, 30, np.uint8)
-        if flag & 0x10:  # stored reverse-complemented: restore
-            codes = dna.revcomp(codes)
-            qual = qual[::-1]
-        if flag & 0x100 or flag & 0x800:
-            continue  # skip secondary/supplementary records
-        yield Read(rdid, _strip_mate_suffix(name), codes.copy(), qual)
+    for rd, flag in _bam_with_flags(path, preserve_tags):
+        rd.rdid = rdid
+        yield rd
         rdid += 1
 
 
-def read_bam_pairs(path: str, start_id: int = 0):
+def read_bam_pairs(path: str, start_id: int = 0,
+                   preserve_tags: bool = False):
     """Pair up mates from a name-adjacent BAM (mate1 flag 0x40 first)."""
     pend: dict = {}
     rdid = start_id
-    for rd_flag in _bam_with_flags(path):
+    for rd_flag in _bam_with_flags(path, preserve_tags):
         rd, flag = rd_flag
         if not flag & 0x1:
             continue
@@ -100,7 +136,7 @@ def read_bam_pairs(path: str, start_id: int = 0):
             pend[key] = (rd, flag)
 
 
-def _bam_with_flags(path: str):
+def _bam_with_flags(path: str, preserve_tags: bool = False):
     rdid = 0
     for data in _records(path):
         (refid, pos, l_qname, mapq, bam_bin, n_cigar, flag, l_seq,
@@ -118,10 +154,13 @@ def _bam_with_flags(path: str):
         codes[1::2] = _BAM_BASE[packed & 0xF]
         codes = codes[:l_seq]
         qual = np.frombuffer(data[off : off + l_seq], np.uint8).copy()
+        off += l_seq
         if qual.size and qual[0] == 0xFF:
             qual = np.full(l_seq, 30, np.uint8)
         if flag & 0x10:
             codes = dna.revcomp(codes)
             qual = qual[::-1]
-        yield Read(rdid, _strip_mate_suffix(name), codes.copy(), qual), flag
+        tags = aux_to_text(data, off) if preserve_tags else ""
+        yield Read(rdid, _strip_mate_suffix(name), codes.copy(), qual,
+                   preserved_tags=tags), flag
         rdid += 1

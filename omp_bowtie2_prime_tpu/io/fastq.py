@@ -23,6 +23,10 @@ class Read:
     seq: np.ndarray  # int8 codes, N=4
     qual: np.ndarray  # uint8 phred (already -33'd)
     qcfail: bool = False  # qseq filter field '0' (read.h r.filter)
+    # --preserve-tags: BAM aux fields rendered as SAM text, each with a
+    # leading tab (read.h preservedOptFlags; appended verbatim at the end
+    # of every output record, sam.cpp printPreservedOptFlags)
+    preserved_tags: str = ""
 
     def __len__(self) -> int:
         return len(self.seq)

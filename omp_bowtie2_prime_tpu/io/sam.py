@@ -48,6 +48,38 @@ class SamRecord:
         return "\t".join(fields)
 
 
+def _is_illumina_comment(s: str) -> bool:
+    """CASAVA comment detection for --sam-append-comment BC:Z: prefixing
+    (sam.h isIllumina): first space-free token, ':'-separated fields —
+    field0 int 1|2, field1 starts N|Y, field2 even int, a 4th ':' fails;
+    fewer fields pass."""
+    field = 0
+    start = 0
+    for end, ch in enumerate(s):
+        if ch == " ":
+            break
+        if ch != ":":
+            continue
+        tok = s[start:end]
+        if field == 0:
+            if not (tok.isdigit() and int(tok) in (1, 2)):
+                return False
+        elif field == 1:
+            if not tok[:1] in ("N", "Y"):
+                return False
+        elif field == 2:
+            try:
+                if int(tok) % 2 != 0:
+                    return False
+            except ValueError:
+                return False
+        else:
+            return False
+        start = end + 1
+        field += 1
+    return True
+
+
 # SAM flag bits (ref: sam.h:35-46)
 FLAG_PAIRED = 0x1
 FLAG_MAPPED_PAIRED = 0x2
@@ -175,7 +207,8 @@ class SamWriter:
     def __init__(self, out, refnames, reflens, prog_args: str = "",
                  yf_ln_quirk=True, rg_id: str | None = None,
                  rg_fields: list | None = None, no_hd=False, no_sq=False,
-                 xeq=False, no_qname_trunc=False, omit_sec_seq=False):
+                 xeq=False, no_qname_trunc=False, omit_sec_seq=False,
+                 append_comment=False):
         self.out = out
         # SAM RNAME/@SQ truncate reference names at first whitespace
         # (printRefName, sam.cpp)
@@ -195,6 +228,28 @@ class SamWriter:
         self.no_qname_trunc = no_qname_trunc
         # --omit-sec-seq: secondary records print * SEQ/QUAL (sam.cpp)
         self.omit_sec_seq = omit_sec_seq
+        # --sam-append-comment (sam.h printComment): append the read
+        # name's comment (text after the first whitespace) to each record
+        self.append_comment = append_comment
+
+    def _rec_suffix(self, read) -> str:
+        """Per-record trailer: --preserve-tags BAM aux text (already
+        tab-prefixed per tag) + --sam-append-comment (appendMate order,
+        aln_sink.cpp:2115-2116: preserved tags first, then comment)."""
+        s = getattr(read, "preserved_tags", "") or ""
+        if self.append_comment:
+            name = read.name
+            i = 0
+            while i < len(name) and not name[i].isspace():
+                i += 1
+            # the reference appends the tab unconditionally (sam.h:419)
+            s += "\t"
+            if i < len(name):
+                comment = name[i + 1 :]
+                if _is_illumina_comment(comment):
+                    s += "BC:Z:"
+                s += comment
+        return s
 
     def qname(self, name: str) -> str:
         if self.no_qname_trunc:
@@ -284,7 +339,7 @@ class SamWriter:
             qual="*" if omit else self.qual_str(qual),
             tags=tags,
         )
-        self.out.write(rec.line() + "\n")
+        self.out.write(rec.line() + self._rec_suffix(read) + "\n")
         if not secondary:
             self.summary.add(nhits_for_summary)
 
@@ -384,7 +439,7 @@ class SamWriter:
             qual=self.qual_str(qual),
             tags=tags,
         )
-        self.out.write(rec.line() + "\n")
+        self.out.write(rec.line() + self._rec_suffix(rd) + "\n")
 
     def write_unaligned(self, read, yf: str | None = None):
         tags = [("YT", "Z", "UU")]
@@ -401,5 +456,5 @@ class SamWriter:
             qual=self.qual_str(read.qual),
             tags=tags,
         )
-        self.out.write(rec.line() + "\n")
+        self.out.write(rec.line() + self._rec_suffix(read) + "\n")
         self.summary.add(0)

@@ -495,3 +495,90 @@ def test_un_mates_files(genome, tmp_path):
     m2 = (tmp_path / "unm.2.fq").read_text()
     assert "@p0" not in m1          # aligned mate not dumped
     assert "@p0" in m2 and junk in m2
+
+
+def test_bam_preserve_tags(genome, tmp_path):
+    """--preserve-tags: BAM aux fields reappear verbatim at the end of
+    the output record, integer widths normalized to ':i:' and B arrays
+    keeping their subtype (sam.cpp printPreservedOptFlags)."""
+    import gzip
+    import struct
+
+    d, text, idx = genome
+    from omp_bowtie2_prime_tpu.utils import dna as _dna
+
+    seq = _dna.decode(text[900:1000])
+    name = b"bt0"
+    l_seq = len(seq)
+    code = {"A": 1, "C": 2, "G": 4, "T": 8, "N": 15}
+    packed = bytearray()
+    for i in range(0, l_seq, 2):
+        hi = code[seq[i]] << 4
+        lo = code[seq[i + 1]] if i + 1 < l_seq else 0
+        packed.append(hi | lo)
+    aux = b"RGZgrp1\x00"                       # RG:Z:grp1
+    aux += b"NMc" + struct.pack("<b", 7)        # NM:c -> NM:i:7
+    aux += b"XSS" + struct.pack("<H", 40000)    # XS:S -> XS:i:40000
+    aux += b"ZFf" + struct.pack("<f", 1.5)      # ZF:f:1.500000
+    aux += b"ZAA" + b"+"                        # ZA:A:+
+    aux += b"ZBB" + b"c" + struct.pack("<I", 3) + struct.pack("<3b", 1, -2, 3)
+    rec = struct.pack("<iiBBHHHiiii", -1, -1, len(name) + 1, 0, 0, 0, 4,
+                      l_seq, -1, -1, 0)
+    rec += name + b"\x00" + bytes(packed) + bytes([30] * l_seq) + aux
+    body = b"BAM\x01" + struct.pack("<i", 0) + struct.pack("<i", 0)
+    body += struct.pack("<i", len(rec)) + rec
+    p = tmp_path / "in.bam"
+    with gzip.open(p, "wb") as f:
+        f.write(body)
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-b", str(p), "--preserve-tags",
+             "-S", str(out)])
+    (line,) = [l for l in out.read_text().splitlines()
+               if not l.startswith("@")]
+    assert line.endswith(
+        "\tRG:Z:grp1\tNM:i:7\tXS:i:40000\tZF:f:1.500000\tZA:A:+"
+        "\tZB:B:c,1,-2,3"
+    )
+    # without the flag the aux block is dropped
+    run_cli(["align", "-x", idx, "-b", str(p), "-S", str(out)])
+    (line,) = [l for l in out.read_text().splitlines()
+               if not l.startswith("@")]
+    assert "RG:Z:grp1" not in line
+
+
+def test_sam_append_comment(genome, tmp_path):
+    """--sam-append-comment (sam.h printComment): the name's comment is
+    appended after the tags; CASAVA-style comments get a BC:Z: prefix;
+    a comment-less read still gets the trailing tab (reference quirk)."""
+    d, text, idx = genome
+    from omp_bowtie2_prime_tpu.utils import dna as _dna
+
+    s1 = _dna.decode(text[100:180])
+    s2 = _dna.decode(text[300:380])
+    s3 = _dna.decode(text[500:580])
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [
+        ("c1 1:N:0:ATCACG", s1, "I" * 80),
+        ("c2 some free text", s2, "I" * 80),
+        ("c3", s3, "I" * 80),
+        ("c5 3:N:0:AA", s1, "I" * 80),
+    ])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--sam-append-comment"])
+    lines = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    by = {l.split("\t")[0]: l for l in lines}
+    assert by["c1"].endswith("\tBC:Z:1:N:0:ATCACG")
+    # a colon-free first token passes the CASAVA scan too (fork-pinned:
+    # "BC:Z:some free text")
+    assert by["c2"].endswith("\tBC:Z:some free text")
+    assert by["c3"].endswith("\t")
+    # read number 3 fails the CASAVA check -> raw comment, no BC:Z:
+    assert by["c5"].endswith("\t3:N:0:AA") and "BC:Z" not in by["c5"]
+    # rejected for non-FASTA/FASTQ inputs exactly like the reference
+    import pytest as _pytest
+    tab = tmp_path / "r.tab5"
+    tab.write_text(f"t1\t{s1}\t{'I'*80}\t{s2}\t{'I'*80}\n")
+    with _pytest.raises(SystemExit):
+        run_cli(["align", "-x", idx, "--tab5", str(tab),
+                 "-S", str(out), "--sam-append-comment"])
