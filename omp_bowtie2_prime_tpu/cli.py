@@ -676,6 +676,13 @@ def main(argv=None):
     i.add_argument("-n", "--names", action="store_true")
     i.add_argument("-a", "--across", type=int, default=60,
                    help="bases per FASTA line (bt2_inspect.cpp)")
+    # -e/--ebwt-ref: the reference reconstructs from the BWT instead of
+    # the .3/.4 bitpair files; our container always stores the 2-bit text
+    # (import from .bt2 runs the inverse-BWT at load), so both paths
+    # print the same FASTA. -v accepted for CLI parity.
+    i.add_argument("-e", "--ebwt-ref", action="store_true",
+                   dest="ebwt_ref")
+    i.add_argument("-v", "--verbose", action="store_true")
     i.set_defaults(fn=cmd_inspect)
 
     args = ap.parse_args(argv)

@@ -53,35 +53,123 @@ def _open(path: str):
     return open(path, "r")
 
 
+def _open_bin(path: str):
+    p = str(path)
+    if p.endswith(".gz"):
+        return gzip.open(path, "rb")
+    if p.endswith(".bz2"):
+        import bz2
+
+        return bz2.open(path, "rb")
+    if p.endswith((".zst", ".zstd")):
+        import zstandard
+
+        return zstandard.ZstdDecompressor().stream_reader(open(path, "rb"))
+    return open(path, "rb")
+
+
+def _fastq_vec(lines: list, rdid0: int) -> list:
+    """Vectorized 4-line FASTQ record batch (lines pre-stripped, length a
+    multiple of 4, no blanks): one LUT gather over the concatenated seq
+    bytes and one offset over the quals; per-read arrays are views."""
+    hs = lines[0::4]
+    ss = lines[1::4]
+    qs = lines[3::4]
+    m = len(hs)
+    # keep the FULL name line (whitespace included): the reference parses
+    # the whole line and truncates only at SAM output (sam.h:320-326);
+    # genRandSeed hashes the full name
+    names = [
+        h[1:].decode() if len(h) > 1 else f"read{rdid0 + i}"
+        for i, h in enumerate(hs)
+    ]
+    soff = np.zeros(m + 1, np.int64)
+    np.cumsum(np.fromiter(map(len, ss), np.int64, m), out=soff[1:])
+    codes = dna.encode(b"".join(ss))
+    qoff = np.zeros(m + 1, np.int64)
+    np.cumsum(np.fromiter(map(len, qs), np.int64, m), out=qoff[1:])
+    qraw = np.frombuffer(b"".join(qs), np.uint8)
+    quals = (np.maximum(qraw, 33) - 33).astype(np.uint8)
+    return [
+        Read(rdid0 + i, names[i],
+             codes[soff[i]:soff[i + 1]], quals[qoff[i]:qoff[i + 1]])
+        for i in range(m)
+    ]
+
+
+def _drain_fastq_scalar(pend: list, rdid: int, int_quals: bool,
+                        final: bool) -> list:
+    """Line-at-a-time record consumption from the front of `pend`
+    (mutated): blank lines skip only at the header slot, missing trailing
+    lines read as empty — the reference parser's semantics."""
+    out = []
+    i, n = 0, len(pend)
+    while True:
+        while i < n and not pend[i].strip():
+            i += 1
+        if i >= n or (not final and n - i < 4):
+            break
+        h = pend[i].strip()
+        seq = pend[i + 1].strip() if i + 1 < n else b""
+        qual = pend[i + 3].strip() if i + 3 < n else b""
+        i += 4
+        name = h[1:].decode() if len(h) > 1 else f"read{rdid}"
+        if int_quals:
+            # --int-quals: space-separated phred integers, no ASCII
+            # offset (ref: qual.h intToPhred33 path)
+            q = np.maximum(
+                np.array(qual.split(), np.int16), 0
+            ).astype(np.uint8)
+        else:
+            q = np.frombuffer(qual, dtype=np.uint8)
+            q = (np.maximum(q, 33) - 33).astype(np.uint8)
+        out.append(Read(rdid, name, dna.encode(seq), q))
+        rdid += 1
+    del pend[:i]
+    return out
+
+
 def read_fastq(path: str, start_id: int = 0,
                int_quals: bool = False) -> Iterator[Read]:
+    """Chunked FASTQ reader: well-formed 4-line records batch through the
+    vectorized path (~5x the line-at-a-time cost on this host's single
+    core — the analog of the reference's light batch parsing,
+    bt2_search.cpp:298 readsPerBatch); files with blank lines or
+    --int-quals fall back to the scalar consumer with identical
+    semantics."""
     rdid = start_id
-    with _open(path) as f:
+    scalar_mode = int_quals
+    pend: list = []
+    tail = b""
+    with _open_bin(path) as f:
         while True:
-            h = f.readline()
-            if not h:
-                return
-            h = h.strip()
-            if not h:
-                continue
-            seq = f.readline().strip()
-            f.readline()  # +
-            qual = f.readline().strip()
-            # keep the FULL name line (whitespace included): the reference
-            # parses the whole line and truncates only at SAM output
-            # (sam.h:320-326); genRandSeed hashes the full name
-            name = h[1:] if len(h) > 1 else f"read{rdid}"
-            if int_quals:
-                # --int-quals: space-separated phred integers, no ASCII
-                # offset (ref: qual.h intToPhred33 path)
-                q = np.maximum(
-                    np.array(qual.split(), np.int16), 0
-                ).astype(np.uint8)
+            chunk = f.read(1 << 23)
+            if not chunk:
+                break
+            if b"\r" in chunk:
+                chunk = chunk.replace(b"\r\n", b"\n")
+            parts = (tail + chunk).split(b"\n")
+            tail = parts.pop()
+            if not scalar_mode:
+                parts = [l.strip() for l in parts]
+                pend.extend(parts)
+                if any(not l for l in pend):
+                    scalar_mode = True  # blank lines: exact slow path
+                else:
+                    n4 = (len(pend) // 4) * 4
+                    if n4:
+                        yield from _fastq_vec(pend[:n4], rdid)
+                        rdid += n4 // 4
+                        del pend[:n4]
+                    continue
             else:
-                q = np.frombuffer(qual.encode("ascii"), dtype=np.uint8)
-                q = (np.maximum(q, 33) - 33).astype(np.uint8)
-            yield Read(rdid, name, dna.encode(seq), q)
-            rdid += 1
+                pend.extend(parts)
+            rds = _drain_fastq_scalar(pend, rdid, int_quals, final=False)
+            yield from rds
+            rdid += len(rds)
+    if tail.strip():
+        pend.append(tail)
+    yield from _drain_fastq_scalar(pend, rdid, int_quals, final=True)
 
 
 def read_fasta_reads(path: str, start_id: int = 0) -> Iterator[Read]:
