@@ -582,3 +582,52 @@ def test_sam_append_comment(genome, tmp_path):
     with _pytest.raises(SystemExit):
         run_cli(["align", "-x", idx, "--tab5", str(tab),
                  "-S", str(out), "--sam-append-comment"])
+
+
+def test_fastq_vec_scalar_equivalence(tmp_path):
+    """The vectorized FASTQ fast path must be indistinguishable from the
+    scalar drain on odd-but-legal files: CRLF endings, blank lines
+    between records (forces the scalar fallback mid-file), empty reads,
+    missing trailing newline, '@'-only headers."""
+    import numpy as np
+
+    from omp_bowtie2_prime_tpu.io.fastq import (
+        read_fastq, _drain_fastq_scalar,
+    )
+
+    rng = np.random.default_rng(5)
+
+    def rand_rec(i, empty=False):
+        n = 0 if empty else int(rng.integers(1, 90))
+        seq = "".join("ACGTN"[c] for c in rng.integers(0, 5, n))
+        qual = "".join(chr(33 + int(q)) for q in rng.integers(0, 40, n))
+        name = f"fz{i}" if i % 7 else "@"  # every 7th: bare '@' header
+        head = "@" + (f"fz{i} extra words" if i % 3 else f"fz{i}")
+        if i % 7 == 0:
+            head = "@"
+        return f"{head}\n{seq}\n+\n{qual}\n"
+
+    variants = []
+    base = "".join(rand_rec(i) for i in range(50))
+    variants.append(("plain", base))
+    variants.append(("crlf", base.replace("\n", "\r\n")))
+    variants.append(("no_trailing_nl", base.rstrip("\n")))
+    recs = [rand_rec(i) for i in range(30)]
+    recs.insert(10, "\n\n")  # blank lines before a header
+    variants.append(("blanks", "".join(recs)))
+    variants.append(("empty_read", rand_rec(0) + rand_rec(1, empty=True)
+                     + rand_rec(2)))
+    variants.append(("empty_file", ""))
+
+    for label, content in variants:
+        p = tmp_path / f"{label}.fq"
+        p.write_text(content)
+        got = list(read_fastq(str(p)))
+        # oracle: pure scalar drain over the whole stripped line list
+        lines = [l.strip().encode() for l in content.split("\n")]
+        want = _drain_fastq_scalar(lines, 0, False, final=True)
+        assert len(got) == len(want), label
+        for a, b in zip(got, want):
+            assert a.name == b.name, label
+            assert (np.asarray(a.seq) == np.asarray(b.seq)).all(), label
+            assert (np.asarray(a.qual) == np.asarray(b.qual)).all(), label
