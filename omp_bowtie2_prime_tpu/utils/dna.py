@@ -41,6 +41,14 @@ def revcomp(codes: np.ndarray) -> np.ndarray:
     return _COMP[codes[::-1]]
 
 
+_DNA2ASC_COMP = _DNA2ASC[_COMP]
+
+
+def decode_revcomp(codes: np.ndarray) -> str:
+    """decode(revcomp(codes)) in one gather (SAM writer hot path)."""
+    return _DNA2ASC_COMP[codes[::-1]].tobytes().decode("ascii")
+
+
 def comp(codes: np.ndarray) -> np.ndarray:
     return _COMP[codes]
 
