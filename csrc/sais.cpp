@@ -15,10 +15,16 @@
 
 namespace {
 
+// The induce loops are bound by random reads at SA[i]-1: fusing the
+// character and the S/L type bit into ONE array (st[i] = s[i]<<1 | is_s)
+// halves the cache-miss count per step vs separate s[]/is_s[] reads.
+// C must have headroom for s<<1|1: top level is uint8 with K=5 (max 9);
+// recursion levels use C=I where names < n/2 keep the shift in range.
 template <typename C, typename I>
-void bucket_bounds(const C* s, I n, I K, std::vector<I>& bkt, bool tails) {
+void bucket_bounds_st(const C* st, I n, I K, std::vector<I>& bkt,
+                      bool tails) {
     std::fill(bkt.begin(), bkt.end(), I(0));
-    for (I i = 0; i < n; i++) bkt[s[i]]++;
+    for (I i = 0; i < n; i++) bkt[st[i] >> 1]++;
     I sum = 0;
     for (I c = 0; c < K; c++) {
         sum += bkt[c];
@@ -27,39 +33,37 @@ void bucket_bounds(const C* s, I n, I K, std::vector<I>& bkt, bool tails) {
 }
 
 // Induce L-type then S-type suffixes from the placed LMS suffixes.
-// The loops are bound by cache misses on s[j-1]/is_s[j-1] (j jumps
-// around the text): prefetch the sources a fixed distance ahead, the
-// same mitigation the reference applies to its rank sides
-// (SideLocus prefetch, bt2_idx.h:383-389).
+// Prefetch the st source a fixed distance ahead, the same mitigation the
+// reference applies to its rank sides (SideLocus prefetch,
+// bt2_idx.h:383-389).
 template <typename C, typename I>
-void induce(const C* s, I* SA, I n, I K, const std::vector<uint8_t>& is_s,
-            std::vector<I>& bkt) {
-    constexpr I PF = 24;
+void induce(const C* st, I* SA, I n, I K, std::vector<I>& bkt) {
+    constexpr I PF = 48;
     // induce L left-to-right from bucket heads
-    bucket_bounds(s, n, K, bkt, false);
+    bucket_bounds_st(st, n, K, bkt, false);
     for (I i = 0; i < n; i++) {
         if (i + PF < n) {
             I jp = SA[i + PF];
-            if (jp != I(-1) && jp > 0) {
-                __builtin_prefetch(&s[jp - 1]);
-                __builtin_prefetch(&is_s[jp - 1]);
-            }
+            if (jp > 0) __builtin_prefetch(&st[jp - 1]);
         }
         I j = SA[i];
-        if (j != I(-1) && j > 0 && !is_s[j - 1]) SA[bkt[s[j - 1]]++] = j - 1;
+        if (j > 0) {  // -1 empties and position 0 both skip
+            C v = st[j - 1];
+            if (!(v & 1)) SA[bkt[v >> 1]++] = j - 1;
+        }
     }
     // induce S right-to-left from bucket tails
-    bucket_bounds(s, n, K, bkt, true);
+    bucket_bounds_st(st, n, K, bkt, true);
     for (I i = n; i-- > 0;) {
         if (i >= PF) {
             I jp = SA[i - PF];
-            if (jp != I(-1) && jp > 0) {
-                __builtin_prefetch(&s[jp - 1]);
-                __builtin_prefetch(&is_s[jp - 1]);
-            }
+            if (jp > 0) __builtin_prefetch(&st[jp - 1]);
         }
         I j = SA[i];
-        if (j != I(-1) && j > 0 && is_s[j - 1]) SA[--bkt[s[j - 1]]] = j - 1;
+        if (j > 0) {
+            C v = st[j - 1];
+            if (v & 1) SA[--bkt[v >> 1]] = j - 1;
+        }
     }
 }
 
@@ -68,22 +72,27 @@ template <typename C, typename I>
 void sais_core(const C* s, I* SA, I n, I K) {
     if (n == 1) { SA[0] = 0; return; }
 
-    // classify suffix types: is_s[i] = true iff suffix i is S-type
-    std::vector<uint8_t> is_s(n);
-    is_s[n - 1] = 1;
-    for (I i = n - 1; i-- > 0;)
-        is_s[i] = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && is_s[i + 1]);
+    // fused char|type classification (one backward pass)
+    std::vector<C> st(n);
+    st[n - 1] = C(s[n - 1] << 1) | C(1);
+    for (I i = n - 1; i-- > 0;) {
+        bool t = (s[i] < s[i + 1]) || (s[i] == s[i + 1] && (st[i + 1] & 1));
+        st[i] = C(s[i] << 1) | C(t);
+    }
 
-    auto is_lms = [&](I i) { return i > 0 && is_s[i] && !is_s[i - 1]; };
+    auto is_lms = [&](I i) {
+        return i > 0 && (st[i] & 1) && !(st[i - 1] & 1);
+    };
 
     std::vector<I> bkt(K);
+    const C* stp = st.data();
 
     // pass 1: place LMS suffixes (unordered) at their bucket tails, induce
     std::fill(SA, SA + n, I(-1));
-    bucket_bounds(s, n, K, bkt, true);
+    bucket_bounds_st(stp, n, K, bkt, true);
     for (I i = 1; i < n; i++)
         if (is_lms(i)) SA[--bkt[s[i]]] = i;
-    induce(s, SA, n, K, is_s, bkt);
+    induce(stp, SA, n, K, bkt);
 
     // compact sorted LMS suffixes into SA[0:n1)
     I n1 = 0;
@@ -99,10 +108,10 @@ void sais_core(const C* s, I* SA, I n, I K) {
         if (prev == I(-1)) {
             diff = true;
         } else {
-            // compare LMS substrings at pos and prev
+            // compare LMS substrings at pos and prev; st equality covers
+            // char equality AND type equality in one read
             for (I d = 0;; d++) {
-                if (s[pos + d] != s[prev + d] ||
-                    is_s[pos + d] != is_s[prev + d]) {
+                if (stp[pos + d] != stp[prev + d]) {
                     diff = true;
                     break;
                 }
@@ -135,12 +144,12 @@ void sais_core(const C* s, I* SA, I n, I K) {
 
     // pass 2: place LMS suffixes in sorted order, induce final SA
     std::fill(SA, SA + n, I(-1));
-    bucket_bounds(s, n, K, bkt, true);
+    bucket_bounds_st(stp, n, K, bkt, true);
     for (I i = n1; i-- > 0;) {
         I j = lms[sa1[i]];
         SA[--bkt[s[j]]] = j;
     }
-    induce(s, SA, n, K, is_s, bkt);
+    induce(stp, SA, n, K, bkt);
 }
 
 }  // namespace
