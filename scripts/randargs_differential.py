@@ -70,6 +70,12 @@ def draw_args(rng):
         both(str(rng.choice(["--nofw", "--norc"])))
     if rng.random() < 0.2:
         both("--gbar", str(int(rng.integers(2, 9))))
+    if rng.random() < 0.25:
+        both("-5", str(int(rng.integers(1, 6))))
+    if rng.random() < 0.25:
+        both("-3", str(int(rng.integers(1, 6))))
+    if rng.random() < 0.15:
+        both("--xeq")  # =/X CIGARs; POS/FLAG/MAPQ comparison unaffected
     return ref, ours, " ".join(ref) or "(defaults)"
 
 
@@ -93,8 +99,11 @@ def make_trial_data(rng, wd, size, nreads, readlen):
                 seq[p] = (seq[p] + 1 + rng.integers(0, 3)) % 4
             if rng.integers(0, 2):
                 seq = dna.revcomp(seq)
+            # low-quality tails with some probability: exercises the
+            # qual-scaled MM penalty interpolation (scoring.h mmpens)
+            lo = 2 if rng.random() < 0.3 else 20
             q = "".join(chr(33 + int(x))
-                        for x in rng.integers(20, 41, readlen))
+                        for x in rng.integers(lo, 41, readlen))
             f.write(f"@d{i}\n{dna.decode(seq)}\n+\n{q}\n")
     return fa, fq
 
@@ -129,7 +138,11 @@ def main():
 
     failures = 0
     for t in range(args.trials):
-        fa, fq = make_trial_data(rng, wd, args.size, args.reads, args.readlen)
+        # vary read length per trial (<=130: beyond 138 the reference's
+        # 200-col SSE envelope makes reads unalignable for it, a known
+        # capability divergence, not a bug to flag here)
+        rl = int(rng.choice([50, 76, args.readlen, 130]))
+        fa, fq = make_trial_data(rng, wd, args.size, args.reads, rl)
         ref_argv, our_argv, label = draw_args(rng)
         print(f"[....] trial {t}: {label}", flush=True)
         idx = os.path.join(wd, "idx")
