@@ -172,6 +172,47 @@ int bt_sais_u8_i64(const uint8_t* s, int64_t* SA, int64_t n, int64_t K) {
 
 }  // extern "C"
 
+namespace {
+
+// BWT from SA in one pass: out[i] = text[sa[i]-1] (0 where sa[i]==0,
+// returning that row as zoff). Fuses numpy's `sa - (sa>0)` temp +
+// `text[prev]` gather into a single prefetched loop.
+template <typename I>
+I bwt_pass(uint8_t* out, const uint8_t* text, const I* sa, I n) {
+    constexpr I PF = 48;
+    I zoff = -1;
+    for (I i = 0; i < n; i++) {
+        if (i + PF < n) {
+            I jp = sa[i + PF];
+            __builtin_prefetch(&text[jp - (jp > 0)]);
+        }
+        I j = sa[i];
+        if (j == 0) {
+            zoff = i;
+            out[i] = 0;
+        } else {
+            out[i] = text[j - 1];
+        }
+    }
+    return zoff;
+}
+
+}  // namespace
+
+extern "C" {
+
+int32_t bt_bwt_from_sa_i32(uint8_t* out, const uint8_t* text,
+                           const int32_t* sa, int32_t n) {
+    return bwt_pass<int32_t>(out, text, sa, n);
+}
+
+int64_t bt_bwt_from_sa_i64(uint8_t* out, const uint8_t* text,
+                           const int64_t* sa, int64_t n) {
+    return bwt_pass<int64_t>(out, text, sa, n);
+}
+
+}  // extern "C"
+
 // Inverse BWT: reconstruct the text from BWT codes (0..3, with the
 // sentinel's slot at `zoff` stored as 0 — bowtie2's "$ represented as A",
 // bt2_idx.h:1819-1826). Used to import .bt2 indexes by recovering the

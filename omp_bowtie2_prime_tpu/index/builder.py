@@ -38,21 +38,22 @@ def _occ_checkpoints(bwt: np.ndarray, nblocks: int) -> np.ndarray:
     reduceat, then an exclusive prefix sum (genome-scale builds)."""
     padded = np.zeros(nblocks * OCC_BLOCK, dtype=np.int8)
     padded[: len(bwt)] = bwt
-    starts = np.arange(nblocks, dtype=np.int64) * OCC_BLOCK
+    blk = padded.reshape(nblocks, OCC_BLOCK)
     cp = np.zeros((nblocks, 4), dtype=np.int64)
     for c in range(4):
-        per_block = np.add.reduceat((padded == c).astype(np.int64), starts)
+        # bool axis-sum (no int64[n] staging array as reduceat needed)
+        per_block = (blk == c).sum(axis=1, dtype=np.int64)
         cp[1:, c] = np.cumsum(per_block)[:-1]
     return cp
 
 
-def _ftab(text: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
+def _ftab(text: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     """ftab_top/bot[4^k]: SA row range of every k-mer (backward-search seed
     jump, ref: Ebwt::ftab semantics bt2_idx.h:1259, aligner_seed.cpp:757-811).
 
     Keys are base-5 (sentinel=0, chars 1..4) so suffixes shorter than k sort
-    correctly below any full k-mer sharing their prefix; full k-mers then map
-    to exact key values and searchsorted left/right gives [top, bot).
+    correctly below any full k-mer sharing their prefix; [top, bot) are
+    rank counts of each full k-mer key over the key multiset.
     """
     assert k <= 13  # 5**13 < 2**31: keys stay int32
     n = len(text)
@@ -63,18 +64,31 @@ def _ftab(text: np.ndarray, sa: np.ndarray, k: int) -> tuple[np.ndarray, np.ndar
     s5 = np.zeros(n + k, dtype=np.int32)
     np.add(text, 1, out=s5[:n], casting="unsafe")
     acc = np.zeros(nrows, dtype=np.int32)
-    for j in range(k):
-        acc *= 5
-        acc += s5[j : j + nrows]
-    keys = acc[sa]  # SA order is lexicographic -> keys sorted
+    if k % 2 == 0:
+        # base-25 pairs: half the accumulate passes (5^k < 2^31 bounds acc)
+        pair = s5[:-1] * 5
+        pair += s5[1:]
+        for m in range(k // 2):
+            acc *= 25
+            acc += pair[2 * m : 2 * m + nrows]
+    else:
+        for j in range(k):
+            acc *= 5
+            acc += s5[j : j + nrows]
+    # top/bot are rank counts over the key multiset — order-independent,
+    # so a histogram over TEXT-order keys replaces the acc[sa] random
+    # gather (one miss/row) plus the 4^k searchsorted probes entirely:
+    # top[q] = #keys < q5[q] = prefix[q5[q]-1], bot[q] = prefix[q5[q]]
     nq = 4**k
     q = np.arange(nq, dtype=np.int32)
     q5 = np.zeros(nq, dtype=np.int32)
     for j in range(k):
         digit = (q >> (2 * (k - 1 - j))) & 3
         q5 += (digit + 1) * np.int32(5 ** (k - 1 - j))
-    top = np.searchsorted(keys, q5, side="left").astype(np.uint32)
-    bot = np.searchsorted(keys, q5, side="right").astype(np.uint32)
+    hist = np.bincount(acc, minlength=5**k)
+    prefix = np.cumsum(hist)
+    top = prefix[q5 - 1].astype(np.uint32)  # q5 >= 1: digits are 1..5
+    bot = prefix[q5].astype(np.uint32)
     return top, bot
 
 
@@ -111,7 +125,7 @@ def build_index_from_text(
         fchr[c] = fchr[c - 1] + cnt[c - 1]
     assert fchr[4] == nrows
 
-    ftab_top, ftab_bot = _ftab(text, sa, ftab_k)
+    ftab_top, ftab_bot = _ftab(text, ftab_k)
 
     marked = (sa % srate) == 0
     nmark_words = nblocks * MARK_WORDS_PER_BLOCK

@@ -73,6 +73,12 @@ def get_lib():
             ctypes.c_void_p, ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
             ctypes.c_int,
         ]
+        lib.bt_bwt_from_sa_i32.restype = ctypes.c_int32
+        lib.bt_bwt_from_sa_i32.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int32]
+        lib.bt_bwt_from_sa_i64.restype = ctypes.c_int64
+        lib.bt_bwt_from_sa_i64.argtypes = [ctypes.c_void_p] * 3 + [
+            ctypes.c_int64]
         lib.bt_finish_batch.restype = ctypes.c_int64
         lib.bt_finish_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_int64] + [ctypes.c_void_p] * 2 + [
@@ -129,6 +135,28 @@ def finish_batch(ops_mat, start_cols, wstarts, reads_mat, srcs, text,
 
 def sais_available() -> bool:
     return get_lib() is not None
+
+
+def bwt_from_sa_native(text: np.ndarray, sa: np.ndarray):
+    """(bwt, zoff) via the fused prefetched pass, or None without the lib.
+    text: int8/uint8 codes; sa: int32/int64 [len(text)+1]."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    t = np.ascontiguousarray(text.view(np.uint8) if text.dtype == np.int8
+                             else text, np.uint8)
+    n = len(sa)
+    out = np.empty(n, np.int8)
+    if sa.dtype == np.int32:
+        zoff = lib.bt_bwt_from_sa_i32(out.ctypes.data, t.ctypes.data,
+                                      sa.ctypes.data, np.int32(n))
+    else:
+        sa = np.ascontiguousarray(sa, np.int64)
+        zoff = lib.bt_bwt_from_sa_i64(out.ctypes.data, t.ctypes.data,
+                                      sa.ctypes.data, np.int64(n))
+    if zoff < 0:
+        return None
+    return out, int(zoff)
 
 
 def suffix_array_sais(text: np.ndarray) -> np.ndarray | None:

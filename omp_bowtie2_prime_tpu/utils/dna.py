@@ -64,9 +64,21 @@ def pack_2bit(codes: np.ndarray, word_bases: int = 16) -> np.ndarray:
     Base i of word w sits at bits [2i, 2i+2). Ambiguous codes must be
     masked/replaced by the caller before packing.
     """
-    codes = np.asarray(codes, dtype=np.uint32) & 3
+    codes = np.asarray(codes)
     n = len(codes)
     nwords = (n + word_bases - 1) // word_bases
+    if word_bases % 4 == 0:
+        # byte-wise pack (little-endian uint32 view): ~8x less memory
+        # traffic than the uint32[n] staging at genome scale
+        nb = nwords * (word_bases // 4)
+        padded = np.zeros(nb * 4, dtype=np.uint8)
+        padded[:n] = codes.view(np.uint8) if codes.dtype == np.int8 \
+            else codes.astype(np.uint8, copy=False)
+        padded &= 3
+        q = padded.reshape(nb, 4)
+        by = q[:, 0] | (q[:, 1] << 2) | (q[:, 2] << 4) | (q[:, 3] << 6)
+        return np.ascontiguousarray(by).view(np.uint32)
+    codes = np.asarray(codes, dtype=np.uint32) & 3
     padded = np.zeros(nwords * word_bases, dtype=np.uint32)
     padded[:n] = codes
     padded = padded.reshape(nwords, word_bases)

@@ -62,6 +62,12 @@ def bwt_from_sa(text: np.ndarray, sa: np.ndarray) -> tuple[np.ndarray, int]:
     index is returned as zoff (ref: Ebwt's _zOff, bt2_idx.h)."""
     t = np.asarray(text, dtype=np.int8)
     sa = np.asarray(sa)  # keep the builder's index dtype (int32 < 2^31)
+    if len(sa) > 1_000_000:
+        from ..native import bwt_from_sa_native
+
+        res = bwt_from_sa_native(t, sa)  # fused prefetched gather
+        if res is not None:
+            return res
     prev = sa - (sa > 0)
     bwt = t[prev]
     zoff_rows = np.nonzero(sa == 0)[0]
