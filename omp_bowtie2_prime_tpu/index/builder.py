@@ -131,10 +131,8 @@ def build_index_from_text(
     nmark_words = nblocks * MARK_WORDS_PER_BLOCK
     mark_bits = np.zeros(nmark_words * 32, dtype=bool)
     mark_bits[:nrows] = marked
-    mw = mark_bits.reshape(nmark_words, 32)
-    mark_words = (
-        mw.astype(np.uint32) << np.arange(32, dtype=np.uint32)[None, :]
-    ).sum(axis=1, dtype=np.uint32)
+    # LSB-first bit pack == little-endian packbits viewed as uint32
+    mark_words = np.packbits(mark_bits, bitorder="little").view(np.uint32)
     marked_per_block = (
         mark_bits.reshape(nblocks, OCC_BLOCK).sum(axis=1).astype(np.int64)
     )
