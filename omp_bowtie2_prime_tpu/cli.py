@@ -526,6 +526,26 @@ def main(argv=None):
                    help="force the 64-bit .bt2l format (bt2_idx.cpp:29-37)")
     b.add_argument("--bt2", action="store_true",
                    help="write a bowtie2-compatible .bt2 index set")
+    # bowtie2-build tuning knobs for its blockwise Kärkkäinen sorter,
+    # accepted for drop-in compatibility: SA-IS is linear-time and
+    # in-memory, so bucket/diff-cover/threading knobs have no analog
+    b.add_argument("-f", action="store_true", help=argparse.SUPPRESS)
+    b.add_argument("-a", "--noauto", action="store_true",
+                   help=argparse.SUPPRESS)
+    b.add_argument("-p", "--packed", action="store_true",
+                   help=argparse.SUPPRESS)
+    b.add_argument("--bmax", type=int, help=argparse.SUPPRESS)
+    b.add_argument("--bmaxdivn", type=int, help=argparse.SUPPRESS)
+    b.add_argument("--dcv", type=int, help=argparse.SUPPRESS)
+    b.add_argument("--nodc", action="store_true", help=argparse.SUPPRESS)
+    b.add_argument("-r", "--noref", action="store_true",
+                   help=argparse.SUPPRESS)
+    b.add_argument("--threads", type=int, help=argparse.SUPPRESS)
+    b.add_argument("--seed", type=int, help=argparse.SUPPRESS)
+    b.add_argument("-q", "--quiet", action="store_true",
+                   help=argparse.SUPPRESS)
+    b.add_argument("-v", "--verbose", action="store_true",
+                   help=argparse.SUPPRESS)
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("align", help="align reads, emit SAM")
