@@ -132,7 +132,19 @@ void sais_core(const C* s, I* SA, I n, I K) {
     // recurse if names are not yet unique
     std::vector<I> sa1(n1);
     if (name < n1) {
-        sais_core<I, I>(s1.data(), sa1.data(), (I)n1, name);
+        if (sizeof(I) == 8 && n1 <= I(INT32_MAX) &&
+            name < (I(1) << 30)) {
+            // the reduced problem fits int32 (st values need name<<1|1):
+            // downshift so every deeper level moves half the bytes —
+            // int64 is only forced on the TOP level by the text length
+            std::vector<int32_t> s1d(n1), sa1d(n1);
+            for (I i = 0; i < n1; i++) s1d[i] = (int32_t)s1[i];
+            sais_core<int32_t, int32_t>(s1d.data(), sa1d.data(),
+                                        (int32_t)n1, (int32_t)name);
+            for (I i = 0; i < n1; i++) sa1[i] = sa1d[i];
+        } else {
+            sais_core<I, I>(s1.data(), sa1.data(), (I)n1, name);
+        }
     } else {
         for (I i = 0; i < n1; i++) sa1[s1[i]] = i;
     }
