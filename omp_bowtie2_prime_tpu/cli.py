@@ -248,6 +248,12 @@ def cmd_align(args):
 
     out = open(args.sam, "w") if args.sam != "-" else sys.stdout
     cl = " ".join(sys.argv)
+    if args.qualities and not args.fmt_fasta:
+        # bt2_search.cpp:1704-1708
+        print("Error: one or more quality files were specified with -Q but "
+              "-f was not\nenabled.  -Q works only in combination with -f "
+              "and -C.", file=sys.stderr)
+        sys.exit(1)
     if args.sam_append_comment and (
         args.bam or args.tab5 or args.tab6 or args.fmt_raw or args.fmt_qseq
         or args.cmdline
@@ -573,6 +579,14 @@ def main(argv=None):
                    action="store_true",
                    help="append the read name's comment to each record "
                         "(BC:Z: prefixed for CASAVA comments, sam.h)")
+    # -Q/--Q1/--Q2: legacy FASTA+separate-quality-file inputs. The
+    # reference fork parses and VALIDATES these (must combine with -f,
+    # bt2_search.cpp:1704-1708) but never consumes them — no
+    # FastaQualPatternSource exists in pat.cpp, so quals stay 'I'.
+    # Reproduced exactly: accepted, validated, ignored.
+    a.add_argument("-Q", "--qualities", dest="qualities", default=None)
+    a.add_argument("--Q1", dest="qualities1", default=None)
+    a.add_argument("--Q2", dest="qualities2", default=None)
     a.add_argument("-u", "--upto", "--qupto", type=int, default=None)
     a.add_argument("-s", "--skip", dest="skip_reads", type=int, default=0)
     a.add_argument("-5", "--trim5", type=int, default=0)

@@ -631,3 +631,27 @@ def test_fastq_vec_scalar_equivalence(tmp_path):
             assert a.name == b.name, label
             assert (np.asarray(a.seq) == np.asarray(b.seq)).all(), label
             assert (np.asarray(a.qual) == np.asarray(b.qual)).all(), label
+
+
+def test_Q_quality_files_accepted_and_ignored(genome, tmp_path, capsys):
+    """-Q/--Q1/--Q2 (legacy FASTA+qual inputs): the reference fork parses
+    and validates them (-f required, bt2_search.cpp:1704-1708) but never
+    consumes the files — no FastaQualPatternSource exists. We reproduce
+    both the validation error and the ignore."""
+    d, text, idx = genome
+    fa = tmp_path / "r.fa"
+    fa.write_text(">qf0\n" + dna.decode(text[800:880]) + "\n")
+    qual = tmp_path / "r.qual"
+    qual.write_text(">qf0\n" + " ".join(["30"] * 80) + "\n")
+    out = tmp_path / "o.sam"
+    # without -f: the reference's exact error
+    with pytest.raises(SystemExit):
+        run_cli(["align", "-x", idx, "-U", str(fa), "-Q", str(qual),
+                 "-S", str(out)])
+    assert "-Q works only in combination with -f" in capsys.readouterr().err
+    # with -f: accepted; quals remain the FASTA default 'I'
+    run_cli(["align", "-x", idx, "-f", "-U", str(fa), "-Q", str(qual),
+             "-S", str(out)])
+    (rec,) = [l.split("\t") for l in out.read_text().splitlines()
+              if not l.startswith("@")]
+    assert rec[3] == "801" and rec[10] == "I" * 80
