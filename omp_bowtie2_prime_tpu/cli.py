@@ -164,8 +164,80 @@ def cmd_align(args):
     if args.non_deterministic:
         # the fork rejects it the same way (bt2_search.cpp:1112)
         print("WARNING: arbitraryRandom not supported", file=sys.stderr)
+    if args.met_read:
+        # bt2_search.cpp:1270-1272
+        print("WARNING: metricsPerRead not supported", file=sys.stderr)
+    if args.no_sse8:
+        # bt2_search.cpp:1351-1357 (no ENABLE_I16 in the default build)
+        print("WARNING: no-sse8 not supported", file=sys.stderr)
+    if args.multiseed:
+        # --multiseed mms,len[,F[,a[,b]]] expands to a policy string
+        # (bt2_search.cpp:1455-1474)
+        f = args.multiseed.split(",")
+        if len(f) > 5 or not f[0]:
+            print("Error: expected 5 or fewer comma-separated arguments "
+                  f"to --multiseed option, got {len(f)}", file=sys.stderr)
+            sys.exit(1)
+        pol = f"SEED={f[0]}"
+        if len(f) > 1:
+            pol += f";SEEDLEN={f[1]}"
+        if len(f) > 2:
+            pol += f";IVAL={','.join(f[2:5])}"
+        args.policy = (args.policy or []) + [pol]
 
     fm = _load_index(args.index)
+
+    # -P/--policy: ';'-separated NAME=VAL policy-string overrides
+    # (SeedAlignmentPolicy::parsePolicy token set, aligner_seed_policy.cpp:
+    # MA MMP NP RDG RFG MIN NCEIL SEED SEEDLEN IVAL ROUNDS DPS). Applied
+    # over the preset; an explicit flag for the same knob wins.
+    for pol in args.policy or []:
+        for tok in pol.split(";"):
+            tok = tok.strip()
+            if not tok:
+                continue
+            name, _, val = tok.partition("=")
+            name = name.upper()
+            if name == "SEED":
+                # only exact seeds are supported (like the fork); a
+                # nonzero SEED= reuses the -N warning path
+                args.N = args.N or int(val.split(",")[0])
+            elif name == "SEEDLEN":
+                if args.seed_len is None:
+                    args.seed_len = int(val)
+            elif name == "IVAL":
+                args.ival = args.ival or val
+            elif name == "ROUNDS":
+                if args.reseed is None:
+                    args.reseed = int(val)
+            elif name == "DPS":
+                if args.dps is None:
+                    args.dps = int(val)
+            elif name == "MMP":
+                if not args.mp:
+                    f = val.split(",")
+                    if f[0] == "C":  # constant penalty = equal max/min
+                        args.mp = f"{f[1]},{f[1]}"
+                    else:  # Q[,max[,min]]
+                        mx = f[1] if len(f) > 1 else "6"
+                        mn = f[2] if len(f) > 2 else "2"
+                        args.mp = f"{mx},{mn}"
+            elif name == "MA":
+                if args.ma is None:
+                    args.ma = int(val)
+            elif name == "NP":
+                args.np = int(val) if args.np == 1 else args.np
+            elif name == "RDG":
+                args.rdg = args.rdg or val
+            elif name == "RFG":
+                args.rfg = args.rfg or val
+            elif name == "MIN":
+                args.score_min = args.score_min or val
+            elif name == "NCEIL":
+                args.n_ceil = args.n_ceil or val
+            else:
+                print(f"warning: unknown policy token '{name}' ignored",
+                      file=sys.stderr)
 
     # ---- policy: preset then explicit overrides (presets.cpp order) ----
     if args.local:
@@ -269,6 +341,7 @@ def cmd_align(args):
         no_qname_trunc=args.sam_no_qname_trunc,
         omit_sec_seq=args.omit_sec_seq,
         append_comment=args.sam_append_comment,
+        refidx=args.refidx, fullref=args.fullref,
     )
     w.write_header()
     def _wopen(path, force=None):
@@ -702,6 +775,73 @@ def main(argv=None):
     a.add_argument("--dovetail", action="store_true")
     a.add_argument("--no-contain", action="store_true")
     a.add_argument("--no-overlap", action="store_true")
+    # -P/--policy: ';'-separated NAME=VAL overrides (parsePolicy tokens)
+    a.add_argument("-P", "--policy", action="append", default=None)
+    # output-naming behavior flags (sam.cpp printRefName / printHeader)
+    a.add_argument("--refidx", action="store_true",
+                   help="refer to reference sequences by 0-based index "
+                        "rather than name in RNAME/@SQ")
+    a.add_argument("--fullref", action="store_true",
+                   help="print the whole reference name (no whitespace "
+                        "truncation) in RNAME/@SQ")
+    # ---- long-option aliases from the reference's getopt table ----
+    _alias = a.add_argument
+    _alias("--sam-no-hd", "--sam-noHD", "--sam-nohead", "--sam-no-head",
+           "--no-HD", "--no-head", dest="no_hd", action="store_true")
+    _alias("--sam-no-sq", "--sam-noSQ", "--sam-nosq", "--no-SQ",
+           dest="no_sq", action="store_true")
+    _alias("--sam-RG", "--sam-rg", dest="rg", action="append")
+    _alias("--sam-rg-id", dest="rg_id")
+    _alias("--sam-omit-sec-seq", dest="omit_sec_seq", action="store_true")
+    _alias("--integer-quals", dest="int_quals", action="store_true")
+    _alias("--phred33-quals", dest="phred33", action="store_true")
+    # solexa1.3+ pipelines emit phred64 (qual.h sol 1.3 == phred64)
+    _alias("--phred64-quals", "--solexa1.3-quals", dest="phred64",
+           action="store_true")
+    _alias("--seedlen", dest="seed_len", type=int)
+    _alias("--seedival", dest="ival")
+    _alias("--seedmms", dest="N", type=int)
+    _alias("--seed-rounds", dest="reseed", type=int)
+    _alias("--min-score", dest="score_min")
+    _alias("--nondeterministic", dest="non_deterministic",
+           action="store_true")
+    _alias("--quals", dest="qualities")
+    _alias("--usage", action="help")
+    # --multiseed <mms>,<len>[,<ival fn>]: legacy combined seed spec
+    a.add_argument("--multiseed", default=None, help=argparse.SUPPRESS)
+    # ---- accepted-and-ignored: the reference's dormant/debug/internal
+    # knobs (descent params unused by its batched engine, cache sizing for
+    # the per-read cache we supersede, logging/sanity toggles); accepting
+    # them keeps existing bowtie2 command lines running ----
+    for _flag in ("--1mm-upfront", "--exact-upfront", "--no-exact-upfront",
+                  "--ungapped", "--no-ungapped", "--no-extend", "--sse8",
+                  "--no-cache", "--cache", "--mmsweep", "--read-times",
+                  "--mapq-extra", "--mapq-print-inputs", "--scan-narrowed",
+                  "--seed-summ", "--seed-summary", "--show-rand-seed",
+                  "--startverbose", "--sanity", "--tri", "--unpaired",
+                  "--454", "--ion-torrent", "--bwa-sw-like", "--filepar",
+                  "--arg-desc", "--pause", "--passthrough", "--hadoopout",
+                  "--no-dovetail", "--soft-clipped-unmapped-tlen"):
+        a.add_argument(_flag, action="store_true", help=argparse.SUPPRESS)
+    for _flag in ("--1mm-minlen", "--dp-fails", "--ug-fails", "--extends",
+                  "--dp-fail-streak", "--ee-fail-streak", "--ug-fail-streak",
+                  "--fail-streak", "--cachelim", "--cachesz",
+                  "--seed-cache-sz", "--local-seed-cache-sz", "--cp-ival",
+                  "--cp-min", "--desc-exp", "--desc-fmops", "--desc-kb",
+                  "--desc-landing", "--desc-prioritize", "--overhang",
+                  "--partition", "--reads-per-batch", "--thread-ceiling",
+                  "--tighten", "--snpphred", "--test-25"):
+        a.add_argument(_flag, type=int, help=argparse.SUPPRESS)
+    for _flag in ("--log-dp", "--log-dp-opp", "--orig", "--thread-piddir",
+                  "--wrapper", "--snpfrac", "--seed-off",
+                  "--sam-opt-config"):
+        a.add_argument(_flag, help=argparse.SUPPRESS)
+    # the fork itself warns-and-ignores these (bt2_search.cpp:1257-1272,
+    # 1351-1357); mirror its exact behavior in cmd_align
+    a.add_argument("--met-read", "--metrics-per-read", dest="met_read",
+                   action="store_true", help=argparse.SUPPRESS)
+    a.add_argument("--no-sse8", dest="no_sse8", action="store_true",
+                   help=argparse.SUPPRESS)
     a.set_defaults(fn=cmd_align)
 
     i = sub.add_parser("inspect", help="inspect index")

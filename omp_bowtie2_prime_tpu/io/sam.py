@@ -178,12 +178,18 @@ class SamWriter:
                  yf_ln_quirk=True, rg_id: str | None = None,
                  rg_fields: list | None = None, no_hd=False, no_sq=False,
                  xeq=False, no_qname_trunc=False, omit_sec_seq=False,
-                 append_comment=False):
+                 append_comment=False, refidx=False, fullref=False):
         self.out = out
         # SAM RNAME/@SQ truncate reference names at first whitespace
-        # (printRefName, sam.cpp)
-        self.refnames = [str(n).split()[0] if str(n).split() else str(n)
-                         for n in refnames]
+        # (printRefName, sam.cpp); --fullref keeps the whole line and
+        # --refidx replaces names with 0-based indexes
+        if refidx:
+            self.refnames = [str(i) for i in range(len(refnames))]
+        elif fullref:
+            self.refnames = [str(n) for n in refnames]
+        else:
+            self.refnames = [str(n).split()[0] if str(n).split() else str(n)
+                             for n in refnames]
         self.reflens = list(int(x) for x in reflens)
         self.yf_ln_quirk = yf_ln_quirk
         self.summary = AlnSummary()

@@ -655,3 +655,66 @@ def test_Q_quality_files_accepted_and_ignored(genome, tmp_path, capsys):
     (rec,) = [l.split("\t") for l in out.read_text().splitlines()
               if not l.startswith("@")]
     assert rec[3] == "801" and rec[10] == "I" * 80
+
+
+def test_policy_string_overrides(genome, tmp_path):
+    """-P/--policy NAME=VAL tokens (SeedAlignmentPolicy::parsePolicy):
+    MMP=C,3 makes a high-qual mismatch cost 3; an explicit --mp beats the
+    policy token."""
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    seq = list(dna.decode(text[1000:1080]))
+    seq[40] = "ACGT"[("ACGT".index(seq[40]) + 1) % 4]
+    make_fastq(str(fq), [("p0", "".join(seq), "I" * 80)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "-P", "MMP=C,3;SEEDLEN=20"])
+    (rec,) = [l.split("\t") for l in out.read_text().splitlines()
+              if not l.startswith("@")]
+    assert "AS:i:-3" in rec
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--mp", "5,5", "-P", "MMP=C,3"])
+    (rec,) = [l.split("\t") for l in out.read_text().splitlines()
+              if not l.startswith("@")]
+    assert "AS:i:-5" in rec
+
+
+def test_multiseed_expands_to_policy(genome, tmp_path):
+    """--multiseed mms,len,F,a,b == SEED=..;SEEDLEN=..;IVAL=F,a,b
+    (bt2_search.cpp:1455-1474)."""
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [("m0", dna.decode(text[3000:3080]), "I" * 80)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--multiseed", "0,20,S,1,0.75"])
+    recs = [l for l in out.read_text().splitlines() if not l.startswith("@")]
+    assert len(recs) == 1 and "\t3001\t" in recs[0]
+
+
+def test_refidx_and_fullref(genome, tmp_path):
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [("r0", dna.decode(text[100:180]), "I" * 80)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out), "--refidx"])
+    txt = out.read_text()
+    assert "@SQ\tSN:0\t" in txt
+    (rec,) = [l.split("\t") for l in txt.splitlines() if not l.startswith("@")]
+    assert rec[2] == "0"
+
+
+def test_long_option_aliases(genome, tmp_path):
+    """The reference getopt table's alias spellings all resolve."""
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [("a0", dna.decode(text[100:180]), "I" * 80)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "--sam-nohead", "--seedlen", "20", "--min-score", "L,-0.6,-0.6",
+             "--integer-quals" if False else "--nondeterministic",
+             "--ungapped", "--no-cache", "--tighten", "2",
+             "--reads-per-batch", "16", "--wrapper", "basic-0"])
+    txt = out.read_text()
+    assert "@HD" not in txt and "@PG" not in txt
+    assert any("\t101\t" in l for l in txt.splitlines())
