@@ -170,6 +170,13 @@ def cmd_align(args):
     if args.no_sse8:
         # bt2_search.cpp:1351-1357 (no ENABLE_I16 in the default build)
         print("WARNING: no-sse8 not supported", file=sys.stderr)
+    if args.sample:
+        # bt2_search.cpp:1291-1293
+        print("WARNING: sampleFrac not supported", file=sys.stderr)
+    if args.sra_acc:
+        print("WARNING: this build does not support SRA accessions "
+              "(reference: USE_SRA builds only)", file=sys.stderr)
+        sys.exit(1)
     if args.multiseed:
         # --multiseed mms,len[,F[,a[,b]]] expands to a policy string
         # (bt2_search.cpp:1455-1474)
@@ -187,7 +194,22 @@ def cmd_align(args):
 
     fm = _load_index(args.index)
 
-    # -P/--policy: ';'-separated NAME=VAL policy-string overrides
+    # -P/--preset <name>: preset by name; the last one wins (applyPreset
+    # composition, bt2_search.cpp:1632-1638)
+    for nm in args.preset_by_name or []:
+        base = nm[:-6] if nm.endswith("-local") else nm
+        if base not in PRESETS:
+            print(f"Unknown preset: {nm}", file=sys.stderr)
+            sys.exit(1)
+        if nm.endswith("-local"):
+            args.preset_local = nm
+        else:
+            args.preset = nm
+    if getattr(args, "preset_local", None) and not args.local:
+        args.local = True
+        args.preset = args.preset_local
+
+    # --policy: ';'-separated NAME=VAL policy-string overrides
     # (SeedAlignmentPolicy::parsePolicy token set, aligner_seed_policy.cpp:
     # MA MMP NP RDG RFG MIN NCEIL SEED SEEDLEN IVAL ROUNDS DPS). Applied
     # over the preset; an explicit flag for the same knob wins.
@@ -775,8 +797,15 @@ def main(argv=None):
     a.add_argument("--dovetail", action="store_true")
     a.add_argument("--no-contain", action="store_true")
     a.add_argument("--no-overlap", action="store_true")
-    # -P/--policy: ';'-separated NAME=VAL overrides (parsePolicy tokens)
-    a.add_argument("-P", "--policy", action="append", default=None)
+    # -P/--preset <name>: apply a preset by name (bt2_search.cpp:1406,
+    # applyPreset; the last one given wins, matching the reference's
+    # prepend-then-override composition at :1632-1638)
+    a.add_argument("-P", "--preset", dest="preset_by_name",
+                   action="append", default=None)
+    # --policy: ';'-separated NAME=VAL overrides — the raw parsePolicy
+    # token surface (internally what --multiseed/--mp/... expand to);
+    # exposed directly as an extension
+    a.add_argument("--policy", action="append", default=None)
     # output-naming behavior flags (sam.cpp printRefName / printHeader)
     a.add_argument("--refidx", action="store_true",
                    help="refer to reference sequences by 0-based index "
@@ -807,6 +836,21 @@ def main(argv=None):
            action="store_true")
     _alias("--quals", dest="qualities")
     _alias("--usage", action="help")
+    # --12: bowtie's tab-delimited mate format (name\tseq1\tqual1\tseq2\t
+    # qual2 per line) == tab5
+    _alias("--12", dest="tab5")
+    _alias("--RG", dest="rg", action="append")
+    _alias("--output", dest="sam")  # legacy name for -S
+    # positive forms of the paired-geometry defaults (already the default)
+    a.add_argument("--contain", action="store_true", help=argparse.SUPPRESS)
+    a.add_argument("--overlap", action="store_true", help=argparse.SUPPRESS)
+    # --shmem: SysV shared-memory index sharing; the analog here is one
+    # device copy per process + the persistent compile cache
+    a.add_argument("--shmem", action="store_true", help=argparse.SUPPRESS)
+    # the fork warns-and-ignores --sample (bt2_search.cpp:1291-1293);
+    # SRA accessions need its USE_SRA build
+    a.add_argument("--sample", default=None, help=argparse.SUPPRESS)
+    a.add_argument("--sra-acc", default=None, help=argparse.SUPPRESS)
     # --multiseed <mms>,<len>[,<ival fn>]: legacy combined seed spec
     a.add_argument("--multiseed", default=None, help=argparse.SUPPRESS)
     # ---- accepted-and-ignored: the reference's dormant/debug/internal

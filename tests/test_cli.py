@@ -658,7 +658,8 @@ def test_Q_quality_files_accepted_and_ignored(genome, tmp_path, capsys):
 
 
 def test_policy_string_overrides(genome, tmp_path):
-    """-P/--policy NAME=VAL tokens (SeedAlignmentPolicy::parsePolicy):
+    """--policy NAME=VAL tokens (SeedAlignmentPolicy::parsePolicy;
+    -P itself takes a preset NAME like the reference, applyPreset):
     MMP=C,3 makes a high-qual mismatch cost 3; an explicit --mp beats the
     policy token."""
     d, text, idx = genome
@@ -668,12 +669,12 @@ def test_policy_string_overrides(genome, tmp_path):
     make_fastq(str(fq), [("p0", "".join(seq), "I" * 80)])
     out = tmp_path / "o.sam"
     run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
-             "-P", "MMP=C,3;SEEDLEN=20"])
+             "--policy", "MMP=C,3;SEEDLEN=20"])
     (rec,) = [l.split("\t") for l in out.read_text().splitlines()
               if not l.startswith("@")]
     assert "AS:i:-3" in rec
     run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
-             "--mp", "5,5", "-P", "MMP=C,3"])
+             "--mp", "5,5", "--policy", "MMP=C,3"])
     (rec,) = [l.split("\t") for l in out.read_text().splitlines()
               if not l.startswith("@")]
     assert "AS:i:-5" in rec
@@ -718,3 +719,18 @@ def test_long_option_aliases(genome, tmp_path):
     txt = out.read_text()
     assert "@HD" not in txt and "@PG" not in txt
     assert any("\t101\t" in l for l in txt.splitlines())
+
+
+def test_P_takes_preset_names(genome, tmp_path):
+    """-P/--preset <name> applies a preset by name (bt2_search.cpp:1406,
+    applyPreset); unknown names error."""
+    d, text, idx = genome
+    fq = tmp_path / "r.fq"
+    make_fastq(str(fq), [("pp0", dna.decode(text[2000:2080]), "I" * 80)])
+    out = tmp_path / "o.sam"
+    run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+             "-P", "very-sensitive"])
+    assert any("\t2001\t" in l for l in out.read_text().splitlines())
+    with pytest.raises(SystemExit):
+        run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
+                 "-P", "MMP=C,3"])
