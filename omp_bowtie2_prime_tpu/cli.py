@@ -48,6 +48,13 @@ def _load_index(path: str):
 def cmd_build(args):
     from .index.builder import build_index
 
+    if getattr(args, "ntoa", False):
+        # --ntoa rewrites ambiguous reference chars to A (ref_read.h) and
+        # would change index content; unsupported rather than silently
+        # diverging
+        print("WARNING: --ntoa not supported (ambiguous characters are "
+              "excluded from the index, the bowtie2 default)",
+              file=sys.stderr)
     t0 = time.time()
     if args.bt2:
         # emit a bowtie2-compatible .bt2 index set instead of .npz
@@ -647,6 +654,19 @@ def main(argv=None):
                    help=argparse.SUPPRESS)
     b.add_argument("-v", "--verbose", action="store_true",
                    help=argparse.SUPPRESS)
+    # remaining bowtie2-build table entries (endianness/layout knobs of
+    # its on-disk side format, debug switches): accepted, no analog in
+    # the blocked .npz layout; --ntoa warns (it changes index content)
+    for _flag in ("--big", "--little", "--entiresa", "--noblocks",
+                  "--reverse-each", "--sa", "--justref", "--wrapper-basic",
+                  "-3"):
+        b.add_argument(_flag, action="store_true", help=argparse.SUPPRESS)
+    b.add_argument("--bmaxmultsqrt", type=int, help=argparse.SUPPRESS)
+    b.add_argument("--linerate", type=int, help=argparse.SUPPRESS)
+    b.add_argument("--linesperside", type=int, help=argparse.SUPPRESS)
+    b.add_argument("--wrapper", help=argparse.SUPPRESS)
+    b.add_argument("--ntoa", action="store_true", help=argparse.SUPPRESS)
+    b.add_argument("--usage", action="help")
     b.set_defaults(fn=cmd_build)
 
     a = sub.add_parser("align", help="align reads, emit SAM")
