@@ -180,6 +180,20 @@ def cmd_align(args):
     if args.sample:
         # bt2_search.cpp:1291-1293
         print("WARNING: sampleFrac not supported", file=sys.stderr)
+    # the fork's other warn-and-ignore cases, with its exact text
+    # (bt2_search.cpp:1036,1060,1095,1144,1308). Where the fork warns on
+    # capabilities we DO implement (-a, -u, -s, --local, --met*), ours
+    # work instead — documented capability supersets.
+    for flagval, msg in (
+        (getattr(args, "bwa_sw_like", False), "BWA_SW_LIKE"),
+        (getattr(args, "seed_summ", False)
+         or getattr(args, "seed_summary", False), "seedSumm"),
+        (getattr(args, "cache", False), "USE_CACHE"),
+        (getattr(args, "thread_piddir", None), "THREAD_PIDDIR"),
+        (getattr(args, "read_times", False), "Read_Times"),
+    ):
+        if flagval:
+            print(f"WARNING: {msg} not supported", file=sys.stderr)
     if args.sra_acc:
         print("WARNING: this build does not support SRA accessions "
               "(reference: USE_SRA builds only)", file=sys.stderr)
