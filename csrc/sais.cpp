@@ -15,6 +15,11 @@
 
 namespace {
 
+// NOTE: MADV_HUGEPAGE-backed scratch buffers were tried here and REVERTED:
+// with THP defrag=madvise on this host, huge-page faults trigger
+// synchronous compaction and a fresh-process 200M sort measured 59.6s vs
+// 41.3s with plain vectors. 4K pages win under real memory fragmentation.
+
 // The induce loops are bound by random reads at SA[i]-1: fusing the
 // character and the S/L type bit into ONE array (st[i] = s[i]<<1 | is_s)
 // halves the cache-miss count per step vs separate s[]/is_s[] reads.
