@@ -31,7 +31,34 @@ def supervise():
     budget = float(os.environ.get("BT2TPU_BENCH_BUDGET", 2100))  # 35 min
     deadline = time.time() + budget
     attempt = 0
+
+    def relay_listening() -> bool:
+        """The device relay (/root/.tpu_init.py) can be gone entirely —
+        connection REFUSED on its ports, distinct from a slow window. A
+        child would hang 900s at device init; probe first and sleep
+        instead (the relay may come back within the budget)."""
+        import socket
+
+        ips = os.environ.get("PALLAS_AXON_POOL_IPS")
+        if not ips:
+            return True  # not routed through the relay (e.g. CPU runs)
+        s = socket.socket()
+        s.settimeout(3)
+        try:
+            s.connect((ips.split(",")[0], 8082))
+            return True
+        except OSError:
+            return False
+        finally:
+            s.close()
+
     while time.time() < deadline:
+        if not relay_listening():
+            sys.stderr.write(
+                "bench: device relay not listening (connection refused); "
+                "sleeping 60s\n")
+            time.sleep(min(60.0, max(1.0, deadline - time.time())))
+            continue
         attempt += 1
         child_to = min(900.0, max(min(180.0, budget), deadline - time.time()))
         env = dict(os.environ, BT2TPU_BENCH_CHILD="1")
