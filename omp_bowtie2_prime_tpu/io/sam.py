@@ -298,13 +298,19 @@ class SamWriter:
         # slower and the SAM writer shares the host's single core with the
         # align phases in the pipeline
         xs = f"\tXS:i:{secbest}" if secbest is not None else ""
+        row = getattr(stats, "_row", None)
+        if row is not None:  # LazyStats: one row fetch, not 5 lookups
+            nm, xm, xo, xg, xn = row[0], row[1], row[2], row[3], row[4]
+        else:
+            nm, xm, xo, xg, xn = (stats["nm"], stats["xm"], stats["xo"],
+                                  stats["xg"], stats["xn"])
         self.out.write(
             f"{self.qname(read.name)}\t{fl}\t{refname}\t{refoff0 + 1}"
             f"\t{mapq}\t{cigar_str}\t*\t0\t0"
             f"\t{'*' if omit else seq_s}"
             f"\t{'*' if omit else self.qual_str(qual)}"
-            f"\tAS:i:{score}{xs}\tXN:i:{stats['xn']}\tXM:i:{stats['xm']}"
-            f"\tXO:i:{stats['xo']}\tXG:i:{stats['xg']}\tNM:i:{stats['nm']}"
+            f"\tAS:i:{score}{xs}\tXN:i:{xn}\tXM:i:{xm}"
+            f"\tXO:i:{xo}\tXG:i:{xg}\tNM:i:{nm}"
             f"\tMD:Z:{stats['md']}\tYT:Z:UU{self._tail}"
             f"{self._rec_suffix(read)}\n"
         )
