@@ -22,19 +22,41 @@ import pickle
 import numpy as np
 from flax import struct
 
-OCC_BLOCK = 128  # BWT rows per occ checkpoint block
+OCC_BLOCK = 128  # BWT rows per occ checkpoint block (HOST format)
 WORD_BASES = 16  # 2-bit bases per uint32 word
 WORDS_PER_BLOCK = OCC_BLOCK // WORD_BASES  # 8
 MARK_WORDS_PER_BLOCK = OCC_BLOCK // 32  # 4
 
-# Interleaved device block record (the TPU analog of the reference's
-# "sides", bt2_idx.h:112-279): everything one rank/LF/walk step needs in a
-# single gathered row of BLOCK_U32 uint32 words.
+# Host-format interleaved block record (kept for .npz compatibility and
+# host-side tooling; the DEVICE layout below is wider).
 BLK_BWT = 0  # [0:8)  2-bit BWT words
 BLK_OCC = WORDS_PER_BLOCK  # [8:12) absolute occ counts at block start
 BLK_MARK = BLK_OCC + 4  # [12:16) SA-mark bitmap words
 BLK_MARKCP = BLK_MARK + MARK_WORDS_PER_BLOCK  # [16] marked-row rank at start
 BLOCK_U32 = BLK_MARKCP + 1  # 17
+
+# DEVICE block record: one full 128-lane uint32 tile row per 1024 BWT
+# rows.  XLA's TPU gather has a fast path for rows that are exactly one
+# (8, 128) tile lane-width wide: measured on v5e, a 64K-row gather from
+# [N, 128]u32 runs ~3x faster than from [N, 17]u32 while moving 7.5x the
+# bytes (scripts/gather_bench*.py).  Packing 1024 rows per record keeps
+# bytes/BWT-row the same as the old 17-word/128-row record (0.5 B/row)
+# while every rank / LF / group-walk step becomes ONE tile-aligned
+# gather.  This is the TPU analog of the reference sizing its "sides" to
+# cache lines (EbwtParams, bt2_idx.h:112-279).
+DEV_OCC_BLOCK = 1024  # BWT rows per device block record
+DEV_BWT_WORDS = DEV_OCC_BLOCK // WORD_BASES  # 64
+DEV_MARK_WORDS = DEV_OCC_BLOCK // 32  # 32
+DEV_BWT = 0  # [0:64)   2-bit BWT words
+DEV_OCC = DEV_BWT_WORDS  # [64:68)  absolute occ counts at block start
+DEV_MARK = DEV_OCC + 4  # [68:100) SA-mark bitmap words
+DEV_MARKCP = DEV_MARK + DEV_MARK_WORDS  # [100] marked-row rank at start
+DEV_BLOCK_U32 = 128  # padded to one full tile row
+# ftab: top/bot interleaved per 128-lane row — row q//64 holds top(q) at
+# lane q%64 and bot(q) at lane 64 + q%64 (one gather serves both)
+DEV_FTAB_PER_ROW = 64
+# SA sample: plain [ceil(nmark/128), 128] uint32 rows
+DEV_SA_PER_ROW = 128
 
 
 @dataclasses.dataclass
@@ -97,13 +119,14 @@ class DeviceIndex:
     the 64-bit path automatically.
     """
 
-    blocks: object  # [nblocks, BLOCK_U32] uint32 interleaved block records
+    blocks: object  # [nblocks, DEV_BLOCK_U32] uint32 1024-row tile records
     fchr: object  # [5] row dtype (int32, or int64 for >2^31-row genomes)
-    # big lookup tables are stored 8-wide: XLA's TPU scalar (1-elt) gather
-    # is pathologically slow, a row gather + compare-select is fast
-    ftab_top: object  # [4^k/8, 8] int32
-    ftab_bot: object  # [4^k/8, 8] int32
-    sa_sample: object  # [ceil(nmarked/8), 8] int32
+    # big lookup tables are stored as full 128-lane uint32 tile rows (the
+    # XLA TPU gather fast path; see DEV_* layout notes above) and
+    # compare-selected down to the wanted lane — scalar gathers are
+    # pathologically slow on TPU
+    ftab: object  # [ceil(4^k/64), 128] uint32: top | bot interleaved
+    sa_sample: object  # [ceil(nmarked/128), 128] uint32
     ref_words: object  # [nrefwords] uint32
     zoff: object  # [] int32
     nrows: object  # [] int32
@@ -133,33 +156,48 @@ class DeviceIndex:
             # int64 device arithmetic requires x64 (off by default in jax)
             jax.config.update("jax_enable_x64", True)
         rowdt = jnp.int64 if large else jnp.int32
-        nblocks = fm.nblocks
-        blocks = np.zeros((nblocks, BLOCK_U32), dtype=np.uint32)
-        blocks[:, BLK_BWT : BLK_BWT + WORDS_PER_BLOCK] = fm.bwt_words.reshape(
-            nblocks, WORDS_PER_BLOCK
+        # re-aggregate the host's 128-row blocks into 1024-row device
+        # tile records (8 host blocks per device block; checkpoints at
+        # the device block start are the host cp of its first sub-block)
+        nbh = fm.nblocks
+        nbd = (nbh + 7) // 8
+        blocks = np.zeros((nbd, DEV_BLOCK_U32), dtype=np.uint32)
+        bw = np.zeros(nbd * DEV_BWT_WORDS, np.uint32)
+        bw[: nbh * WORDS_PER_BLOCK] = fm.bwt_words
+        blocks[:, DEV_BWT : DEV_BWT + DEV_BWT_WORDS] = bw.reshape(
+            nbd, DEV_BWT_WORDS
         )
-        blocks[:, BLK_OCC : BLK_OCC + 4] = fm.occ_cp.astype(np.uint32)
-        blocks[:, BLK_MARK : BLK_MARK + MARK_WORDS_PER_BLOCK] = (
-            fm.mark_words.reshape(nblocks, MARK_WORDS_PER_BLOCK)
+        blocks[:, DEV_OCC : DEV_OCC + 4] = fm.occ_cp[::8].astype(np.uint32)
+        mw = np.zeros(nbd * DEV_MARK_WORDS, np.uint32)
+        mw[: nbh * MARK_WORDS_PER_BLOCK] = fm.mark_words
+        blocks[:, DEV_MARK : DEV_MARK + DEV_MARK_WORDS] = mw.reshape(
+            nbd, DEV_MARK_WORDS
         )
-        blocks[:, BLK_MARKCP] = fm.mark_cp.astype(np.uint32)
+        blocks[:, DEV_MARKCP] = fm.mark_cp[::8].astype(np.uint32)
 
         import numpy as _np
 
-        npdt = _np.int64 if rowdt == jnp.int64 else _np.int32
-
-        def wide8(a):
-            n8 = (len(a) + 7) // 8 * 8
-            out = _np.zeros(n8, npdt)
+        def wide128(a):
+            n = (len(a) + DEV_SA_PER_ROW - 1) // DEV_SA_PER_ROW
+            out = _np.zeros(n * DEV_SA_PER_ROW, _np.uint32)
             out[: len(a)] = a
-            return out.reshape(-1, 8)
+            return out.reshape(-1, DEV_SA_PER_ROW)
+
+        F = len(fm.ftab_top)
+        nfr = (F + DEV_FTAB_PER_ROW - 1) // DEV_FTAB_PER_ROW
+        ftab = _np.zeros((nfr, DEV_BLOCK_U32), _np.uint32)
+        top = _np.zeros(nfr * DEV_FTAB_PER_ROW, _np.uint32)
+        top[:F] = fm.ftab_top
+        bot = _np.zeros(nfr * DEV_FTAB_PER_ROW, _np.uint32)
+        bot[:F] = fm.ftab_bot
+        ftab[:, :DEV_FTAB_PER_ROW] = top.reshape(nfr, DEV_FTAB_PER_ROW)
+        ftab[:, DEV_FTAB_PER_ROW:] = bot.reshape(nfr, DEV_FTAB_PER_ROW)
 
         return cls(
             blocks=jnp.asarray(blocks),
             fchr=jnp.asarray(fm.fchr, dtype=rowdt),
-            ftab_top=jnp.asarray(wide8(fm.ftab_top)),
-            ftab_bot=jnp.asarray(wide8(fm.ftab_bot)),
-            sa_sample=jnp.asarray(wide8(fm.sa_sample)),
+            ftab=jnp.asarray(ftab),
+            sa_sample=jnp.asarray(wide128(fm.sa_sample)),
             # +128 zero words of tail padding so the DP window gather's
             # per-row word slices (ops/sw.py gather_ref_windows) never
             # clamp backward at the text end

@@ -264,6 +264,13 @@ def _put_factory(placer):
 P_CAP = 32768  # fixed on-device problem-table rows (fused rank/frame)
 
 
+def _bt_gap_cap(B: int) -> int:
+    """Side-buffer rows for gapped-alignment op strings per DP dispatch
+    of B problems (indel alignments are a small minority; overflow
+    triggers a full-size retry of the chunk)."""
+    return max(64, B // 16)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap"),
@@ -423,6 +430,49 @@ class TPUAligner:
 
         dp_fn = _local_bt if o.local else sw.sw_e2e_backtrace_batch
         self._hdr_w = 5 if o.local else 3
+
+        def _pack_bt_out(best, bestcol, stc, extra, opsp, cap):
+            # Compacted DP result: alignments without indels (the vast
+            # majority) ship NO op string — their op row is `m_count`
+            # M's, synthesized on host; only gapped rows scatter their
+            # packed ops into a small side buffer.  The device->host
+            # link runs ~20 MB/s through the relay, so shrinking the
+            # per-dispatch payload from [B, hdr+96] to [B, hdr+1] +
+            # [B/4, 96] is a direct wall-clock win.
+            # Layout (flat int32): hdr_ext [B, hw+1] ++ side [cap, P4/4]
+            # ++ [gap_count]; hdr_ext[:, -1] = opsinfo (>= 0: pure-M
+            # count; < 0: -(side_slot + 1)).  gap_count > cap means the
+            # side buffer overflowed (caller retries with the full
+            # layout).
+            B, P = opsp.shape
+            P4 = -(-P // 4) * 4
+            # opsp bytes hold FOUR 2-bit op fields each (pack_ops2): a
+            # field is I/D iff its high bit is set (codes 2/3), M iff
+            # low set + high clear (code 1)
+            hi = opsp & jnp.uint8(0xAA)
+            gap = jnp.any(hi != 0, axis=1)
+            m_bits = opsp & jnp.uint8(0x55) & jnp.bitwise_not(hi >> 1)
+            mcnt = jax.lax.population_count(m_bits).astype(
+                jnp.int32).sum(axis=1)
+            gidx = jnp.cumsum(gap.astype(jnp.int32)) - gap.astype(jnp.int32)
+            opsinfo = jnp.where(gap, -(gidx + 1), mcnt)
+            w = jnp.pad(opsp, ((0, 0), (0, P4 - P)))
+            w = jax.lax.bitcast_convert_type(
+                w.reshape(B, P4 // 4, 4), jnp.int32
+            )
+            slot = jnp.where(gap, jnp.minimum(gidx, cap), cap)
+            side = jnp.zeros((cap + 1, P4 // 4), jnp.int32).at[slot].set(w)
+            hdr = jnp.stack(
+                [best.astype(jnp.int32), bestcol.astype(jnp.int32),
+                 stc.astype(jnp.int32)]
+                + [x.astype(jnp.int32) for x in extra]
+                + [opsinfo], axis=1,
+            )
+            return jnp.concatenate([
+                hdr.reshape(-1), side[:cap].reshape(-1),
+                jnp.sum(gap.astype(jnp.int32))[None],
+            ])
+
         def _bt_packed(fn):
             # ONE packed input put and ONE packed result copy per DP
             # dispatch (tunnel round-trips + relay bandwidth dominate):
@@ -432,9 +482,7 @@ class TPUAligner:
             # of shipping [B, C] bytes over the link every dispatch.
             # host_refs=True keeps the old inline layout (big [B, 2L+C])
             # for windows wider than the text's tail padding.
-            # out int32 [B, 0]=best, [,1]=bestcol, [,2]=startcol,
-            # [,3:]=2-bit op words (4 uint8 per int32)
-            def wrapped(big, small, refw, p, L, C, host_refs):
+            def wrapped(big, small, refw, p, L, C, host_refs, cap):
                 reads = jax.lax.bitcast_convert_type(big[:, :L], jnp.int8)
                 pens = big[:, L : 2 * L]
                 if host_refs:
@@ -449,20 +497,9 @@ class TPUAligner:
                     reads, pens, small[:, 0].astype(jnp.int32), refs,
                     small[:, 1].astype(jnp.int32), p
                 )
-                B, P = opsp.shape
-                P4 = -(-P // 4) * 4
-                w = jnp.pad(opsp, ((0, 0), (0, P4 - P)))
-                w = jax.lax.bitcast_convert_type(
-                    w.reshape(B, P4 // 4, 4), jnp.int32
-                )
-                hdr = jnp.stack(
-                    [best.astype(jnp.int32), bestcol.astype(jnp.int32),
-                     stc.astype(jnp.int32)]
-                    + [x.astype(jnp.int32) for x in extra], axis=1,
-                )
-                return jnp.concatenate([hdr, w], axis=1)
+                return _pack_bt_out(best, bestcol, stc, extra, opsp, cap)
 
-            return jax.jit(wrapped, static_argnums=(3, 4, 5, 6))
+            return jax.jit(wrapped, static_argnums=(3, 4, 5, 6, 7))
 
         def _bt_packed_mat(fn):
             # index-only DP dispatch: the oriented read/pen matrices are
@@ -473,7 +510,7 @@ class TPUAligner:
             # than the inline layout; every later dispatch (round 2,
             # escalation, irregular classes, backtrace re-runs) reuses
             # the same resident matrices for free.
-            def wrapped(small, matr, matp, refw, p, L, C):
+            def wrapped(small, matr, matp, refw, p, L, C, cap):
                 rows = small[:, 0].astype(jnp.int32)
                 reads_w = matr[rows]
                 pens_w = matp[rows]
@@ -492,20 +529,9 @@ class TPUAligner:
                     reads, pens, small[:, 1].astype(jnp.int32), refs,
                     small[:, 2].astype(jnp.int32), p
                 )
-                B, P = opsp.shape
-                P4 = -(-P // 4) * 4
-                w = jnp.pad(opsp, ((0, 0), (0, P4 - P)))
-                w = jax.lax.bitcast_convert_type(
-                    w.reshape(B, P4 // 4, 4), jnp.int32
-                )
-                hdr = jnp.stack(
-                    [best.astype(jnp.int32), bestcol.astype(jnp.int32),
-                     stc.astype(jnp.int32)]
-                    + [x.astype(jnp.int32) for x in extra], axis=1,
-                )
-                return jnp.concatenate([hdr, w], axis=1)
+                return _pack_bt_out(best, bestcol, stc, extra, opsp, cap)
 
-            return jax.jit(wrapped, static_argnums=(4, 5, 6))
+            return jax.jit(wrapped, static_argnums=(4, 5, 6, 7))
 
         self._sw_bt_xla = _bt_packed(dp_fn)
         self._sw_bt_xla_mat = _bt_packed_mat(dp_fn)
@@ -817,9 +843,11 @@ class TPUAligner:
         fw_p[:S_act] = m_fw
         off_p = np.zeros(S, np.int32)
         off_p[:S_act] = m_off
+        with self.timers.phase("searchResolve.put"):
+            d_seeds = self._put_chunked(seeds3)
+            d_valid = self._put_chunked(valid2)
         packed = _rank_frame_mega(
-            self.idx, self._put_chunked(seeds3),
-            self._put_chunked(valid2),
+            self.idx, d_seeds, d_valid,
             self._put(ri_p), self._put(fw_p), self._put(off_p),
             self._put(lens_pad), self._put(mgn_pad),
             self._put(read_ok_pad),
@@ -829,7 +857,8 @@ class TPUAligner:
             max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
             p_cap=P_CAP,
         )
-        a = np.asarray(packed)
+        with self.timers.phase("searchResolve.wait"):
+            a = np.asarray(packed)
         count, ov = int(a[4 * P_CAP]), int(a[4 * P_CAP + 1])
         if ov or count > P_CAP:
             return None
@@ -962,28 +991,57 @@ class TPUAligner:
         if use_mat:
             bt_fn = self._sw_bt_fn_mat if pallas else self._sw_bt_xla_mat
             matr, matp = self._dev_mat
-            for lo in range(0, n, dp_batch):
-                hi = min(lo + dp_batch, n)
-                small = self._dp_chunk_mat(
-                    packed, lo, hi, self._dp_quant(hi - lo)
-                )
-                futs.append((lo, hi, _prefetch(bt_fn(
-                    self._put(small), matr, matp, self.idx.ref_words,
-                    self.swp, L, C,
-                ))))
+            with self.timers.phase("dp.put"):
+                for lo in range(0, n, dp_batch):
+                    hi = min(lo + dp_batch, n)
+                    B = self._dp_quant(hi - lo)
+                    small = self._dp_chunk_mat(packed, lo, hi, B)
+                    d_small = self._put(small)
+                    args = (d_small, matr, matp, self.idx.ref_words,
+                            self.swp, L, C)
+                    futs.append((lo, hi, B, _bt_gap_cap(B),
+                                 _prefetch(bt_fn(*args, _bt_gap_cap(B))),
+                                 lambda a=args, b=B: bt_fn(*a, b)))
             return n, futs
         bt_fn = self._sw_bt_fn if pallas else self._sw_bt_xla
         host_refs = packed[3] is not None
-        for lo in range(0, n, dp_batch):
-            hi = min(lo + dp_batch, n)
-            big, small = self._dp_chunk(
-                packed, lo, hi, self._dp_quant(hi - lo)
-            )
-            futs.append((lo, hi, _prefetch(bt_fn(
-                self._put(big), self._put(small), self.idx.ref_words,
-                self.swp, L, C, host_refs,
-            ))))
+        with self.timers.phase("dp.put"):
+            for lo in range(0, n, dp_batch):
+                hi = min(lo + dp_batch, n)
+                B = self._dp_quant(hi - lo)
+                big, small = self._dp_chunk(packed, lo, hi, B)
+                args = (self._put(big), self._put(small),
+                        self.idx.ref_words, self.swp, L, C, host_refs)
+                futs.append((lo, hi, B, _bt_gap_cap(B),
+                             _prefetch(bt_fn(*args, _bt_gap_cap(B))),
+                             lambda a=args, b=B: bt_fn(*a, b)))
         return n, futs
+
+    def _parse_bt_flat(self, a, B, m, cap, retry):
+        """Parse one flat compacted DP result (see _pack_bt_out).
+        Returns (hdr [m, hw+1] int32 view, ops list of length m — int
+        M-count for gapless rows, uint8 op array for gapped ones)."""
+        hw = self._hdr_w
+        he = hw + 1
+        count = int(a[-1])
+        if count > cap and retry is not None:
+            # side-buffer overflow (indel-heavy chunk): full-size retry
+            a = np.asarray(retry())
+            cap = B
+        hdr = a[: B * he].reshape(B, he)
+        opsinfo = hdr[:m, hw]
+        ops: list = opsinfo.tolist()
+        gi = np.flatnonzero(opsinfo < 0)
+        if len(gi):
+            nw = (len(a) - 1 - B * he) // cap
+            side = a[B * he : B * he + cap * nw].reshape(cap, nw)
+            slots = -opsinfo[gi] - 1
+            ops_np = sw.unpack_ops2(
+                np.ascontiguousarray(side[slots]).view(np.uint8)
+            )
+            for k, i in enumerate(gi.tolist()):
+                ops[i] = ops_np[k]
+        return hdr, ops
 
     def _collect_dp_bt(self, state):
         n, futs = state
@@ -998,20 +1056,19 @@ class TPUAligner:
             (np.zeros(n, np.int32), np.zeros(n, np.int32))
             if hw == 5 else None
         )
-        for lo, hi, res in futs:
-            a = np.asarray(res)  # [B, hdr_w + opwords] int32 (_bt_packed)
+        for lo, hi, B, cap, res, retry in futs:
+            with self.timers.phase("dp.wait"):
+                a = np.asarray(res)  # flat int32 (_pack_bt_out)
             m = hi - lo
-            best[lo:hi] = a[:m, 0]
-            bestcol[lo:hi] = a[:m, 1]
-            startcols[lo:hi] = a[:m, 2]
-            if rows is not None:
-                rows[0][lo:hi] = a[:m, 3]  # bestrow (trailing clip bound)
-                rows[1][lo:hi] = a[:m, 4]  # startrow (leading clip)
-            ops_np = sw.unpack_ops2(
-                np.ascontiguousarray(a[:m, hw:]).view(np.uint8)
-            )
-            for k in range(m):
-                all_ops[lo + k] = ops_np[k]
+            with self.timers.phase("dp.unpack"):
+                hdr, ops = self._parse_bt_flat(a, B, m, cap, retry)
+                best[lo:hi] = hdr[:m, 0]
+                bestcol[lo:hi] = hdr[:m, 1]
+                startcols[lo:hi] = hdr[:m, 2]
+                if rows is not None:
+                    rows[0][lo:hi] = hdr[:m, 3]  # bestrow (trail clip)
+                    rows[1][lo:hi] = hdr[:m, 4]  # startrow (lead clip)
+                all_ops[lo:hi] = ops
         return best, bestcol, all_ops, startcols, rows
 
     def _run_dp_bt(self, problems, cols: int | None = None,
@@ -1033,7 +1090,8 @@ class TPUAligner:
         2572-2584)."""
         n = len(reads)
         self.metrics.add(reads=n)
-        self.build_read_matrices(reads)
+        with self.timers.phase("buildMatrices"):
+            self.build_read_matrices(reads)
         results = [AlnResult(status="unaligned") for _ in range(n)]
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
         minscs = self.min_scores(reads)
@@ -1515,6 +1573,7 @@ class TPUAligner:
         # first-valid-occurrence order (the insertion-order semantics of
         # the old per-problem loop, which downstream tie-break selection
         # depends on)
+        _t_cc = self.timers.phase("collectCands"); _t_cc.__enter__()
         cands = [{} for _ in range(n)]
         vi = np.flatnonzero((best >= minsc_p) & ~dropped)
         if len(vi):
@@ -1560,6 +1619,7 @@ class TPUAligner:
                     row_lo=rlo_l[t] if rows is not None else 0,
                     row_hi=rhi_l[t] if rows is not None else -1,
                 )
+        _t_cc.__exit__(None, None, None)
         # N-bridge candidates join after the main stream (their fork-side
         # tie order is unknowable: the fork's own records there are
         # self-inconsistent — see DIFFERENTIAL.md)
@@ -1653,17 +1713,17 @@ class TPUAligner:
         small = np.zeros((B, 3), sdt)
         small[:n_b, 0] = rdl
         small[:n_b, 1] = width[keep]
-        out = np.asarray(self._sw_bt_xla(
-            self._put(big), self._put(small), self.idx.ref_words,
-            self.swp, L, C, True,
-        ))[:n_b]
+        args = (self._put(big), self._put(small), self.idx.ref_words,
+                self.swp, L, C, True)
+        out = np.asarray(self._sw_bt_xla(*args, _bt_gap_cap(B)))
         hw = self._hdr_w
-        ops = sw.unpack_ops2(
-            np.ascontiguousarray(out[:, hw:]).view(np.uint8)
+        hdr, ops = self._parse_bt_flat(
+            out, B, n_b, _bt_gap_cap(B),
+            lambda: self._sw_bt_xla(*args, B),
         )
-        best, bestcol, startcol = out[:, 0], out[:, 1], out[:, 2]
-        brows = out[:, 3] if hw == 5 else None
-        srows = out[:, 4] if hw == 5 else None
+        best, bestcol, startcol = hdr[:, 0], hdr[:, 1], hdr[:, 2]
+        brows = hdr[:, 3] if hw == 5 else None
+        srows = hdr[:, 4] if hw == 5 else None
         self.metrics.add(dps_bridge=n_b)
         res = []
         for t in range(n_b):
@@ -1698,7 +1758,10 @@ class TPUAligner:
         mapping, no fragment-straddle check: the window is built within
         one reference)."""
         rid, ref_lo, refw = c.bridge
-        cigar = sw.ops_to_cigar(c.ops_row)
+        if isinstance(c.ops_row, int):
+            cigar = [("M", c.ops_row)] if c.ops_row > 0 else []
+        else:
+            cigar = sw.ops_to_cigar(c.ops_row)
         if not cigar:
             return
         src = c.problem["src"]
@@ -1788,30 +1851,26 @@ class TPUAligner:
                     bt_fn = (self._sw_bt_fn_mat if pallas
                              else self._sw_bt_xla_mat)
                     small = self._dp_chunk_mat(packed, 0, len(chunk), Bq)
-                    futs.append((chunk, _prefetch(bt_fn(
-                        self._put(small), *self._dev_mat,
-                        self.idx.ref_words, self.swp, L, W,
-                    ))))
+                    args = (self._put(small), *self._dev_mat,
+                            self.idx.ref_words, self.swp, L, W)
                 else:
                     bt_fn = self._sw_bt_fn if pallas else self._sw_bt_xla
                     big, small = self._dp_chunk(packed, 0, len(chunk), Bq)
-                    futs.append((chunk, _prefetch(bt_fn(
-                        self._put(big), self._put(small),
-                        self.idx.ref_words, self.swp, L, W,
-                        packed[3] is not None,
-                    ))))
+                    args = (self._put(big), self._put(small),
+                            self.idx.ref_words, self.swp, L, W,
+                            packed[3] is not None)
+                futs.append((chunk, Bq, _bt_gap_cap(Bq),
+                             _prefetch(bt_fn(*args, _bt_gap_cap(Bq))),
+                             lambda a=args, b=Bq, f=bt_fn: f(*a, b)))
         hw = self._hdr_w
-        for chunk, res in futs:
+        for chunk, Bq, cap, res, retry in futs:
             a = np.asarray(res)
-            ops = sw.unpack_ops2(
-                np.ascontiguousarray(a[:, hw:]).view(np.uint8)
-            )
-            startcol = a[:, 2]
+            hdr, ops = self._parse_bt_flat(a, Bq, len(chunk), cap, retry)
             for k, c in enumerate(chunk):
                 if hw == 5:  # local: refresh the soft-clip endpoints
-                    c.row_hi = int(a[k, 3])
-                    c.row_lo = int(a[k, 4])
-                self._finish_backtrace(c, ops[k], int(startcol[k]))
+                    c.row_hi = int(hdr[k, 3])
+                    c.row_lo = int(hdr[k, 4])
+                self._finish_backtrace(c, ops[k], int(hdr[k, 2]))
 
     def _finish_candidates_native(self, cands: list) -> bool:
         """Batched native CIGAR/MD/stats finish; False -> caller uses the
@@ -1820,11 +1879,26 @@ class TPUAligner:
 
         n = len(cands)
         # ops rows from different window buckets differ in length (L+C);
-        # zero-pad to the longest (0 = end-of-ops, so padding is inert)
-        maxlen = max(len(c.ops_row) for c in cands)
+        # zero-pad to the longest (0 = end-of-ops, so padding is inert).
+        # int rows are compacted gapless results (that many M's): filled
+        # with one vectorized mask instead of per-row materialization
+        mcounts = np.fromiter(
+            (c.ops_row if isinstance(c.ops_row, int) else -1
+             for c in cands), np.int64, n,
+        )
+        arr_i = np.flatnonzero(mcounts < 0)
+        maxlen = int(mcounts.max(initial=1))
+        if len(arr_i):
+            maxlen = max(maxlen, max(len(cands[i].ops_row)
+                                     for i in arr_i.tolist()))
         ops_mat = np.zeros((n, maxlen), np.uint8)
-        for i, c in enumerate(cands):
-            ops_mat[i, : len(c.ops_row)] = c.ops_row
+        pure = mcounts >= 0
+        ops_mat[pure] = (
+            np.arange(maxlen)[None, :] < mcounts[pure, None]
+        ).astype(np.uint8)
+        for i in arr_i.tolist():
+            row = cands[i].ops_row
+            ops_mat[i, : len(row)] = row
         start_cols = np.fromiter((c.start_col for c in cands), np.int32, n)
         wstarts = np.fromiter((c.problem["wstart"] for c in cands), np.int64, n)
         srcs = np.fromiter((c.problem["src"] for c in cands), np.int64, n)
@@ -1887,7 +1961,12 @@ class TPUAligner:
 
     def _finish_backtrace(self, cand: Candidate, ops_row, start_col: int) -> None:
         pr = cand.problem
-        cigar = sw.ops_to_cigar(ops_row)
+        # int ops_row = compacted gapless result: the op string is that
+        # many M's (see _pack_bt_out)
+        if isinstance(ops_row, int):
+            cigar = [("M", ops_row)] if ops_row > 0 else []
+        else:
+            cigar = sw.ops_to_cigar(ops_row)
         if not cigar:
             return
         cand.joined_start = pr["wstart"] + start_col

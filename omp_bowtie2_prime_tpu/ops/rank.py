@@ -6,13 +6,21 @@ popcount with an XOR mask trick (countInU64Ex, bt2_idx.h:2029-2083). Like
 the reference's interleaved "sides" (EbwtParams, bt2_idx.h:112-279), the
 device layout interleaves everything a query needs into ONE block record
 (BWT words + occ checkpoints + SA-mark bits + mark rank checkpoint,
-index/format.py BLOCK_U32 words) so every rank / LF / group-walk step is a
+index/format.py DEV_* layout) so every rank / LF / group-walk step is a
 single [B]-lane gather followed by VPU popcounts. These ops are
 memory-latency bound; one gather per step instead of three is the TPU
 analog of the reference's software prefetch of sides (bt2_idx.h:370-398).
 
-All ops take a DeviceIndex and int32 row vectors; everything is jittable
-with static shapes.
+The record row is exactly ONE 128-lane uint32 tile (1024 BWT rows per
+record): XLA's TPU gather lowers tile-width rows ~3x faster than narrow
+ones (measured v5e, scripts/gather_bench*.py), so the widened record is
+both fewer gathers AND faster per gather than the old 17-word/128-row
+layout. The ftab and SA-sample lookups ride the same fast path (128-lane
+rows + compare-select of the wanted lane — TPU scalar gathers are
+pathologically slow).
+
+All ops take a DeviceIndex and int32/int64 row vectors; everything is
+jittable with static shapes.
 """
 
 from __future__ import annotations
@@ -22,8 +30,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..index.format import (
-    BLK_BWT, BLK_MARK, BLK_MARKCP, BLK_OCC, BLOCK_U32, MARK_WORDS_PER_BLOCK,
-    OCC_BLOCK, WORD_BASES, WORDS_PER_BLOCK,
+    DEV_BWT, DEV_BWT_WORDS, DEV_FTAB_PER_ROW, DEV_MARK, DEV_MARKCP,
+    DEV_MARK_WORDS, DEV_OCC, DEV_OCC_BLOCK, DEV_SA_PER_ROW, WORD_BASES,
 )
 
 # numpy (not jnp) scalars: module-level jnp constants are device arrays
@@ -61,7 +69,7 @@ def _count_pairs_eq(words, c, limit_masks):
 
 def _word_limits(k):
     """Per-word base counts for an in-block offset k: [..., W] in [0,16]."""
-    j = jnp.arange(WORDS_PER_BLOCK, dtype=jnp.int32) * WORD_BASES
+    j = jnp.arange(DEV_BWT_WORDS, dtype=jnp.int32) * WORD_BASES
     return jnp.clip(k[..., None] - j, 0, WORD_BASES)
 
 
@@ -81,24 +89,29 @@ def small_lookup(table, i, n: int):
     )
 
 
-def wide_lookup(table8, i):
-    """table[i] where table is stored [m, 8] (DeviceIndex wide8 layout):
-    one fast row gather + compare-select instead of a scalar gather."""
-    return _select_minor(table8[i // 8], i % 8, 8)
+def ftab_lookup(idx, q):
+    """(top, bot) = ftab[q]: ONE tile-row gather of the interleaved
+    [ceil(4^k/64), 128] table, lanes [q%64] / [64 + q%64]."""
+    rowdt = idx.fchr.dtype
+    row = idx.ftab[q // DEV_FTAB_PER_ROW]
+    lane = (q % DEV_FTAB_PER_ROW).astype(jnp.int32)
+    top = _select_minor(row[..., :DEV_FTAB_PER_ROW], lane, DEV_FTAB_PER_ROW)
+    bot = _select_minor(row[..., DEV_FTAB_PER_ROW:], lane, DEV_FTAB_PER_ROW)
+    return top.astype(rowdt), bot.astype(rowdt)
 
 
 def _gather_block(idx, rows):
-    """ONE gather of the interleaved block record. Returns (blk [B, BLOCK_U32]
-    uint32, k [B] int32 in-block offset).
+    """ONE gather of the interleaved block record. Returns
+    (blk [B, DEV_BLOCK_U32] uint32, k [B] int32 in-block offset).
 
     Tensor-parallel path (idx.tp set, inside shard_map): each device holds
     a contiguous 1/D slice of the block records (parallel/tp_index.py);
-    the owner gathers locally and one psum of the 68-byte record
+    the owner gathers locally and one psum of the 512-byte record
     reconstructs it on every device — the ICI analog of the reference's
     shared-memory index (--mm/--shmem, SURVEY §2.4), except the index
     exceeds ONE device's memory rather than one host's."""
-    b = rows // OCC_BLOCK
-    k = (rows % OCC_BLOCK).astype(jnp.int32)
+    b = rows // DEV_OCC_BLOCK
+    k = (rows % DEV_OCC_BLOCK).astype(jnp.int32)
     if idx.tp is None:
         return idx.blocks[b], k
     ax, nblk_loc, _ = idx.tp
@@ -111,27 +124,30 @@ def _gather_block(idx, rows):
 
 
 def sa_lookup(idx, r):
-    """idx.sa_sample[r] (wide8 layout), tensor-parallel aware: the SA
-    sample is the other large index array, sharded row-wise with the
-    same owner-gather + psum recombination."""
+    """idx.sa_sample[r] ([m, 128] uint32 tile rows), tensor-parallel
+    aware: the SA sample is the other large index array, sharded row-wise
+    with the same owner-gather + psum recombination."""
+    rowdt = idx.fchr.dtype
+    lane = (r % DEV_SA_PER_ROW).astype(jnp.int32)
     if idx.tp is None:
-        return wide_lookup(idx.sa_sample, r)
+        rec = idx.sa_sample[r // DEV_SA_PER_ROW]
+        return _select_minor(rec, lane, DEV_SA_PER_ROW).astype(rowdt)
     ax, _, nsa_loc = idx.tp
-    row = r // 8
+    row = r // DEV_SA_PER_ROW
     base = jax.lax.axis_index(ax).astype(row.dtype) * nsa_loc
     lrow = row - base
     mine = (lrow >= 0) & (lrow < nsa_loc)
     rec = idx.sa_sample[jnp.where(mine, lrow, 0)]
-    rec = jnp.where(mine[..., None], rec, 0)
+    rec = jnp.where(mine[..., None], rec, jnp.uint32(0))
     rec = jax.lax.psum(rec, ax)
-    return _select_minor(rec, r % 8, 8)
+    return _select_minor(rec, lane, DEV_SA_PER_ROW).astype(rowdt)
 
 
 def _occ_from_block(blk, k, c, rows, zoff):
     rowdt = rows.dtype
-    words = blk[..., BLK_BWT : BLK_BWT + WORDS_PER_BLOCK]
+    words = blk[..., DEV_BWT : DEV_BWT + DEV_BWT_WORDS]
     cp = _select_minor(
-        blk[..., BLK_OCC : BLK_OCC + 4].astype(rowdt), c, 4
+        blk[..., DEV_OCC : DEV_OCC + 4].astype(rowdt), c, 4
     )
     limits = _pair_limit_mask(_word_limits(k))
     cnt = cp + _count_pairs_eq(words, c, limits).astype(rowdt)
@@ -153,8 +169,8 @@ def occ_all(idx, rows):
     """occ for all 4 chars at once: int32 [B, 4] (ref: mapBiLFEx's 4-way
     count, bt2_idx.h:2431-2472)."""
     blk, k = _gather_block(idx, rows)
-    words = blk[..., BLK_BWT : BLK_BWT + WORDS_PER_BLOCK]
-    cp = blk[..., BLK_OCC : BLK_OCC + 4].astype(jnp.int32)
+    words = blk[..., DEV_BWT : DEV_BWT + DEV_BWT_WORDS]
+    cp = blk[..., DEV_OCC : DEV_OCC + 4].astype(jnp.int32)
     limits = _pair_limit_mask(_word_limits(k))
     cs = jnp.arange(4, dtype=jnp.int32)
     cnt = jax.vmap(
@@ -182,8 +198,8 @@ def lf_range(idx, c, top, bot):
 
 def _bwt_char_from_block(blk, k):
     w = _select_minor(
-        blk[..., BLK_BWT : BLK_BWT + WORDS_PER_BLOCK].astype(jnp.int32),
-        k // WORD_BASES, WORDS_PER_BLOCK,
+        blk[..., DEV_BWT : DEV_BWT + DEV_BWT_WORDS].astype(jnp.int32),
+        k // WORD_BASES, DEV_BWT_WORDS,
     ).astype(jnp.uint32)
     return ((w >> (2 * (k % WORD_BASES)).astype(jnp.uint32)) & 3).astype(jnp.int32)
 
@@ -203,17 +219,16 @@ def lf_row(idx, rows):
 
 
 def _mark_from_block(blk, k):
-    mwords = blk[..., BLK_MARK : BLK_MARK + MARK_WORDS_PER_BLOCK]
-    mw = MARK_WORDS_PER_BLOCK
-    j = jnp.arange(mw, dtype=jnp.int32) * 32
+    mwords = blk[..., DEV_MARK : DEV_MARK + DEV_MARK_WORDS]
+    j = jnp.arange(DEV_MARK_WORDS, dtype=jnp.int32) * 32
     nb = jnp.clip(k[..., None] - j, 0, 32)
     sh = jnp.where(nb >= 32, 0, nb).astype(jnp.uint32)
     part = (jnp.uint32(1) << sh) - jnp.uint32(1)
     masks = jnp.where(nb >= 32, _FULL, part)
     cnt = jax.lax.population_count(mwords & masks).astype(jnp.int32).sum(axis=-1)
-    rank = blk[..., BLK_MARKCP].astype(jnp.int32) + cnt
+    rank = blk[..., DEV_MARKCP].astype(jnp.int32) + cnt
     wsel = _select_minor(
-        mwords.astype(jnp.int32), k // 32, MARK_WORDS_PER_BLOCK
+        mwords.astype(jnp.int32), k // 32, DEV_MARK_WORDS
     ).astype(jnp.uint32)
     marked = ((wsel >> (k % 32).astype(jnp.uint32)) & 1).astype(jnp.bool_)
     return marked, rank

@@ -45,8 +45,9 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
     if L >= k:
         # ftab jump on the last k chars (backward search starts at seed end)
         q = pack_kmer(seeds[:, L - k :])
-        top = jnp.where(alive, rank.wide_lookup(idx.ftab_top, q), zero)
-        bot = jnp.where(alive, rank.wide_lookup(idx.ftab_bot, q), zero)
+        ft, fb = rank.ftab_lookup(idx, q)
+        top = jnp.where(alive, ft, zero)
+        bot = jnp.where(alive, fb, zero)
         nsteps = L - k
     else:
         # seed shorter than the ftab k-mer (e.g. -L below the index's

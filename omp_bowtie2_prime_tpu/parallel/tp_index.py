@@ -6,7 +6,7 @@ RAM. The TPU-native analog shards the two large index arrays (interleaved
 block records and the SA sample) row-wise across a mesh axis, so the
 genome capacity ceiling becomes the POD's combined HBM rather than one
 chip's. Queries stay lockstep-replicated: each rank/LF/walk step gathers
-the 68-byte block record on its owner device and recombines it everywhere
+the 512-byte block record on its owner device and recombines it everywhere
 with one psum over ICI (ops/rank.py:_gather_block / sa_lookup) — compute
 is replicated, memory is divided by the axis size.
 
@@ -51,8 +51,7 @@ def shard_index(idx, mesh: Mesh, axis: str = "model"):
         blocks=jax.device_put(blocks, shard),
         sa_sample=jax.device_put(sa, shard),
         fchr=jax.device_put(idx.fchr, repl),
-        ftab_top=jax.device_put(idx.ftab_top, repl),
-        ftab_bot=jax.device_put(idx.ftab_bot, repl),
+        ftab=jax.device_put(idx.ftab, repl),
         ref_words=jax.device_put(idx.ref_words, repl),
         zoff=jax.device_put(idx.zoff, repl),
         nrows=jax.device_put(idx.nrows, repl),
@@ -64,8 +63,8 @@ def shard_index(idx, mesh: Mesh, axis: str = "model"):
 def _index_specs(idx, axis: str):
     """PartitionSpec pytree matching a tp-sharded DeviceIndex."""
     return idx.replace(
-        blocks=P(axis), sa_sample=P(axis), fchr=P(), ftab_top=P(),
-        ftab_bot=P(), ref_words=P(), zoff=P(), nrows=P(),
+        blocks=P(axis), sa_sample=P(axis), fchr=P(), ftab=P(),
+        ref_words=P(), zoff=P(), nrows=P(),
     )
 
 
@@ -102,7 +101,7 @@ def tp_hbm_per_device(idx, n_model: int) -> dict:
     big = blocks.nbytes + sa.nbytes
     rest = sum(
         np.asarray(a).nbytes
-        for a in (idx.fchr, idx.ftab_top, idx.ftab_bot, idx.ref_words)
+        for a in (idx.fchr, idx.ftab, idx.ref_words)
     )
     return {
         "replicated": big + rest,
