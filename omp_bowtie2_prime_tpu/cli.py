@@ -439,6 +439,20 @@ def cmd_align(args):
 
     from .utils.dna import decode as _dec
 
+    # --met N: periodic in-flight metrics lines (reference emits every N
+    # seconds to --met-file / --met-stderr, bt2_search.cpp ARG_METRIC_IVAL)
+    emitter = None
+    if args.met_file or args.met_stderr:
+        from .utils.metrics import PeriodicMetrics
+
+        srcs = [aligner.metrics] + (
+            [aligner2.metrics] if aligner2 is not None else []
+        )
+        emitter = PeriodicMetrics(
+            srcs, interval=args.met, path=args.met_file,
+            stderr=args.met_stderr,
+        ).start()
+
     t0 = time.time()
     if paired_src is not None:
         m1fw, m2fw = {"fr": (True, False), "rf": (False, True),
@@ -555,6 +569,8 @@ def cmd_align(args):
                        if aligner2 is not None else None),
         )
     dt = time.time() - t0
+    if emitter is not None:
+        emitter.stop()  # final metrics line + file close
     print(w.summary.render(), file=sys.stderr)
     if args.time or args.met_stderr:
         # phase profile (MyTimer analog) + pipeline counters
@@ -563,10 +579,6 @@ def cmd_align(args):
         if aligner2 is not None:
             aligner2.timers.report()
             aligner2.metrics.report()
-    if args.met_file:
-        with open(args.met_file, "w") as mf:
-            mf.write(aligner.timers.render() + "\n")
-            mf.write(aligner.metrics.render() + "\n")
     if args.time:
         print(f"Time searching: {dt:.2f}s "
               f"({nreads/max(dt,1e-9):.1f} reads/s)", file=sys.stderr)

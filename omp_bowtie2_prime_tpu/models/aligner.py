@@ -273,24 +273,33 @@ def _bt_gap_cap(B: int) -> int:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap"),
+    static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap",
+                     "seed_len"),
 )
-def _rank_frame_mega(idx, seeds3, valid2, m_ri, m_fw, m_off, lens, mgn,
-                     read_ok, text_n, *, range_cap, expand, max_elts,
-                     max_dp, p_cap):
-    """The WHOLE P4-P6 stage as ONE executable: lax.map of the fused
-    seed-search+resolve over the chunk axis, then the on-device
+def _rank_frame_mega(idx, matpk, src2, off2, valid2, m_ri, m_fw, m_off,
+                     lens, mgn, read_ok, text_n, *, range_cap, expand,
+                     max_elts, max_dp, p_cap, seed_len):
+    """The WHOLE P2+P4-P6 stage as ONE executable: seed windows gathered
+    from the resident packed read matrix (nothing but per-seed (row,
+    offset) pairs cross the host->device link), then lax.map of the
+    fused seed-search+resolve over the chunk axis, then the on-device
     rank/frame stage; everything the host needs comes back as one int32
     vector (single device->host copy).  One program also sidesteps the
     axon runtime's unreliable cross-executable buffer chaining."""
     from ..ops.rank_frame import rank_frame
 
+    W = matpk.shape[1]
+    flat = matpk.reshape(-1)
+    j = jnp.arange(seed_len, dtype=jnp.int32)
+
     def one(args):
-        s, v = args
+        src, off, v = args
+        win = (src * W + off)[:, None] + j
+        s = (flat[win] & jnp.uint8(0xF)).astype(jnp.int8)
         return seed_search.search_resolve_seeds(idx, s, v, range_cap,
                                                 expand)
 
-    tops, bots, starts, offs = jax.lax.map(one, (seeds3, valid2))
+    tops, bots, starts, offs = jax.lax.map(one, (src2, off2, valid2))
     probs, count, hn, he, ov = rank_frame(
         tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
         text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
@@ -510,18 +519,17 @@ class TPUAligner:
             # than the inline layout; every later dispatch (round 2,
             # escalation, irregular classes, backtrace re-runs) reuses
             # the same resident matrices for free.
-            def wrapped(small, matr, matp, refw, p, L, C, cap):
+            def wrapped(small, matpk, refw, p, L, C, cap):
                 rows = small[:, 0].astype(jnp.int32)
-                reads_w = matr[rows]
-                pens_w = matp[rows]
-                W = reads_w.shape[1]
-                if W >= L:
-                    reads = reads_w[:, :L]
-                    pens = pens_w[:, :L]
-                else:  # length class wider than this batch's matrices
-                    reads = jnp.pad(reads_w, ((0, 0), (0, L - W)),
-                                    constant_values=4)
-                    pens = jnp.pad(pens_w, ((0, 0), (0, L - W)))
+                pk = matpk[rows]  # [B, W] u8: read code | penalty << 4
+                W = pk.shape[1]
+                if W < L:  # length class wider than this batch's matrix
+                    pk = jnp.pad(pk, ((0, 0), (0, L - W)),
+                                 constant_values=4)
+                else:
+                    pk = pk[:, :L]
+                reads = (pk & jnp.uint8(0xF)).astype(jnp.int8)
+                pens = pk >> 4
                 refs = sw.gather_ref_windows(
                     refw, small[:, 3], small[:, 2], C
                 )
@@ -531,7 +539,7 @@ class TPUAligner:
                 )
                 return _pack_bt_out(best, bestcol, stc, extra, opsp, cap)
 
-            return jax.jit(wrapped, static_argnums=(4, 5, 6, 7))
+            return jax.jit(wrapped, static_argnums=(3, 4, 5, 6))
 
         self._sw_bt_xla = _bt_packed(dp_fn)
         self._sw_bt_xla_mat = _bt_packed_mat(dp_fn)
@@ -702,6 +710,49 @@ class TPUAligner:
             np.concatenate([m[2] for m in metas]).astype(np.int32),
         )
 
+    def _instantiate_seeds_meta(self, indices, roundi: int):
+        """(m_ri, m_fw, m_off) for the fused device path: the same seed
+        multiset _instantiate_seeds would emit, WITHOUT materializing the
+        seed windows — the device gathers them from the resident packed
+        read matrix (_rank_frame_mega).  Reads longer than the matrix
+        width (> l_hard, truncated, read_ok=False anyway) clamp their
+        depth range to the resident prefix."""
+        o = self.opts
+        sl = o.seed_len
+        idx = np.asarray(list(indices), np.int64)
+        W = self._mat_reads.shape[1]
+        lens = np.minimum(self._mat_lens[idx], W).astype(np.int64)
+        ivals = np.maximum(1, o.ival.f_vec(
+            self._mat_lens[idx].astype(np.float64)
+        ))
+        nr = np.minimum(o.nrounds, ivals)
+        start = (ivals * roundi) // nr
+        count = np.where(
+            (roundi < nr) & (lens >= sl) & (start <= lens - sl),
+            (lens - sl - start) // ivals + 1,
+            0,
+        )
+        S = int(count.sum())
+        if S == 0:
+            return (np.zeros(0, np.int32), np.zeros(0, bool),
+                    np.zeros(0, np.int32))
+        rsel = np.repeat(np.arange(len(idx), dtype=np.int64), count)
+        k = np.arange(S, dtype=np.int64)
+        k -= np.repeat(np.cumsum(count) - count, count)
+        d = start[rsel] + k * ivals[rsel]
+        ri_s = idx[rsel].astype(np.int32)
+        metas = []
+        if not o.nofw:
+            metas.append((ri_s, np.ones(S, bool), d.astype(np.int32)))
+        if not o.norc:
+            rc_off = (lens[rsel] - d - sl).astype(np.int32)
+            metas.append((ri_s, np.zeros(S, bool), rc_off))
+        return (
+            np.concatenate([m[0] for m in metas]),
+            np.concatenate([m[1] for m in metas]),
+            np.concatenate([m[2] for m in metas]),
+        )
+
     # ---------------- device phase helpers (padded chunking) ----------------
 
     def _search_resolve(self, seeds: np.ndarray):
@@ -818,24 +869,25 @@ class TPUAligner:
 
         return tops, bots, (glob_offs, glob_start, glob_end)
 
-    def _rank_frame_device(self, seeds, m_ri, m_fw, m_off, lens_pad,
+    def _rank_frame_device(self, m_ri, m_fw, m_off, lens_pad,
                            mgn_pad, read_ok_pad):
-        """Fused search+resolve+rank+frame: the per-seed range/offset
-        tables never come to host — one packed problem table does.
+        """Fused instantiate+search+resolve+rank+frame: per-seed (matrix
+        row, offset) pairs go up, ONE packed problem table comes back —
+        neither seed windows nor range/offset tables cross the link.
         Returns (problems [count, 4] in the index dtype (int64 for
         .bt2l-scale genomes), hit_nonz, hit_elts) or None when a fixed
         table overflowed (caller reruns the host path)."""
         o = self.opts
-        S_act = len(seeds)
+        S_act = len(m_ri)
         SB = o.seed_batch
         NC = (S_act + SB - 1) // SB
-        seeds3 = np.zeros((NC, SB, seeds.shape[1]), np.int8)
-        valid2 = np.zeros((NC, SB), bool)
-        for c in range(NC):
-            lo, hi = c * SB, min((c + 1) * SB, S_act)
-            seeds3[c, : hi - lo] = seeds[lo:hi]
-            valid2[c, : hi - lo] = True
         S = NC * SB
+        src_p = np.zeros(S, np.int32)
+        src_p[:S_act] = 2 * m_ri.astype(np.int32) + (~m_fw)
+        offw_p = np.zeros(S, np.int32)
+        offw_p[:S_act] = m_off
+        valid2 = np.zeros(S, bool)
+        valid2[:S_act] = True
         npad = len(lens_pad)
         ri_p = np.full(S, npad, np.int32)
         ri_p[:S_act] = m_ri
@@ -844,10 +896,11 @@ class TPUAligner:
         off_p = np.zeros(S, np.int32)
         off_p[:S_act] = m_off
         with self.timers.phase("searchResolve.put"):
-            d_seeds = self._put_chunked(seeds3)
-            d_valid = self._put_chunked(valid2)
+            d_src = self._put_chunked(src_p.reshape(NC, SB))
+            d_offw = self._put_chunked(offw_p.reshape(NC, SB))
+            d_valid = self._put_chunked(valid2.reshape(NC, SB))
         packed = _rank_frame_mega(
-            self.idx, d_seeds, d_valid,
+            self.idx, self._dev_mat, d_src, d_offw, d_valid,
             self._put(ri_p), self._put(fw_p), self._put(off_p),
             self._put(lens_pad), self._put(mgn_pad),
             self._put(read_ok_pad),
@@ -855,7 +908,7 @@ class TPUAligner:
             np.int32(self.fm.n),
             range_cap=o.range_cap, expand=o.resolve_expand,
             max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
-            p_cap=P_CAP,
+            p_cap=P_CAP, seed_len=o.seed_len,
         )
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)
@@ -990,14 +1043,13 @@ class TPUAligner:
         futs = []
         if use_mat:
             bt_fn = self._sw_bt_fn_mat if pallas else self._sw_bt_xla_mat
-            matr, matp = self._dev_mat
             with self.timers.phase("dp.put"):
                 for lo in range(0, n, dp_batch):
                     hi = min(lo + dp_batch, n)
                     B = self._dp_quant(hi - lo)
                     small = self._dp_chunk_mat(packed, lo, hi, B)
                     d_small = self._put(small)
-                    args = (d_small, matr, matp, self.idx.ref_words,
+                    args = (d_small, self._dev_mat, self.idx.ref_words,
                             self.swp, L, C)
                     futs.append((lo, hi, B, _bt_gap_cap(B),
                                  _prefetch(bt_fn(*args, _bt_gap_cap(B))),
@@ -1167,9 +1219,13 @@ class TPUAligner:
         self._mat_pens = mat_p
         self._mat_lens = lens
         if getattr(self, "_dp_from_mat", False):
-            # resident device copies for index-only DP dispatch; the
-            # padding-heavy layout compresses well over the relay link
-            self._dev_mat = (jnp.asarray(mat_r), jnp.asarray(mat_p))
+            # ONE resident device copy for index-only DP dispatch and
+            # on-device seed gathering: read code and qual-scaled
+            # mismatch penalty packed per byte (code | pen << 4) —
+            # halves the per-batch host->device bytes vs separate mats
+            self._dev_mat = jnp.asarray(
+                mat_r.view(np.uint8) | (mat_p << 4)
+            )
 
     def min_scores(self, reads) -> np.ndarray:
         """Per-read clamped minimum scores (bt2_search.cpp:2476-2491).
@@ -1215,12 +1271,22 @@ class TPUAligner:
         self._hit_nonz = np.zeros(n, np.int64)
         self._hit_elts = np.zeros(n, np.int64)
 
-        # P2 + P4/P6 fused: seeds, search and SA resolution in one dispatch
+        # P2 + P4/P6 fused: seeds, search and SA resolution in one dispatch.
+        # The fused device path needs only the per-seed (read, fw, offset)
+        # meta — windows are gathered on device from the resident matrix;
+        # the host paths materialize seed arrays lazily below.
+        fused = getattr(self, "_use_fused_rank", False)
+        seeds = None
         with self.timers.phase("instantiateSeeds"):
-            seeds, (m_ri, m_fw, m_off) = self._instantiate_seeds(
-                reads, active, roundi
-            )
-        if len(seeds) == 0:
+            if fused:
+                m_ri, m_fw, m_off = self._instantiate_seeds_meta(
+                    active, roundi
+                )
+            else:
+                seeds, (m_ri, m_fw, m_off) = self._instantiate_seeds(
+                    reads, active, roundi
+                )
+        if len(m_ri) == 0:
             return empty
         # per-read envelopes: two window tiers.  The reference rect pads
         # each side by 2 * min(gap budget, maxhalf) diagonals ("LHS gap +
@@ -1254,7 +1320,7 @@ class TPUAligner:
         dp_cells = 0
 
         # ---- fused device path: P4-P6 in two dispatches, one copy ----
-        if getattr(self, "_use_fused_rank", False):
+        if fused:
             npad = 1 << max(8, (n - 1).bit_length())
             lens_pad = np.zeros(npad, np.int32)
             lens_pad[:n] = lens_all
@@ -1265,8 +1331,7 @@ class TPUAligner:
             with self.timers.phase("searchResolve"):
                 try:
                     fused = self._rank_frame_device(
-                        seeds, m_ri, m_fw, m_off, lens_pad, mgn_pad,
-                        rok_pad
+                        m_ri, m_fw, m_off, lens_pad, mgn_pad, rok_pad
                     )
                 except Exception as e:
                     # axon runtime instability (see __init__): disable for
@@ -1279,7 +1344,7 @@ class TPUAligner:
                           file=_sys.stderr)
                     self._use_fused_rank = False
                     fused = None
-            self.metrics.add(seeds=len(seeds))
+            self.metrics.add(seeds=len(m_ri))
             if fused is not None:
                 probs, hn, he = fused
                 self._hit_nonz = hn[:n].astype(np.int64)
@@ -1304,6 +1369,11 @@ class TPUAligner:
                 )
             # table overflow (repeat-heavy batch): host path below
 
+        if seeds is None:  # fused fallback: materialize seed windows
+            with self.timers.phase("instantiateSeeds"):
+                seeds, (m_ri, m_fw, m_off) = self._instantiate_seeds(
+                    reads, active, roundi
+                )
         with self.timers.phase("searchResolve"):
             tops, bots, (glob_offs, glob_start, glob_end) = \
                 self._search_resolve(seeds)
@@ -1851,7 +1921,7 @@ class TPUAligner:
                     bt_fn = (self._sw_bt_fn_mat if pallas
                              else self._sw_bt_xla_mat)
                     small = self._dp_chunk_mat(packed, 0, len(chunk), Bq)
-                    args = (self._put(small), *self._dev_mat,
+                    args = (self._put(small), self._dev_mat,
                             self.idx.ref_words, self.swp, L, W)
                 else:
                     bt_fn = self._sw_bt_fn if pallas else self._sw_bt_xla

@@ -52,39 +52,58 @@ def host_shard(reads_iter, process_id: int, num_processes: int,
         yield from buf
 
 
+class _ShardReader:
+    """Streaming read-unit cursor over one SAM shard: yields blocks of
+    consecutive-QNAME units without ever holding more than one block."""
+
+    def __init__(self, path: str, want_headers: bool):
+        self.f = open(path)
+        self.headers: list[str] = []
+        self.pending: str | None = None
+        for line in self.f:
+            if line.startswith("@"):
+                if want_headers:
+                    self.headers.append(line)
+                continue
+            self.pending = line
+            break
+
+    def take_units(self, n_units: int, out) -> int:
+        """Write up to n_units read units (consecutive records sharing a
+        QNAME — mates and secondaries stay together) to `out`; returns
+        the number of units written (0 = exhausted)."""
+        done = 0
+        while done < n_units and self.pending is not None:
+            name = self.pending.split("\t", 1)[0]
+            out.write(self.pending)
+            self.pending = None
+            for line in self.f:
+                if line.split("\t", 1)[0] != name:
+                    self.pending = line
+                    break
+                out.write(line)
+            done += 1
+        if self.pending is None:
+            self.f.close()
+        return done
+
+
 def merge_sam_shards(shard_paths: list[str], out_path: str,
                      block: int = 4096) -> None:
     """rdid-ordered merge of per-host SAM shards produced with host_shard
     (the OutputQueue reorder contract, outq.h:31-45): headers come from
-    shard 0; record "read units" (consecutive records sharing a QNAME —
-    mates and secondaries stay together) interleave block-round-robin,
-    undoing host_shard's block assignment."""
-    headers: list[str] = []
-    units: list[list[list[str]]] = []  # per shard: list of read units
-    for i, p in enumerate(shard_paths):
-        shard_units: list[list[str]] = []
-        prev_name = None
-        with open(p) as f:
-            for line in f:
-                if line.startswith("@"):
-                    if i == 0:
-                        headers.append(line)
-                    continue
-                name = line.split("\t", 1)[0]
-                if name != prev_name:
-                    shard_units.append([])
-                    prev_name = name
-                shard_units[-1].append(line)
-        units.append(shard_units)
-    n = len(units)
-    idxs = [0] * n
+    shard 0; record "read units" interleave block-round-robin, undoing
+    host_shard's block assignment.  Fully streaming — memory stays
+    constant regardless of shard size (the 100M-read multi-host configs
+    this exists for cannot be slurped)."""
+    readers = [_ShardReader(p, want_headers=(i == 0))
+               for i, p in enumerate(shard_paths)]
+    n = len(readers)
+    live = [True] * n
     with open(out_path, "w") as out:
-        out.writelines(headers)
-        b = 0
-        while any(idxs[s] < len(units[s]) for s in range(n)):
-            src = b % n
-            take = units[src][idxs[src] : idxs[src] + block]
-            for unit in take:
-                out.writelines(unit)
-            idxs[src] += block
-            b += 1
+        out.writelines(readers[0].headers)
+        src = 0
+        while any(live):
+            if live[src]:
+                live[src] = readers[src].take_units(block, out) > 0
+            src = (src + 1) % n

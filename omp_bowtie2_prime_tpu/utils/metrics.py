@@ -46,6 +46,57 @@ class PhaseTimers:
             print(self.render(), file=out)
 
 
+class PeriodicMetrics:
+    """--met N in-flight metrics emission (the reference writes a
+    metrics line every N seconds during the run — bt2_search.cpp
+    metricsOfb/metricsStderr plumbing, opts.h ARG_METRIC_IVAL; ours
+    renders the cumulative PipelineMetrics counters + elapsed seconds).
+    A daemon thread ticks every `interval` seconds while alignment runs;
+    stop() emits one final line and closes the file."""
+
+    def __init__(self, sources, interval: float, path: str | None = None,
+                 stderr: bool = False):
+        import threading
+
+        self.sources = sources  # list of PipelineMetrics
+        self.interval = max(0.25, float(interval))
+        self.f = open(path, "w") if path else None
+        self.stderr = stderr
+        self.t0 = time.time()
+        self._stop = threading.Event()
+        self._thread = threading.Thread(target=self._loop, daemon=True)
+
+    def _emit(self):
+        agg = {}
+        for src in self.sources:
+            for k in PipelineMetrics.FIELDS:
+                agg[k] = agg.get(k, 0) + getattr(src, k)
+        line = f"Metrics: elapsed={time.time()-self.t0:.1f}s " + " ".join(
+            f"{k}={v}" for k, v in agg.items()
+        )
+        if self.f:
+            self.f.write(line + "\n")
+            self.f.flush()
+        if self.stderr:
+            print(line, file=sys.stderr)
+
+    def _loop(self):
+        while not self._stop.wait(self.interval):
+            self._emit()
+
+    def start(self):
+        self._thread.start()
+        return self
+
+    def stop(self):
+        self._stop.set()
+        self._thread.join(timeout=2)
+        self._emit()
+        if self.f:
+            self.f.close()
+            self.f = None
+
+
 class PipelineMetrics:
     """Aggregate pipeline counters (PerReadMetrics/SSEMetrics analog:
     seeds instantiated, nonzero ranges, SA elements resolved, DP problems,

@@ -55,6 +55,8 @@ def main():
     ap.add_argument("--iters", type=int, default=3)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--workdir", default="/tmp/bt2prof")
+    ap.add_argument("--build-only", action="store_true",
+                    help="build+save the index and exit (no device use)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -85,6 +87,9 @@ def main():
     else:
         rng.integers(0, 4, args.size)  # keep the read stream identical
         text = np.load(txt_path)
+    if args.build_only:
+        print("## build-only done", flush=True)
+        return
     t0 = time.time()
     fm = FMIndex.load(idx_path)
     print(f"## load {time.time()-t0:.1f}s", flush=True)

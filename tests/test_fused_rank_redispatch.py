@@ -22,12 +22,17 @@ def _mk_args(idx, fm, nc, sb=2048, npad=256, seed_len=10):
     import jax.numpy as jnp
 
     rng = np.random.default_rng(nc)
-    seeds3 = rng.integers(0, 4, (nc, sb, seed_len)).astype(np.int8)
+    # packed read matrix (code | pen << 4); seeds gather from it on device
+    matpk = (rng.integers(0, 4, (2 * npad, 64)).astype(np.uint8)
+             | np.uint8(6 << 4))
+    src2 = rng.integers(0, 2 * npad, (nc, sb)).astype(np.int32)
+    off2 = rng.integers(0, 64 - seed_len, (nc, sb)).astype(np.int32)
     valid2 = np.zeros((nc, sb), bool)
     valid2[:, :64] = True
     S = nc * sb
     return (
-        idx, jnp.asarray(seeds3), jnp.asarray(valid2),
+        idx, jnp.asarray(matpk), jnp.asarray(src2), jnp.asarray(off2),
+        jnp.asarray(valid2),
         jnp.asarray(np.zeros(S, np.int32)),
         jnp.asarray(np.zeros(S, bool)),
         jnp.asarray(np.zeros(S, np.int32)),
@@ -51,7 +56,7 @@ def test_mega_mixed_chunk_count_reexecution():
     idx = DeviceIndex.from_host(fm)
 
     kw = dict(range_cap=16, expand=4, max_elts=400, max_dp=300,
-              p_cap=A.P_CAP)
+              p_cap=A.P_CAP, seed_len=10)
     a3 = _mk_args(idx, fm, 3)
     a1 = _mk_args(idx, fm, 1)
     # the failing sequence: multi-chunk, then one-chunk twice (second
