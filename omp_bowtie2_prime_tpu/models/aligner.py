@@ -274,11 +274,11 @@ def _bt_gap_cap(B: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap",
-                     "seed_len"),
+                     "seed_len", "sample_seed"),
 )
 def _rank_frame_mega(idx, matpk, src2, off2, valid2, m_ri, m_fw, m_off,
                      lens, mgn, read_ok, text_n, *, range_cap, expand,
-                     max_elts, max_dp, p_cap, seed_len):
+                     max_elts, max_dp, p_cap, seed_len, sample_seed=0):
     """The WHOLE P2+P4-P6 stage as ONE executable: seed windows gathered
     from the resident packed read matrix (nothing but per-seed (row,
     offset) pairs cross the host->device link), then lax.map of the
@@ -297,7 +297,7 @@ def _rank_frame_mega(idx, matpk, src2, off2, valid2, m_ri, m_fw, m_off,
         win = (src * W + off)[:, None] + j
         s = (flat[win] & jnp.uint8(0xF)).astype(jnp.int8)
         return seed_search.search_resolve_seeds(idx, s, v, range_cap,
-                                                expand)
+                                                expand, sample_seed)
 
     tops, bots, starts, offs = jax.lax.map(one, (src2, off2, valid2))
     probs, count, hn, he, ov = rank_frame(
@@ -367,6 +367,7 @@ class TPUAligner:
                     _tp_fns[key] = tp_search_resolve_fn(
                         idx, self.placer.mesh, cap, expand,
                         self.placer.model_axis,
+                        sample_seed=self.opts.rng_seed & 0xFFFFFFFF,
                     )
                 return _tp_fns[key](idx, seeds, valid)
 
@@ -376,9 +377,11 @@ class TPUAligner:
             # device->host copy pays a fixed tunnel round-trip that dwarfs
             # the bytes (measured ~30 ms/copy vs <1 ms of payload), so one
             # copy per chunk instead of four is a direct wall-clock win
+            _sseed = o.rng_seed & 0xFFFFFFFF
+
             def _sr_packed(idx, chunk, valid, cap, expand):
                 t, b, st, of = seed_search.search_resolve_seeds(
-                    idx, chunk, valid, cap, expand
+                    idx, chunk, valid, cap, expand, _sseed
                 )
                 return jnp.concatenate([t, b, st.astype(t.dtype), of])
 
@@ -909,6 +912,7 @@ class TPUAligner:
             range_cap=o.range_cap, expand=o.resolve_expand,
             max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
             p_cap=P_CAP, seed_len=o.seed_len,
+            sample_seed=o.rng_seed & 0xFFFFFFFF,
         )
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)

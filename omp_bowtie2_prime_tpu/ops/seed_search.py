@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from . import rank
 
@@ -80,32 +81,71 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
     return jnp.where(empty, zero, top), jnp.where(empty, zero, bot)
 
 
+def _mix32(a, b):
+    """uint32 avalanche hash of two lane vectors (splitmix-style)."""
+    x = a.astype(jnp.uint32) ^ (b.astype(jnp.uint32)
+                                * jnp.uint32(0x9E3779B9))
+    x = (x ^ (x >> 16)) * jnp.uint32(0x7FEB352D)
+    x = (x ^ (x >> 15)) * jnp.uint32(0x846CA68B)
+    return x ^ (x >> 16)
+
+
 def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
-                         cap: int, expand: float = 4):
+                         cap: int, expand: float = 4,
+                         sample_seed: int | None = 0):
     """Fused seed search + SA resolution in ONE device dispatch (the fork
     splits these into phases P4/P6 with host work between,
     bt2_search.cpp:2638/2683; on a remote device each round-trip costs more
     than the kernel, so fuse them).
 
-    For each seed the first min(width, cap) SA rows are compacted (cumsum
+    For each seed, min(width, cap) SA rows are compacted (cumsum
     scatter) into a flat buffer of int(S*expand) slots and resolved to
     joined offsets (expand may be fractional: after seed dedupe the slot
     demand is typically ~0.3 slots/lane, and the resolve walk's cost is
-    linear in the slot count). Returns (top, bot, starts, offs) with seed
-    s's offsets at offs[starts[s] : starts[s] + min(bot-top, cap)[s]];
-    seeds whose slots spill past the buffer have starts[s] + width >
-    int(S*expand) (host retries the chunk with a wider buffer).
+    linear in the slot count). Ranges no wider than cap resolve fully;
+    wider ranges draw `cap` DISTINCT rows by seeded stratified sampling
+    (one uniform pick per equal stratum of the range) — the batched
+    analog of the reference's weighted random element draw over large
+    ranges (RowSampler/Random1toN, aligner_sw_driver.cpp:151-259,
+    random_util.h): picks are random across the whole range yet
+    deterministic in (range, --seed), so output stays batch/shard
+    placement invariant.  sample_seed=None restores first-cap-rows.
+    Returns (top, bot, starts, offs) with seed s's offsets at
+    offs[starts[s] : starts[s] + min(bot-top, cap)[s]]; seeds whose
+    slots spill past the buffer have starts[s] + width > int(S*expand)
+    (host retries the chunk with a wider buffer).
     """
     from .walk import resolve_rows
 
     top, bot = search_seeds(idx, seeds, valid)
     rowdt = top.dtype
     S = seeds.shape[0]
-    width = jnp.minimum(bot - top, cap)
+    wfull = bot - top
+    width = jnp.minimum(wfull, cap)
     rmax = int(S * expand)
     starts = jnp.cumsum(width) - width
     k = jnp.arange(cap, dtype=rowdt)[None, :]
-    rows2d = top[:, None] + k
+    if sample_seed is None:
+        rows2d = top[:, None] + k
+    else:
+        # stratified without-replacement sample of cap rows from [0, w):
+        # stratum j = [j*(w//cap) + min(j, w%cap), ...) of size
+        # w//cap (+1 for the first w%cap strata); all arithmetic stays
+        # within the row dtype (no k*w products that could overflow)
+        q = (wfull // cap)[:, None]
+        r = (wfull % cap)[:, None]
+        lo = k * q + jnp.minimum(k, r)
+        span = q + (k < r)
+        t32 = top if rowdt == jnp.int32 else top ^ (top >> 32)
+        h = _mix32(
+            t32[:, None].astype(jnp.uint32)
+            + jnp.uint32(np.uint32(sample_seed & 0xFFFFFFFF)),
+            k + 1,
+        )
+        pick = lo + (h % jnp.maximum(span, 1).astype(jnp.uint32)).astype(
+            rowdt
+        )
+        rows2d = top[:, None] + jnp.where(wfull[:, None] > cap, pick, k)
     live = k < width[:, None]
     slots = starts[:, None] + k
     slots = jnp.where(live & (slots < rmax), slots, rmax)  # rmax = dump slot

@@ -69,7 +69,8 @@ def _index_specs(idx, axis: str):
 
 
 def tp_search_resolve_fn(idx, mesh: Mesh, range_cap: int, expand: int,
-                         axis: str = "model", data_axis: str | None = None):
+                         axis: str = "model", data_axis: str | None = None,
+                         sample_seed: int = 0):
     """jitted shard_map wrapper of ops/seed_search.search_resolve_seeds
     for a tp-sharded index: seed lanes shard over `data_axis` (or
     replicate if None/absent), index blocks live sharded over `axis`,
@@ -82,7 +83,8 @@ def tp_search_resolve_fn(idx, mesh: Mesh, range_cap: int, expand: int,
     dspec = P(data_axis) if data_axis and mesh.shape.get(data_axis, 1) > 1 \
         else P()
     fn = functools.partial(
-        search_resolve_seeds, cap=range_cap, expand=expand
+        search_resolve_seeds, cap=range_cap, expand=expand,
+        sample_seed=sample_seed,
     )
     mapped = jax.shard_map(
         fn, mesh=mesh,
