@@ -23,6 +23,7 @@ supported", bt2_search.cpp:1345-1348).
 from __future__ import annotations
 
 import argparse
+import re
 import sys
 import time
 
@@ -85,12 +86,27 @@ def cmd_build(args):
     )
 
 
+def _int_prefix(s: str) -> int:
+    """C++ istringstream>>int semantics: parse the leading integer and
+    stop at the first non-digit (the reference's policy parser reads
+    fractional RDG/RFG/MMP values this way, truncating at the '.')."""
+    m = re.match(r"\s*[+-]?\d+", s)
+    return int(m.group()) if m else 0
+
+
 def _parse_fasta_cont(spec: str) -> tuple[int, int]:
-    """-F k:<len>[,i:<freq>] (parseOption ARG_READS_FASTA_CONT)."""
+    """-F <len>,<freq> — the reference parses a bare comma pair
+    (parsePair, bt2_search.cpp:1031-1033; its usage text's
+    "k:<int>,i:<int>" spelling is also accepted here)."""
     k, freq = None, 1
-    for tok in spec.split(","):
-        key, _, val = tok.partition(":")
-        if key == "k":
+    for pos, tok in enumerate(spec.split(",")):
+        key, colon, val = tok.partition(":")
+        if not colon:
+            if pos == 0:
+                k = int(tok)
+            else:
+                freq = int(tok)
+        elif key == "k":
             k = int(val)
         elif key == "i":
             freq = int(val)
@@ -257,19 +273,33 @@ def cmd_align(args):
                 if args.dps is None:
                     args.dps = int(val)
             elif name == "MMP":
+                # MMP={Cxx|Q[,mx[,mn]]|R} (parsePolicy,
+                # aligner_seed_policy.cpp:368-440): Cxx = constant
+                # attached to the 'C', Q = qual-scaled, R = maq-rounded
                 if not args.mp:
                     f = val.split(",")
-                    if f[0] == "C":  # constant penalty = equal max/min
-                        args.mp = f"{f[1]},{f[1]}"
-                    else:  # Q[,max[,min]]
-                        mx = f[1] if len(f) > 1 else "6"
-                        mn = f[2] if len(f) > 2 else "2"
+                    if f[0][:1] == "C":
+                        cval = _int_prefix(f[0][1:] or (
+                            f[1] if len(f) > 1 else "6"))
+                        args.mp = f"{cval},{cval}"
+                    elif f[0][:1] == "Q":
+                        mx = _int_prefix(f[1]) if len(f) > 1 else 6
+                        mn = _int_prefix(f[2]) if len(f) > 2 else 2
                         args.mp = f"{mx},{mn}"
+                    elif f[0][:1] == "R":
+                        args.mp = "R"  # COST_MODEL_ROUNDED_QUAL
             elif name == "MA":
                 if args.ma is None:
                     args.ma = int(val)
             elif name == "NP":
-                args.np = int(val) if args.np == 1 else args.np
+                # NP={Cxx|Q|R}: Q keeps the constant (initPens with
+                # consMin==consMax is constant anyway, scoring.h:170);
+                # R = maq-rounded qual (aligner_seed_policy.cpp:448-478)
+                if val[:1] == "C":
+                    args.np = (_int_prefix(val[1:])
+                               if args.np == 1 else args.np)
+                elif val[:1] == "R":
+                    args.np_rounded = True
             elif name == "RDG":
                 args.rdg = args.rdg or val
             elif name == "RFG":
@@ -297,13 +327,22 @@ def cmd_align(args):
     nrounds = args.reseed if args.reseed is not None else preset.nrounds
     dps = args.dps if args.dps is not None else preset.dps
 
-    mp = args.mp.split(",") if args.mp else ["6", "2"]
+    mmp_rounded = args.mp == "R"
+    mp = args.mp.split(",") if args.mp and not mmp_rounded else ["6", "2"]
+    # gap penalty components parse with istringstream>>int semantics —
+    # a numeric PREFIX, so fractional policy values truncate
+    # (aligner_seed_policy.cpp:484-530; corpus regressions use doubles)
     rdg = args.rdg.split(",") if args.rdg else ["5", "3"]
     rfg = args.rfg.split(",") if args.rfg else ["5", "3"]
     sc_kwargs = dict(
-        mmp_max=int(mp[0]), mmp_min=int(mp[1] if len(mp) > 1 else mp[0]),
-        npen=args.np, rdg_const=int(rdg[0]), rdg_linear=int(rdg[1]),
-        rfg_const=int(rfg[0]), rfg_linear=int(rfg[1]),
+        mmp_max=_int_prefix(mp[0]),
+        mmp_min=_int_prefix(mp[1] if len(mp) > 1 else mp[0]),
+        mmp_rounded=mmp_rounded,
+        npen=args.np, np_rounded=getattr(args, "np_rounded", False),
+        rdg_const=_int_prefix(rdg[0]),
+        rdg_linear=_int_prefix(rdg[1]) if len(rdg) > 1 else 3,
+        rfg_const=_int_prefix(rfg[0]),
+        rfg_linear=_int_prefix(rfg[1]) if len(rfg) > 1 else 3,
         ignore_quals=args.ignore_quals,
         gap_barrier=args.gbar,
     )
@@ -341,20 +380,49 @@ def cmd_align(args):
            "fastq" if args.fmt_fastq else None)
     paired_src = None
     if args.m1 and args.m2:
-        paired_src = open_paired_reads(args.m1, args.m2, fmt=fmt,
-                                       int_quals=args.int_quals)
+        if args.cmdline:
+            from .io.fastq import cmdline_reads
+
+            paired_src = zip(cmdline_reads(args.m1),
+                             cmdline_reads(args.m2))
+        else:
+            paired_src = open_paired_reads(args.m1, args.m2, fmt=fmt,
+                                           int_quals=args.int_quals)
     elif args.interleaved:
         paired_src = read_interleaved(args.interleaved)
     elif args.tab6:
         paired_src = read_tab6(args.tab6)
     elif args.tab5:
-        paired_src = read_tab5(args.tab5)
+        # --tab5/--12 lines may be 3-field (unpaired) or 5-field
+        # (paired); route on the first record. A stream that switches
+        # shape mid-file is rejected (the reference muxes both per
+        # line; homogeneous-stream limitation noted in PARITY.md).
+        import itertools
+
+        def _tab_homo(it, want_pair):
+            for x in it:
+                if isinstance(x, tuple) != want_pair:
+                    raise SystemExit(
+                        "error: --tab5 input mixes paired (5-field) and "
+                        "unpaired (3-field) records; split the file")
+                yield x
+
+        _tab_items = read_tab5(args.tab5)
+        _tab_first = next(_tab_items, None)
+        if isinstance(_tab_first, tuple):
+            paired_src = itertools.chain(
+                [_tab_first], _tab_homo(_tab_items, True))
+        elif _tab_first is not None:
+            tab5_unpaired = itertools.chain(
+                [_tab_first], _tab_homo(_tab_items, False))
+        else:
+            tab5_unpaired = iter(())
     elif args.bam and args.bam_paired:
         from .io.bam import read_bam_pairs
 
         paired_src = read_bam_pairs(
             args.bam, preserve_tags=args.preserve_tags)
-    elif args.cmdline:
+    elif args.cmdline and args.reads:
         pass
     elif not args.reads and not args.bam:
         print("error: no input reads (-U, -1/-2, --interleaved, --tab5/6, "
@@ -502,10 +570,12 @@ def cmd_align(args):
             align_fns=pal_fns,
         )
     else:
-        if args.cmdline:
+        if args.tab5:
+            rsrc = tab5_unpaired
+        elif args.cmdline:
             from .io.fastq import cmdline_reads
 
-            rsrc = cmdline_reads(args.cmdline)
+            rsrc = cmdline_reads(args.reads)
         elif args.bam:
             from .io.bam import read_bam
 
@@ -632,10 +702,20 @@ def cmd_inspect(args):
 
 
 def _parse_trim_to(s: str):
+    """--trim-to [3:|5:]<int>; side must be 3 or 5 and the count
+    positive (bt2_search.cpp ARG_TRIM_TO validation aborts on both)."""
+    side, n = 3, s
     if ":" in s:
-        side, n = s.split(":")
-        return (int(side), int(n))
-    return (3, int(s))
+        side_s, n = s.split(":")
+        side = int(side_s)
+    if side not in (3, 5):
+        raise SystemExit(
+            "error: trim-to position must be either 3 or 5"
+        )
+    if int(n) < 0:
+        raise SystemExit("error: the number of bases to trim must be "
+                         "a positive value")
+    return (side, int(n))
 
 
 def main(argv=None):
@@ -708,7 +788,9 @@ def main(argv=None):
     a.add_argument("-f", dest="fmt_fasta", action="store_true")
     a.add_argument("-r", dest="fmt_raw", action="store_true")
     a.add_argument("--qseq", dest="fmt_qseq", action="store_true")
-    a.add_argument("-c", "--cmdline", default=None)
+    # -c is a FLAG (as in bowtie2): -U/-1/-2 then hold the sequences
+    # themselves, comma-separated, each optionally SEQ:QUALS
+    a.add_argument("-c", "--cmdline", action="store_true")
     a.add_argument("-b", "--bam", default=None)
     a.add_argument("--align-paired-reads", dest="bam_paired",
                    action="store_true")
@@ -823,6 +905,10 @@ def main(argv=None):
     a.add_argument("--n-ceil", default=None)
     a.add_argument("--ignore-quals", action="store_true")
     a.add_argument("--dpad", type=int, default=15)
+    # --overhang: report alignments that hang off the reference ends —
+    # off-end positions align against N and get soft-clipped in the
+    # record (gReportOverhangs, bt2_search.cpp:1092)
+    a.add_argument("--overhang", action="store_true")
     a.add_argument("--nofw", action="store_true")
     a.add_argument("--norc", action="store_true")
     # reporting
@@ -918,7 +1004,7 @@ def main(argv=None):
                   "--fail-streak", "--cachelim", "--cachesz",
                   "--seed-cache-sz", "--local-seed-cache-sz", "--cp-ival",
                   "--cp-min", "--desc-exp", "--desc-fmops", "--desc-kb",
-                  "--desc-landing", "--desc-prioritize", "--overhang",
+                  "--desc-landing", "--desc-prioritize",
                   "--partition", "--reads-per-batch", "--thread-ceiling",
                   "--tighten", "--snpphred", "--test-25"):
         a.add_argument(_flag, type=int, help=argparse.SUPPRESS)

@@ -185,9 +185,17 @@ def read_fasta_reads(path: str, start_id: int = 0) -> Iterator[Read]:
                     seq = dna.encode("".join(chunks))
                     yield Read(rdid, name, seq, np.full(len(seq), 40, np.uint8))
                     rdid += 1
-                name = line[1:] if len(line) > 1 else f"read{rdid}"
+                # empty header: the read index is the name (FastaPatternSource
+                # nameless-read convention, pat.cpp)
+                name = line[1:] if len(line) > 1 else str(rdid)
                 chunks = []
             else:
+                if name is None:
+                    # sequence before any '>' header: reject like the
+                    # reference's FASTA parser (pat.cpp first-char check)
+                    raise SystemExit(
+                        "Error: reads file does not look like a FASTA file"
+                    )
                 chunks.append(line)
         if name is not None:
             seq = dna.encode("".join(chunks))
@@ -258,7 +266,8 @@ def read_qseq(path: str, start_id: int = 0) -> Iterator[Read]:
             parts = line.rstrip("\n").split("\t")
             if len(parts) < 11:
                 continue
-            name = "_".join(parts[:6]) + "/" + parts[7]
+            # name = 7 fields '_'-joined + /readnum (read_qseq.cpp:93-127)
+            name = "_".join(parts[:7]) + "/" + parts[7]
             seq = dna.encode(parts[8].replace(".", "N"))
             q = np.maximum(
                 np.frombuffer(parts[9].encode(), np.uint8), 33
@@ -269,15 +278,29 @@ def read_qseq(path: str, start_id: int = 0) -> Iterator[Read]:
 
 
 def cmdline_reads(csv: str, start_id: int = 0) -> Iterator[Read]:
-    """-c: comma-separated sequences given on the command line
-    (CStringPatternSource, pat.h)."""
+    """-c: comma-separated sequences given on the command line, each
+    optionally SEQ:QUALS (CStringPatternSource, pat.h; quality-length
+    mismatches abort like the reference's parser)."""
     rdid = start_id
     for s in csv.split(","):
         s = s.strip()
         if not s:
             continue
-        seq = dna.encode(s)
-        yield Read(rdid, str(rdid), seq, np.full(len(seq), 40, np.uint8))
+        seq_s, colon, qual_s = s.partition(":")
+        seq = dna.encode(seq_s)
+        if colon and qual_s:
+            if len(qual_s) != len(seq_s):
+                raise SystemExit(
+                    f"Error: read {rdid} has more read characters than "
+                    "quality values." if len(seq_s) > len(qual_s) else
+                    f"Error: read {rdid} has more quality values than "
+                    "read characters.")
+            qual = np.frombuffer(
+                qual_s.encode("ascii"), np.uint8
+            ).astype(np.uint8) - 33
+        else:
+            qual = np.full(len(seq), 40, np.uint8)
+        yield Read(rdid, str(rdid), seq, qual)
         rdid += 1
 
 
@@ -352,22 +375,40 @@ def read_tab6(path: str, start_id: int = 0) -> Iterator[tuple[Read, Read]]:
             rdid += 1
 
 
-def read_tab5(path: str, start_id: int = 0) -> Iterator[tuple[Read, Read]]:
-    """--tab5: name\\tseq1\\tqual1\\tseq2\\tqual2 per line."""
+def _qual_arr(name: str, seq: str, qual: str) -> np.ndarray:
+    """Phred+33 decode with the reference's length validation
+    (tooFewQualities/tooManyQualities, pat.cpp:1717-1727)."""
+    if len(qual) < len(seq):
+        raise SystemExit(f"Error: Read {name} has more read characters "
+                         "than quality values.")
+    if len(qual) > len(seq):
+        raise SystemExit(f"Error: Read {name} has more quality values "
+                         "than read characters.")
+    return (np.maximum(np.frombuffer(qual.encode(), np.uint8), 33) - 33
+            ).astype(np.uint8)
+
+
+def read_tab5(path: str, start_id: int = 0):
+    """--tab5/--12: per line either name\\tseq\\tqual (unpaired) or
+    name\\tseq1\\tqual1\\tseq2\\tqual2 (paired) — the reference's
+    TabbedPatternSource accepts both shapes in one stream
+    (pat.cpp:1530-1700). Yields Read for 3-field lines and
+    (Read, Read) for 5-field lines."""
     rdid = start_id
     with _open(path) as f:
         for line in f:
-            parts = line.rstrip("\n").split("\t")
-            if len(parts) < 5:
+            parts = line.rstrip("\r\n").split("\t")
+            if len(parts) < 3 or not parts[1]:
                 continue
-            n, s1, q1, s2, q2 = parts[:5]
-            qa1 = np.maximum(np.frombuffer(q1.encode(), np.uint8), 33) - 33
-            qa2 = np.maximum(np.frombuffer(q2.encode(), np.uint8), 33) - 33
+            n, s1, q1 = parts[:3]
             name = _strip_mate_suffix(n)
-            yield (
-                Read(rdid, name, dna.encode(s1), qa1.astype(np.uint8)),
-                Read(rdid, name, dna.encode(s2), qa2.astype(np.uint8)),
-            )
+            r1 = Read(rdid, name, dna.encode(s1), _qual_arr(name, s1, q1))
+            if len(parts) >= 5 and parts[3]:
+                s2, q2 = parts[3], parts[4]
+                yield (r1, Read(rdid, name, dna.encode(s2),
+                                _qual_arr(name, s2, q2)))
+            else:
+                yield r1
             rdid += 1
 
 

@@ -274,11 +274,12 @@ def _bt_gap_cap(B: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap",
-                     "seed_len", "sample_seed"),
+                     "seed_len", "sample_seed", "sub_ftab"),
 )
-def _rank_frame_mega(idx, matpk, src2, off2, valid2, m_ri, m_fw, m_off,
-                     lens, mgn, read_ok, text_n, *, range_cap, expand,
-                     max_elts, max_dp, p_cap, seed_len, sample_seed=0):
+def _rank_frame_mega(idx, matpk, src2, off2, eff2, valid2, m_ri, m_fw,
+                     m_off, lens, mgn, read_ok, text_n, *, range_cap,
+                     expand, max_elts, max_dp, p_cap, seed_len,
+                     sample_seed=0, sub_ftab=False):
     """The WHOLE P2+P4-P6 stage as ONE executable: seed windows gathered
     from the resident packed read matrix (nothing but per-seed (row,
     offset) pairs cross the host->device link), then lax.map of the
@@ -293,13 +294,23 @@ def _rank_frame_mega(idx, matpk, src2, off2, valid2, m_ri, m_fw, m_off,
     j = jnp.arange(seed_len, dtype=jnp.int32)
 
     def one(args):
-        src, off, v = args
-        win = (src * W + off)[:, None] + j
-        s = (flat[win] & jnp.uint8(0xF)).astype(jnp.int8)
+        src, off, eff, v = args
+        # seeds shorter than seed_len (reads below the seed length: the
+        # reference clamps to min(seed_len, rdlen), prepareSeed,
+        # aligner_seed.cpp:321-341) store right-aligned with -1 padding
+        # when they can still ftab-jump (eff >= ftab_k), LEFT-aligned
+        # (right-padded) below that (ops/seed_search.py sub-ftab lanes)
+        shift = jnp.where(eff >= idx.ftab_k, seed_len - eff, 0)[:, None]
+        jj = j[None, :] - shift
+        real = (jj >= 0) & (jj < eff[:, None])
+        win = (src * W + off)[:, None] + jnp.clip(jj, 0, W - 1)
+        s = (flat[win] & 0xF).astype(jnp.int8)
+        s = jnp.where(real, s, jnp.int8(-1))
         return seed_search.search_resolve_seeds(idx, s, v, range_cap,
-                                                expand, sample_seed)
+                                                expand, sample_seed,
+                                                sub_ftab)
 
-    tops, bots, starts, offs = jax.lax.map(one, (src2, off2, valid2))
+    tops, bots, starts, offs = jax.lax.map(one, (src2, off2, eff2, valid2))
     probs, count, hn, he, ov = rank_frame(
         tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
         text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
@@ -361,13 +372,14 @@ class TPUAligner:
 
             _tp_fns: dict = {}
 
-            def _srf(idx, seeds, valid, cap, expand):
-                key = (cap, expand)
+            def _srf(idx, seeds, valid, cap, expand, sub_ftab=False):
+                key = (cap, expand, sub_ftab)
                 if key not in _tp_fns:
                     _tp_fns[key] = tp_search_resolve_fn(
                         idx, self.placer.mesh, cap, expand,
                         self.placer.model_axis,
                         sample_seed=self.opts.rng_seed & 0xFFFFFFFF,
+                        sub_ftab=sub_ftab,
                     )
                 return _tp_fns[key](idx, seeds, valid)
 
@@ -379,28 +391,28 @@ class TPUAligner:
             # copy per chunk instead of four is a direct wall-clock win
             _sseed = o.rng_seed & 0xFFFFFFFF
 
-            def _sr_packed(idx, chunk, valid, cap, expand):
+            def _sr_packed(idx, chunk, valid, cap, expand, sub_ftab=False):
                 t, b, st, of = seed_search.search_resolve_seeds(
-                    idx, chunk, valid, cap, expand, _sseed
+                    idx, chunk, valid, cap, expand, _sseed, sub_ftab
                 )
                 return jnp.concatenate([t, b, st.astype(t.dtype), of])
 
-            def _sr_mega(idx, seeds3, valid2, cap, expand):
+            def _sr_mega(idx, seeds3, valid2, cap, expand, sub_ftab=False):
                 # ALL seed chunks in one executable (lax.map over the
                 # chunk axis) and ONE packed result copy — each separate
                 # device->host copy costs a fixed relay round-trip
                 def one(args):
                     s, v = args
-                    return _sr_packed(idx, s, v, cap, expand)
+                    return _sr_packed(idx, s, v, cap, expand, sub_ftab)
 
                 return jax.lax.map(one, (seeds3, valid2))
 
             self._search_resolve_fn = None
             self._search_resolve_packed = jax.jit(
-                _sr_packed, static_argnums=(3, 4)
+                _sr_packed, static_argnums=(3, 4, 5)
             )
             self._search_resolve_mega = jax.jit(
-                _sr_mega, static_argnums=(3, 4)
+                _sr_mega, static_argnums=(3, 4, 5)
             )
             # fused rank/frame path: the whole P4-P6 stage runs in one
             # executable (ops/rank_frame.py via _rank_frame_mega); one
@@ -524,15 +536,15 @@ class TPUAligner:
             # the same resident matrices for free.
             def wrapped(small, matpk, refw, p, L, C, cap):
                 rows = small[:, 0].astype(jnp.int32)
-                pk = matpk[rows]  # [B, W] u8: read code | penalty << 4
+                pk = matpk[rows]  # [B, W] u8/u16: read code | pen << 4
                 W = pk.shape[1]
                 if W < L:  # length class wider than this batch's matrix
                     pk = jnp.pad(pk, ((0, 0), (0, L - W)),
                                  constant_values=4)
                 else:
                     pk = pk[:, :L]
-                reads = (pk & jnp.uint8(0xF)).astype(jnp.int8)
-                pens = pk >> 4
+                reads = (pk & 0xF).astype(jnp.int8)
+                pens = (pk >> 4).astype(jnp.int32)
                 refs = sw.gather_ref_windows(
                     refw, small[:, 3], small[:, 2], C
                 )
@@ -675,12 +687,16 @@ class TPUAligner:
         o = self.opts
         sl = o.seed_len
         lens = self._mat_lens[idx].astype(np.int64)
+        # min(seed_len, rdlen) clamp: short reads yield one full-read
+        # seed, stored right-aligned with -1 padding (prepareSeed,
+        # aligner_seed.cpp:321-341; pad semantics in ops/seed_search.py)
+        eff = np.minimum(lens, sl)
         ivals = np.maximum(1, o.ival.f_vec(lens.astype(np.float64)))
         nr = np.minimum(o.nrounds, ivals)
         start = (ivals * roundi) // nr
         count = np.where(
-            (roundi < nr) & (lens >= sl) & (start <= lens - sl),
-            (lens - sl - start) // ivals + 1,
+            (roundi < nr) & (lens >= 1) & (start <= lens - eff),
+            (lens - eff - start) // ivals + 1,
             0,
         )
         S = int(count.sum())
@@ -698,13 +714,27 @@ class TPUAligner:
         L = mat.shape[1]
         flat = mat.reshape(-1)
         j = np.arange(sl, dtype=np.int64)
+        # short seeds: right-aligned when they can still ftab-jump
+        # (eff >= ftab_k), left-aligned below (sub-ftab lanes; layout
+        # contract in ops/seed_search.py search_seeds)
+        eff_s = eff[rsel]
+        shift = np.where(eff_s >= self.fm.ftab_k, sl - eff_s, 0)
+        jj = j[None, :] - shift[:, None]
+        real = (jj >= 0) & (jj < eff_s[:, None])
+
+        def win(base):
+            v = flat[base[:, None] + np.clip(jj, 0, None)]
+            if not real.all():
+                v = np.where(real, v, np.int8(-1))
+            return v
+
         chunks, metas = [], []
         if not o.nofw:
-            chunks.append(flat[(2 * ri_s * L + d)[:, None] + j])
+            chunks.append(win(2 * ri_s * L + d))
             metas.append((ri_s, np.ones(S, bool), d))
         if not o.norc:
-            rc_off = lens[rsel] - d - sl  # mirrored rc-read offsets
-            chunks.append(flat[((2 * ri_s + 1) * L + rc_off)[:, None] + j])
+            rc_off = lens[rsel] - d - eff[rsel]  # mirrored rc offsets
+            chunks.append(win((2 * ri_s + 1) * L + rc_off))
             metas.append((ri_s, np.zeros(S, bool), rc_off))
         seeds = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
         return seeds, (
@@ -725,14 +755,18 @@ class TPUAligner:
         idx = np.asarray(list(indices), np.int64)
         W = self._mat_reads.shape[1]
         lens = np.minimum(self._mat_lens[idx], W).astype(np.int64)
+        # effective seed length = min(seed_len, rdlen): reads shorter
+        # than the seed get ONE full-read seed (prepareSeed,
+        # aligner_seed.cpp:321-341)
+        eff = np.minimum(lens, sl)
         ivals = np.maximum(1, o.ival.f_vec(
             self._mat_lens[idx].astype(np.float64)
         ))
         nr = np.minimum(o.nrounds, ivals)
         start = (ivals * roundi) // nr
         count = np.where(
-            (roundi < nr) & (lens >= sl) & (start <= lens - sl),
-            (lens - sl - start) // ivals + 1,
+            (roundi < nr) & (lens >= 1) & (start <= lens - eff),
+            (lens - eff - start) // ivals + 1,
             0,
         )
         S = int(count.sum())
@@ -748,7 +782,7 @@ class TPUAligner:
         if not o.nofw:
             metas.append((ri_s, np.ones(S, bool), d.astype(np.int32)))
         if not o.norc:
-            rc_off = (lens[rsel] - d - sl).astype(np.int32)
+            rc_off = (lens[rsel] - d - eff[rsel]).astype(np.int32)
             metas.append((ri_s, np.zeros(S, bool), rc_off))
         return (
             np.concatenate([m[0] for m in metas]),
@@ -768,10 +802,10 @@ class TPUAligner:
         many seeds (lambda 10K: ~26% duplicates; more on repetitive
         genomes), so instances are deduped up front and the per-unique
         results fanned back out by index."""
-        if len(seeds) > 1024 and seeds.shape[1] <= 27:  # 5^27 < 2^63
+        if len(seeds) > 1024 and seeds.shape[1] <= 24:  # 6^24 < 2^63
             key = np.zeros(len(seeds), np.int64)
-            for j in range(seeds.shape[1]):  # base-5 pack (codes 0..4)
-                key = key * 5 + seeds[:, j]
+            for j in range(seeds.shape[1]):  # base-6 (codes -1..4 -> 0..5)
+                key = key * 6 + (seeds[:, j] + 1)
             uniq, first, inv = np.unique(
                 key, return_index=True, return_inverse=True
             )
@@ -793,6 +827,8 @@ class TPUAligner:
         chunk_offs = [None] * nchunks
         packed_mode = getattr(self, "_search_resolve_fn", None) is None
         SB = o.seed_batch
+        # sub-ftab lanes (reads shorter than ftab_k) are right-padded
+        sub_ftab = bool(S) and bool((seeds[:, -1] < 0).any())
         futs = []
         if packed_mode:
             # one executable + one result copy for ALL chunks
@@ -805,7 +841,7 @@ class TPUAligner:
             a2d = np.asarray(self._search_resolve_mega(
                 self.idx, self._put_chunked(seeds3),
                 self._put_chunked(valid2),
-                o.range_cap, o.resolve_expand,
+                o.range_cap, o.resolve_expand, sub_ftab,
             ))
             for ci, lo in enumerate(range(0, S, SB)):
                 hi = min(lo + SB, S)
@@ -819,7 +855,7 @@ class TPUAligner:
                 valid[: hi - lo] = True
                 res = _prefetch(*self._search_resolve_fn(
                     self.idx, self._put(chunk), self._put(valid),
-                    o.range_cap, o.resolve_expand,
+                    o.range_cap, o.resolve_expand, sub_ftab,
                 ))
                 futs.append((ci, lo, hi, chunk, valid, res))
         rmax = int(o.seed_batch * o.resolve_expand)
@@ -840,13 +876,13 @@ class TPUAligner:
                 if packed_mode:
                     a2 = np.asarray(self._search_resolve_packed(
                         self.idx, self._put(chunk), self._put(valid),
-                        o.range_cap, o.range_cap,
+                        o.range_cap, o.range_cap, sub_ftab,
                     ))
                     st2, of2 = a2[2 * SB : 3 * SB], a2[3 * SB :]
                 else:
                     _, _, st2, of2 = self._search_resolve_fn(
                         self.idx, self._put(chunk), self._put(valid),
-                        o.range_cap, o.range_cap,
+                        o.range_cap, o.range_cap, sub_ftab,
                     )
                 chunk_starts[ci] = np.asarray(st2)
                 chunk_offs[ci] = np.asarray(of2)
@@ -889,6 +925,12 @@ class TPUAligner:
         src_p[:S_act] = 2 * m_ri.astype(np.int32) + (~m_fw)
         offw_p = np.zeros(S, np.int32)
         offw_p[:S_act] = m_off
+        # per-seed effective length: min(seed_len, rdlen) (short reads
+        # get one full-read seed, prepareSeed aligner_seed.cpp:321-341)
+        eff_p = np.full(S, o.seed_len, np.int32)
+        eff_p[:S_act] = np.minimum(
+            o.seed_len, self._mat_lens[m_ri]
+        ).astype(np.int32)
         valid2 = np.zeros(S, bool)
         valid2[:S_act] = True
         npad = len(lens_pad)
@@ -901,9 +943,10 @@ class TPUAligner:
         with self.timers.phase("searchResolve.put"):
             d_src = self._put_chunked(src_p.reshape(NC, SB))
             d_offw = self._put_chunked(offw_p.reshape(NC, SB))
+            d_eff = self._put_chunked(eff_p.reshape(NC, SB))
             d_valid = self._put_chunked(valid2.reshape(NC, SB))
         packed = _rank_frame_mega(
-            self.idx, self._dev_mat, d_src, d_offw, d_valid,
+            self.idx, self._dev_mat, d_src, d_offw, d_eff, d_valid,
             self._put(ri_p), self._put(fw_p), self._put(off_p),
             self._put(lens_pad), self._put(mgn_pad),
             self._put(read_ok_pad),
@@ -913,6 +956,7 @@ class TPUAligner:
             max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
             p_cap=P_CAP, seed_len=o.seed_len,
             sample_seed=o.rng_seed & 0xFFFFFFFF,
+            sub_ftab=bool((eff_p[:S_act] < self.fm.ftab_k).any()),
         )
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)
@@ -1214,7 +1258,11 @@ class TPUAligner:
         rev_src = np.repeat(starts + clipped - 1, clipped) - pos
         mask = np.arange(L, dtype=np.int32)[None, :] < clipped[:, None]
         mat_r = np.full((2 * n, L), 4, np.int8)
-        mat_p = np.zeros((2 * n, L), np.uint8)
+        # penalty field width: u8 packing (code | pen << 4) when every
+        # penalty fits 4 bits (default qual-scaled 2..6), u16 otherwise
+        # (policy strings like MMP=C30 — penalties wrap mod 16 in a u8)
+        pdt = np.uint8 if int(self.mm_tab.max()) <= 15 else np.uint16
+        mat_p = np.zeros((2 * n, L), pdt)
         mat_r[0::2][mask] = flat_r
         mat_p[0::2][mask] = flat_p
         mat_r[1::2][mask] = dna.comp(flat_r[rev_src])
@@ -1228,7 +1276,7 @@ class TPUAligner:
             # mismatch penalty packed per byte (code | pen << 4) —
             # halves the per-batch host->device bytes vs separate mats
             self._dev_mat = jnp.asarray(
-                mat_r.view(np.uint8) | (mat_p << 4)
+                mat_r.view(np.uint8).astype(pdt) | (mat_p << np.uint8(4))
             )
 
     def min_scores(self, reads) -> np.ndarray:

@@ -96,17 +96,31 @@ class PairedAligner:
 
     def _prelim_combos(self, rd1, rd2, c1s: dict, c2s: dict):
         """Candidate pairs passing the cheap position pre-filter (before
-        any backtrace is paid for)."""
+        any backtrace is paid for).  Window-joined over end positions
+        (sort mate 2, searchsorted the band per mate-1 candidate) instead
+        of the O(|c1|*|c2|) double loop — a repetitive genome under -a
+        has hundreds of candidates per mate."""
         pe = self.pe
         maxfrag = max(self.pe.maxfrag, len(rd1.seq), len(rd2.seq)) \
             if pe.expand_to_fit else pe.maxfrag
         slack = 32  # gap slop before exact classify
+        lim = maxfrag + slack
+        l1 = list(c1s.values())
+        l2 = list(c2s.values())
+        if len(l1) * len(l2) <= 64:  # tiny: the loop is cheaper
+            return [(c1, c2) for c1 in l1 for c2 in l2
+                    if abs(c1.endj - c2.endj) <= lim]
+        e2 = np.fromiter((c.endj for c in l2), np.int64, len(l2))
+        order = np.argsort(e2, kind="stable")
+        e2s = e2[order]
+        e1 = np.fromiter((c.endj for c in l1), np.int64, len(l1))
+        lo = np.searchsorted(e2s, e1 - lim, side="left")
+        hi = np.searchsorted(e2s, e1 + lim, side="right")
         prelim = []
-        for (fw1, endj1), c1 in c1s.items():
-            for (fw2, endj2), c2 in c2s.items():
-                if abs(endj1 - endj2) > maxfrag + slack:
-                    continue
-                prelim.append((c1, c2))
+        for i in range(len(l1)):
+            c1 = l1[i]
+            for j in order[lo[i] : hi[i]].tolist():
+                prelim.append((c1, l2[j]))
         return prelim
 
     def _concordant_combos(self, prelim):

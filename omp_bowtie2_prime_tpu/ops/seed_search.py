@@ -28,17 +28,29 @@ def pack_kmer(seed_tail: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(jnp.clip(seed_tail, 0, 3).astype(jnp.int32) * w, axis=-1)
 
 
-def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
-    """Exact backward search of fixed-length seeds.
+def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
+                 sub_ftab: bool = False):
+    """Exact backward search of seeds.
 
-    seeds: int32/int8 [B, L] codes (4 = N); valid: bool [B].
-    Returns (top, bot) int32 [B]; empty lanes have top == bot.
+    seeds: int32/int8 [B, L] codes (4 = N; NEGATIVE = padding). Seeds
+    shorter than L — the reference's min(seed_len, rdlen) clamp for
+    short reads (SeedAligner::prepareSeed, aligner_seed.cpp:321-341) —
+    come in two layouts:
+      - length >= ftab_k: RIGHT-aligned (left-padded), ftab jump on the
+        last k chars, pad lanes hold their finished range;
+      - length < ftab_k (only when sub_ftab=True): LEFT-aligned
+        (right-padded), initialized to the FULL row range [0, nrows) —
+        one LF step from the full range IS the fchr lookup (LF(c, 0) =
+        fchr[c], LF(c, nrows) = fchr[c+1]), so the same lockstep loop
+        searches the whole short seed with no special init
+        (startSearchSeedBi's fchr fallback, aligner_seed.cpp:769-776).
+    valid: bool [B].  Returns (top, bot) [B]; empty lanes top == bot.
     """
     seeds = seeds.astype(jnp.int32)
     B, L = seeds.shape
     k = idx.ftab_k
 
-    has_n = jnp.any(seeds >= 4, axis=-1)
+    has_n = jnp.any(seeds == 4, axis=-1)
     alive = valid & ~has_n
     rowdt = idx.fchr.dtype
     zero = jnp.zeros((), rowdt)
@@ -47,20 +59,28 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
         # ftab jump on the last k chars (backward search starts at seed end)
         q = pack_kmer(seeds[:, L - k :])
         ft, fb = rank.ftab_lookup(idx, q)
+        if sub_ftab:
+            # left-aligned sub-ftab lanes are right-PADDED: their last
+            # column is padding (right-aligned lanes always end real)
+            short = seeds[:, L - 1] < 0
+            ft = jnp.where(short & alive, zero, ft)
+            fb = jnp.where(short & alive, idx.nrows, fb)
+            nsteps = max(L - k, min(k, L) - 1)
+        else:
+            short = jnp.zeros(B, bool)
+            nsteps = L - k
         top = jnp.where(alive, ft, zero)
         bot = jnp.where(alive, fb, zero)
-        nsteps = L - k
+        ftab_hi = L - k  # right-aligned lanes consumed positions >= this
     else:
-        # seed shorter than the ftab k-mer (e.g. -L below the index's
-        # ftab chars): start from the C-array row range of the LAST char
-        # (startSearchSeedBi's fchr fallback, aligner_seed.cpp:769-776)
-        # and LF through the remaining L-1 chars
-        c_last = seeds[:, L - 1]
-        top = jnp.where(alive, rank.small_lookup(idx.fchr, c_last, 4), zero)
-        bot = jnp.where(
-            alive, rank.small_lookup(idx.fchr, c_last + 1, 5), zero
-        )
-        nsteps = L - 1
+        # whole-batch seed length below the ftab k-mer (e.g. -L below
+        # the index's ftab chars): same full-range trick, LF through
+        # every char
+        short = jnp.ones(B, bool)
+        top = jnp.where(alive, zero, zero)
+        bot = jnp.where(alive, idx.nrows, zero)
+        nsteps = L
+        ftab_hi = L
 
     def step(i, carry):
         top, bot = carry
@@ -68,9 +88,10 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray):
         pos = nsteps - 1 - i
         c = jax.lax.dynamic_index_in_dim(seeds, pos, axis=1, keepdims=False)
         live = bot > top
+        upd = live & (c >= 0) & ((pos < ftab_hi) | short)
         ntop, nbot = rank.lf_range(idx, c, top, bot)
-        top = jnp.where(live, ntop, top)
-        bot = jnp.where(live, nbot, top)
+        top = jnp.where(upd, ntop, top)
+        bot = jnp.where(upd, nbot, jnp.where(live, bot, top))
         return top, bot
 
     if nsteps > 0:
@@ -92,7 +113,8 @@ def _mix32(a, b):
 
 def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
                          cap: int, expand: float = 4,
-                         sample_seed: int | None = 0):
+                         sample_seed: int | None = 0,
+                         sub_ftab: bool = False):
     """Fused seed search + SA resolution in ONE device dispatch (the fork
     splits these into phases P4/P6 with host work between,
     bt2_search.cpp:2638/2683; on a remote device each round-trip costs more
@@ -117,11 +139,15 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
     """
     from .walk import resolve_rows
 
-    top, bot = search_seeds(idx, seeds, valid)
+    top, bot = search_seeds(idx, seeds, valid, sub_ftab)
     rowdt = top.dtype
     S = seeds.shape[0]
     wfull = bot - top
-    width = jnp.minimum(wfull, cap)
+    # compaction bookkeeping stays int32 even on the int64 (.bt2l) path:
+    # per-seed take <= cap so totals fit easily, and an int64 cumsum
+    # lowers to a u32-pair reduce-window that blows the scoped-VMEM
+    # budget on TPU (seen at GRCh38 scale)
+    width = jnp.minimum(wfull, cap).astype(jnp.int32)
     rmax = int(S * expand)
     starts = jnp.cumsum(width) - width
     k = jnp.arange(cap, dtype=rowdt)[None, :]
@@ -146,13 +172,14 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
             rowdt
         )
         rows2d = top[:, None] + jnp.where(wfull[:, None] > cap, pick, k)
-    live = k < width[:, None]
-    slots = starts[:, None] + k
+    k32 = jnp.arange(cap, dtype=jnp.int32)[None, :]
+    live = k32 < width[:, None]
+    slots = starts[:, None] + k32
     slots = jnp.where(live & (slots < rmax), slots, rmax)  # rmax = dump slot
     rows_flat = jnp.zeros(rmax + 1, rowdt).at[slots.reshape(-1)].set(
         rows2d.reshape(-1)
     )[:rmax]
     total = jnp.minimum(starts[-1] + width[-1], rmax)
-    rvalid = jnp.arange(rmax, dtype=rowdt) < total
+    rvalid = jnp.arange(rmax, dtype=jnp.int32) < total
     offs = resolve_rows(idx, rows_flat, rvalid)
     return top, bot, starts, offs

@@ -70,7 +70,7 @@ def _index_specs(idx, axis: str):
 
 def tp_search_resolve_fn(idx, mesh: Mesh, range_cap: int, expand: int,
                          axis: str = "model", data_axis: str | None = None,
-                         sample_seed: int = 0):
+                         sample_seed: int = 0, sub_ftab: bool = False):
     """jitted shard_map wrapper of ops/seed_search.search_resolve_seeds
     for a tp-sharded index: seed lanes shard over `data_axis` (or
     replicate if None/absent), index blocks live sharded over `axis`,
@@ -84,7 +84,7 @@ def tp_search_resolve_fn(idx, mesh: Mesh, range_cap: int, expand: int,
         else P()
     fn = functools.partial(
         search_resolve_seeds, cap=range_cap, expand=expand,
-        sample_seed=sample_seed,
+        sample_seed=sample_seed, sub_ftab=sub_ftab,
     )
     mapped = jax.shard_map(
         fn, mesh=mesh,

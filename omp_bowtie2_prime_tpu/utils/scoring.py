@@ -90,6 +90,13 @@ def mm_penalty_table(mmp_min: int = 2, mmp_max: int = 6) -> np.ndarray:
     return (mmp_min + (frac * (mmp_max - mmp_min)).astype(np.int32)).astype(np.int32)
 
 
+def rounded_qual_table() -> np.ndarray:
+    """COST_MODEL_ROUNDED_QUAL (MMP=R / NP=R): maq-style qual rounded to
+    the nearest 10, saturating at 30 (qualRounds[], qual.cpp:20-52)."""
+    q = np.arange(256)
+    return np.minimum((q + 5) // 10 * 10, 30).astype(np.int32)
+
+
 @dataclasses.dataclass(frozen=True)
 class Scoring:
     """End-to-end scoring config (ref: scoring.h:96; defaults bt2_search.cpp)."""
@@ -106,6 +113,9 @@ class Scoring:
     # --ignore-quals: constant mismatch penalty = MX
     # (ref: COST_MODEL_CONSTANT, scoring.h:113-124)
     ignore_quals: bool = False
+    # MMP=R / NP=R: maq-rounded qual penalties (COST_MODEL_ROUNDED_QUAL)
+    mmp_rounded: bool = False
+    np_rounded: bool = False
     # NOTE: the reference's compile-time defaults are float32 literals
     # (DEFAULT_MIN_CONST = -0.6f etc, scoring.h:50-63), which shifts the
     # truncated min score at some read lengths (e.g. 109bp: -66 not -65).
@@ -144,9 +154,18 @@ class Scoring:
         return min(int(self.n_ceil.f(float(rdlen))), rdlen)
 
     def mm_table(self) -> np.ndarray:
+        if self.mmp_rounded:
+            return rounded_qual_table()
         if self.ignore_quals:
             return np.full(256, self.mmp_max, np.int32)
         return mm_penalty_table(self.mmp_min, self.mmp_max)
+
+    def n_table(self) -> np.ndarray:
+        """Per-qual N penalty (npens[], scoring.h:170): constant unless
+        NP=R (initPens with consMin==consMax makes NP=Q constant too)."""
+        if self.np_rounded:
+            return rounded_qual_table()
+        return np.full(256, self.npen, np.int32)
 
     def max_read_gaps(self, minsc: int, rdlen: int) -> int:
         """Max read gaps fitting the score budget (ref: Scoring::maxReadGaps,

@@ -27,12 +27,13 @@ def _mk_args(idx, fm, nc, sb=2048, npad=256, seed_len=10):
              | np.uint8(6 << 4))
     src2 = rng.integers(0, 2 * npad, (nc, sb)).astype(np.int32)
     off2 = rng.integers(0, 64 - seed_len, (nc, sb)).astype(np.int32)
+    eff2 = np.full((nc, sb), seed_len, np.int32)
     valid2 = np.zeros((nc, sb), bool)
     valid2[:, :64] = True
     S = nc * sb
     return (
         idx, jnp.asarray(matpk), jnp.asarray(src2), jnp.asarray(off2),
-        jnp.asarray(valid2),
+        jnp.asarray(eff2), jnp.asarray(valid2),
         jnp.asarray(np.zeros(S, np.int32)),
         jnp.asarray(np.zeros(S, bool)),
         jnp.asarray(np.zeros(S, np.int32)),

@@ -110,11 +110,17 @@ def test_seed_meta_matches_materialized_seeds():
         a = sorted(zip(ri.tolist(), fw.tolist(), off.tolist()))
         b = sorted(zip(mri.tolist(), mfw.tolist(), moff.tolist()))
         assert a == b
-        # windows gathered from the matrix rows match the seed arrays
-        W = al._mat_reads.shape[1]
+        # windows gathered from the matrix rows match the seed arrays;
+        # seeds shorter than seed_len (min(seed_len, rdlen) clamp) are
+        # right-aligned with -1 padding (layout contract in
+        # ops/seed_search.py search_seeds)
         for k in range(len(mri)):
             src = 2 * int(mri[k]) + (0 if mfw[k] else 1)
-            w = al._mat_reads[src, int(moff[k]) : int(moff[k]) + 22]
+            eff = min(22, int(al._mat_lens[int(mri[k])]))
+            w = np.full(22, -1, np.int8)
+            w[22 - eff:] = al._mat_reads[
+                src, int(moff[k]) : int(moff[k]) + eff
+            ]
             match = [
                 t for t in range(len(ri))
                 if (ri[t], fw[t], off[t]) == (mri[k], mfw[k], moff[k])

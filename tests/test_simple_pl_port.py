@@ -1,0 +1,424 @@
+"""Full port of the reference's hand-written functional corpus
+(scripts/test/simple_tests.pl, ~272 case hashes) to pytest.
+
+The cases are extracted from /root/reference AT TEST TIME with a small
+perl eval (nothing is copied into this repo); the checking logic below
+is a faithful Python translation of the Perl driver's SAM checks
+(simple_tests.pl:4809-5400): per-record hits/pairhits multiset
+decrement, cigar/cigar_map, mapq/mapq_map, samflags_map, samoptflags
+(+_map/_flagmap, unexpected flags must be i:0), rnext/pnext/tlen maps,
+leftover check unless hits_are_superset, should_abort, check_random,
+and the fw + reverse-complement double run (mates swapped, --ff/--fr/
+--rf derived from mate1fw/mate2fw).
+
+Known deliberate divergences are skipped with cited reasons (SKIP dict).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shlex
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+REF_PL = "/root/reference/scripts/test/simple_tests.pl"
+
+_COMP = str.maketrans("ACGTNacgtn", "TGCANtgcan")
+
+
+def revcomp(s: str) -> str:
+    return s.translate(_COMP)[::-1]
+
+
+def _extract_cases(tmpdir) -> list:
+    lines = open(REF_PL).read().split("\n")
+    start = next(i for i, l in enumerate(lines)
+                 if l.startswith("my @cases = ("))
+    end = next(i for i, l in enumerate(lines) if l == ");")
+    block = "\n".join(lines[start : end + 1]).replace(
+        "my @cases", "our @cases", 1
+    )
+    src = os.path.join(tmpdir, "cases.pl")
+    with open(src, "w") as f:
+        f.write(block)
+    out = os.path.join(tmpdir, "cases.json")
+    perl = f'''
+use strict; use warnings; use JSON::PP;
+my $src = do {{ local $/; open my $f, "<", "{src}" or die; <$f> }};
+our @cases; eval $src; die "eval failed: $@" if $@;
+open my $o, ">", "{out}" or die;
+print $o JSON::PP->new->canonical->encode(\\@cases);
+'''
+    subprocess.run(["perl", "-e", perl], check=True)
+    return json.load(open(out))
+
+
+_CASES = None
+
+
+def _cases():
+    global _CASES
+    if _CASES is None:
+        import tempfile
+
+        with tempfile.TemporaryDirectory() as td:
+            _CASES = _extract_cases(td)
+    return _CASES
+
+
+# ---- deliberate divergences / environment limits (cited) ----
+SKIP = {
+    # fork warn-and-ignores --bwa-sw-like (bt2_search.cpp BWA_SW_LIKE
+    # warn); we mirror the fork, so upstream's bwa-sw-like scoring
+    # expectations don't apply
+    "--bwa-sw-like": "fork ignores --bwa-sw-like (we mirror its warning)",
+}
+
+# case-name skips (behavior we deliberately pin to the FORK, or upstream
+# internals with no analog), each with the citation
+NAME_SKIP = {}
+
+
+def _case_params():
+    params = []
+    for ci, c in enumerate(_cases()):
+        args = (c.get("args") or "") + " " + (c.get("report") or "")
+        skip = None
+        for frag, why in SKIP.items():
+            if frag in args:
+                skip = why
+        file_input = any(
+            k in c for k in (
+                "fastq", "fasta", "tabbed", "qseq", "raw", "cline_reads",
+                "cont_fasta_reads", "fastq1", "fasta1", "tabbed1",
+                "qseq1", "raw1", "cline_reads1", "cont_fasta_reads1",
+            )
+        )
+        fwlo = 1 if c.get("nofw") else 0
+        fwhi = 0 if c.get("norc") else 1
+        for fwi in range(fwlo, fwhi + 1):
+            fw = fwi == 0
+            if file_input and not fw:
+                continue  # perl: `next unless $fw` for file-literal cases
+            name = f"{ci:03d}-{'fw' if fw else 'rc'}"
+            marks = [pytest.mark.skip(reason=skip)] if skip else []
+            nm_why = NAME_SKIP.get(c.get("name", ""))
+            if nm_why:
+                marks = [pytest.mark.skip(reason=nm_why)]
+            params.append(pytest.param(ci, fw, id=name, marks=marks))
+    return params
+
+
+_IDX_CACHE = {}
+
+
+def _index_for(refs, tmp_factory):
+    key = tuple(refs)
+    if key not in _IDX_CACHE:
+        from omp_bowtie2_prime_tpu.index.builder import build_index
+        d = tmp_factory.mktemp("idx")
+        fa = str(d / "ref.fa")
+        with open(fa, "w") as f:
+            for i, r in enumerate(refs):
+                f.write(f">{i}\n{r}\n")
+        p = str(d / "idx.npz")
+        fm = build_index(fa, ftab_k=7)
+        fm.save(p)
+        _IDX_CACHE[key] = p
+    return _IDX_CACHE[key]
+
+
+def _write_reads(c, fw, d):
+    """Returns CLI arg fragments for the case's read inputs (fw or rc
+    orientation), mirroring simple_tests.pl:4833-4920."""
+    argv = []
+    reads = c.get("reads")
+    quals = c.get("quals") or []
+    m1s, m2s = c.get("mate1s"), c.get("mate2s")
+    q1s, q2s = c.get("qual1s") or [], c.get("qual2s") or []
+    names = c.get("names") or []
+    mate1fw = c.get("mate1fw", 1)
+    mate2fw = c.get("mate2fw", 0)
+
+    def fq(path, seqs, qs, nms):
+        with open(path, "w") as f:
+            for i, s in enumerate(seqs):
+                q = qs[i] if i < len(qs) and qs[i] else "I" * len(s)
+                nm = nms[i] if i < len(nms) and nms[i] else f"r{i}"
+                f.write(f"@{nm}\n{s}\n+\n{q}\n")
+
+    if m1s is not None:
+        a, b, qa, qb = list(m1s), list(m2s), list(q1s), list(q2s)
+        if not fw:
+            if mate1fw == mate2fw:
+                a = [revcomp(x) for x in a]
+                b = [revcomp(x) for x in b]
+                qa = [x[::-1] for x in qa]
+                qb = [x[::-1] for x in qb]
+            a, b, qa, qb = b, a, qb, qa
+        f1, f2 = str(d / "m1.fq"), str(d / "m2.fq")
+        fq(f1, a, qa, names)
+        fq(f2, b, qb, names)
+        argv += ["-1", f1, "-2", f2]
+        argv += ["--" + ("f" if mate1fw else "r") + ("f" if mate2fw else "r")]
+        return argv
+    if reads is not None:
+        seqs, qs = list(reads), list(quals)
+        if not fw:
+            seqs = [revcomp(s) for s in seqs]
+            qs = [q[::-1] if q else q for q in qs]
+        f1 = str(d / "r.fq")
+        fq(f1, seqs, qs, names)
+        argv += ["-U", f1]
+        return argv
+    # literal file contents
+    fmt_map = {
+        "fastq": ("-q", ".fq"), "fasta": ("-f", ".fa"),
+        "tabbed": ("--TAB", ".tab"), "qseq": ("--qseq", "_qseq.txt"),
+        "raw": ("-r", ".raw"),
+    }
+    for kind, (flag, ext) in fmt_map.items():
+        if kind in c:
+            p = str(d / ("r" + ext))
+            with open(p, "w") as f:
+                f.write(c[kind])
+            if flag == "--TAB":
+                argv += ["--tab5", p]
+            else:
+                argv += [flag, "-U", p]
+            return argv
+        if kind + "1" in c:
+            p1, p2 = str(d / ("m1" + ext)), str(d / ("m2" + ext))
+            with open(p1, "w") as f:
+                f.write(c[kind + "1"])
+            with open(p2, "w") as f:
+                f.write(c[kind + "2"])
+            argv += ([flag] if flag != "--TAB" else []) + ["-1", p1, "-2", p2]
+            mate1fw = c.get("mate1fw", 1)
+            mate2fw = c.get("mate2fw", 0)
+            argv += ["--" + ("f" if mate1fw else "r")
+                     + ("f" if mate2fw else "r")]
+            return argv
+    if "cline_reads" in c:
+        argv += ["-c", "-U", c["cline_reads"].rstrip("\n")]
+        return argv
+    if "cline_reads1" in c:
+        argv += ["-c", "-1", c["cline_reads1"].rstrip("\n"),
+                 "-2", c["cline_reads2"].rstrip("\n")]
+        mate1fw = c.get("mate1fw", 1)
+        mate2fw = c.get("mate2fw", 0)
+        argv += ["--" + ("f" if mate1fw else "r") + ("f" if mate2fw else "r")]
+        return argv
+    if "cont_fasta_reads" in c:
+        p = str(d / "cont.fa")
+        with open(p, "w") as f:
+            f.write(c["cont_fasta_reads"])
+        argv += ["-U", p]  # -F k,i comes from the case args
+        return argv
+    raise AssertionError("case has no reads")
+
+
+def _rdi_of(qname, c):
+    """Perl driver rdi logic (simple_tests.pl:5039-5064): strip a
+    leading 'r', take the part before '/', idx_map lookup, then Perl
+    NUMERIC COERCION — a non-numeric string array-indexes as its
+    numeric prefix (0 if none)."""
+    rdi = qname
+    if rdi.startswith("r"):
+        rdi = rdi[1:]
+    if "/" in qname:
+        rdi = qname.split("/")[0]
+    im = c.get("idx_map") or {}
+    if rdi in im:
+        return im[rdi]
+    m = re.match(r"[+-]?\d+", rdi)
+    if m:
+        return int(m.group())
+    names = c.get("names") or []
+    for i, nm in enumerate(names):
+        if nm == qname:
+            return i
+    return 0  # perl: non-numeric string coerces to 0 as array index
+
+
+def _match_optflags(got: dict, expected: dict):
+    """matchSamOptionalFlags (simple_tests.pl:4779-4805): every flag in
+    the output must match the expectation, defaulting to i:0 for
+    unlisted flags.  YF is exempt: we pin the FORK's unconditional
+    YF:Z:LN emission (bt2_search.cpp:2496-2524), which upstream-targeted
+    cases don't list."""
+    ex = {}
+    for spec in expected:
+        nm, ty, vl = spec.split(":", 2)
+        ex[nm] = (ty, vl)
+    for nm, (ty, vl) in got.items():
+        if nm == "YF":
+            continue
+        ety, evl = ex.get(nm, ("i", "0"))
+        assert ty == ety, f"optflag {nm}: type {ty} != {ety}"
+        assert str(vl) == str(evl), f"optflag {nm}: {vl} != {evl}"
+
+
+def _run_case(ci, fw, tmp_path, tmp_path_factory):
+    from omp_bowtie2_prime_tpu.cli import main as climain
+
+    c = _cases()[ci]
+    idx = _index_for(tuple(c["ref"]), tmp_path_factory)
+    out = str(tmp_path / "out.sam")
+    argv = ["align", "-x", idx, "-S", out]
+    argv += _write_reads(c, fw, tmp_path)
+    case_args = (c.get("args") or "").replace("\\;", ";")
+    argv += shlex.split(case_args)
+    report = c.get("report")
+    # report strings go through the same shell unescaping as args
+    # (the perl driver interpolates both into one command line)
+    argv += shlex.split((report if report is not None else "-a")
+                        .replace("\\;", ";"))
+
+    if c.get("should_abort"):
+        with pytest.raises(BaseException):
+            rc = climain(argv)
+            if rc:
+                raise SystemExit(rc)
+        return
+
+    climain(argv)
+
+    lines = [l.rstrip("\n") for l in open(out) if not l.startswith("@")]
+    if "lines" in c:
+        assert len(lines) == c["lines"]
+
+    pe = (c.get("mate1s") is not None or c.get("paired")
+          or any(k in c for k in ("fastq1", "fasta1", "tabbed1", "qseq1",
+                                  "raw1", "cline_reads1")))
+    hits = [dict(h) for h in (c.get("hits") or [])]
+    pairhits = [dict(h) for h in (c.get("pairhits") or [])]
+    superset = c.get("hits_are_superset") or []
+    lastoff = "*"
+    lastchr = ""
+    seen_rand = {}
+
+    for line in lines:
+        f = line.split("\t")
+        qname, flag, chrom, pos = f[0], int(f[1]), f[2], int(f[3])
+        mapq, cigar, rnext, pnext_s, tlen = f[4], f[5], f[6], f[7], f[8]
+        seq, qual = f[9], f[10]
+        optflags = {}
+        for t in f[11:]:
+            nm, ty, vl = t.split(":", 2)
+            optflags[nm] = (ty, vl)
+        off = pos - 1 if pos > 0 else "*"
+        off_orig = off
+        if cigar == "*":
+            off = "*"
+        pnext = int(pnext_s) - 1 if pnext_s != "0" else "*"
+
+        if c.get("check_random"):
+            k = (qname, flag & 16, seq, qual)
+            v = (chrom, off)
+            if k in seen_rand:
+                assert seen_rand[k] == v, "identical reads diverged"
+            seen_rand[k] = v
+
+        rdi = _rdi_of(qname, c)
+
+        # samflags_map
+        sm = (c.get("samflags_map") or [])
+        if rdi < len(sm) and sm[rdi]:
+            ex = sm[rdi].get(str(off))
+            assert ex is not None, f"off {off} not in samflags_map"
+            if isinstance(ex, list):
+                ex = ex[1 if off == lastoff else 0]
+            assert flag == int(ex), f"FLAG {flag} != {ex} at off {off}"
+        # cigar
+        cg = c.get("cigar") or []
+        if rdi < len(cg) and cg[rdi] is not None:
+            assert cigar == cg[rdi], f"CIGAR {cigar} != {cg[rdi]}"
+        cgm = c.get("cigar_map") or []
+        if rdi < len(cgm) and cgm[rdi]:
+            ex = cgm[rdi].get(str(off))
+            assert ex is not None, f"off {off} not in cigar_map"
+            assert cigar == ex, f"CIGAR {cigar} != {ex} at off {off}"
+        # mapq
+        mq = c.get("mapq") or []
+        if rdi < len(mq) and mq[rdi] is not None:
+            assert str(mapq) == str(mq[rdi]), f"MAPQ {mapq} != {mq[rdi]}"
+        mqm = c.get("mapq_map") or []
+        if rdi < len(mqm) and mqm[rdi]:
+            ex = mqm[rdi].get(str(off))
+            assert ex is not None, f"off {off} not in mapq_map"
+            assert str(mapq) == str(ex)
+        # optional flags
+        sof = c.get("samoptflags") or []
+        if rdi < len(sof) and sof[rdi]:
+            _match_optflags(optflags, sof[rdi])
+        sofm = c.get("samoptflags_map") or []
+        if rdi < len(sofm) and sofm[rdi]:
+            ex = sofm[rdi].get(str(off))
+            assert ex is not None, f"off {off} not in samoptflags_map"
+            _match_optflags(optflags, ex)
+        soff = c.get("samoptflags_flagmap") or []
+        if rdi < len(soff) and soff[rdi]:
+            ex = soff[rdi].get(str(flag))
+            assert ex is not None, f"flag {flag} not in samoptflags_flagmap"
+            _match_optflags(optflags, ex)
+        # rnext/pnext/tlen maps
+        for mkey, got in (("rnext_map", rnext), ("pnext_map", pnext),
+                          ("tlen_map", tlen)):
+            mp = c.get(mkey) or []
+            if rdi < len(mp) and mp[rdi]:
+                ex = mp[rdi].get(str(off))
+                assert ex is not None, f"off {off} not in {mkey}"
+                if isinstance(ex, list):
+                    ex = ex[1 if off == lastoff else 0]
+                assert str(got) == str(ex), f"{mkey}: {got} != {ex}"
+
+        # hits / pairhits accounting
+        if pe and lastchr != "":
+            if off == "*" or lastoff == "*":
+                key = f"{off},{lastoff}" if off == "*" else f"{lastoff},{off}"
+            else:
+                key = f"{min(lastoff, off)},{max(lastoff, off)}"
+            if rdi < len(pairhits) and pairhits[rdi]:
+                assert key in pairhits[rdi], \
+                    f"pair off {key} not expected: {pairhits[rdi]}"
+                pairhits[rdi][key] -= 1
+                if pairhits[rdi][key] == 0:
+                    del pairhits[rdi][key]
+            lastchr, lastoff = "", "*"
+        elif pe:
+            found_se = (rdi < len(pairhits) and pairhits[rdi]
+                        and pairhits[rdi].get(str(off)))
+            if found_se:
+                pairhits[rdi][str(off)] -= 1
+                if pairhits[rdi][str(off)] == 0:
+                    del pairhits[rdi][str(off)]
+            else:
+                lastchr, lastoff = chrom if chrom != "*" else "x", off
+        else:
+            if rdi < len(hits) and hits[rdi] is not None:
+                assert str(off) in hits[rdi], \
+                    f"off {off} not expected: {hits[rdi]}"
+                hits[rdi][str(off)] -= 1
+                if hits[rdi][str(off)] == 0:
+                    del hits[rdi][str(off)]
+
+    # leftover check
+    for k in range(max(len(hits), len(pairhits))):
+        sup = superset[k] if k < len(superset) else 0
+        if k < len(hits) and hits[k] and not sup:
+            raise AssertionError(f"read {k}: hits left over: {hits[k]}")
+        if k < len(pairhits) and pairhits[k] and not sup:
+            raise AssertionError(
+                f"read {k}: pairhits left over: {pairhits[k]}"
+            )
+
+
+@pytest.mark.parametrize("ci,fw", _case_params())
+def test_simple_pl(ci, fw, tmp_path, tmp_path_factory):
+    _run_case(ci, fw, tmp_path, tmp_path_factory)
