@@ -76,7 +76,8 @@ def cmd_build(args):
               file=sys.stderr)
         return
     srate = args.sa_rate if args.offrate is None else (1 << args.offrate)
-    fm = build_index(args.fasta, ftab_k=args.ftab_chars, srate=srate)
+    fm = build_index(args.fasta, ftab_k=args.ftab_chars, srate=srate,
+                     bmax=args.bmax, bmaxdivn=args.bmaxdivn, dcv=args.dcv)
     out = args.out if args.out.endswith(".npz") else args.out + ".npz"
     fm.save(out)
     print(
@@ -230,6 +231,13 @@ def cmd_align(args):
         args.policy = (args.policy or []) + [pol]
 
     fm = _load_index(args.index)
+    if getattr(args, "offrate", None) is not None:
+        # -o at align time: SPARSER SA sample than built (offrate
+        # override, bt2_io.cpp:220-235); smaller resident sample,
+        # longer walks. Only overrides upward, like the reference.
+        new_rate = 1 << args.offrate
+        if new_rate > fm.srate:
+            fm = fm.subsample_sa(new_rate)
 
     # -P/--preset <name>: preset by name; the last one wins (applyPreset
     # composition, bt2_search.cpp:1632-1638)
@@ -365,6 +373,8 @@ def cmd_align(args):
         khits=args.khits, allhits=args.allhits,
         mapqv=args.mapqv, maxhalf=args.dpad,
         seed_boost=args.seed_boost, rng_seed=args.seed,
+        overhang=args.overhang,
+        upfront_rescue=not args.no_1mm_upfront,
     )
     aligner = TPUAligner(fm, sc, opts)
     # -p 2+: a second aligner instance (sharing the device-resident
@@ -555,7 +565,11 @@ def cmd_align(args):
                         fq_dump(unm_out[1], rd2)
                 if not (args.no_unal and both_unal):
                     w.write_pair(rd1, rd2, pres.m1, pres.m2, pres.cat,
-                                 pres.tlen1, pres.tlen2)
+                                 pres.tlen1, pres.tlen2,
+                                 unique=not pres.extras)
+                    for em1, em2, et1, et2 in pres.extras:
+                        w.write_pair(rd1, rd2, em1, em2, pres.cat,
+                                     et1, et2, secondary=True)
                 else:
                     w.summary.add_pair(pres.cat, 0, 0)
 
@@ -905,6 +919,9 @@ def main(argv=None):
     a.add_argument("--n-ceil", default=None)
     a.add_argument("--ignore-quals", action="store_true")
     a.add_argument("--dpad", type=int, default=15)
+    # -o at align time: override (sparsify) the SA sample rate
+    # (bt2_io.cpp:220-235)
+    a.add_argument("-o", "--offrate", type=int, default=None)
     # --overhang: report alignments that hang off the reference ends —
     # off-end positions align against N and get soft-clipped in the
     # record (gReportOverhangs, bt2_search.cpp:1092)

@@ -84,9 +84,15 @@ def _ftab(text: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     # whose running total IS top (keys < q5_i) and bot (<= q5_i) — no
     # serial cumsum over the 5^k-bin histogram (12.9s at k=12 on this
     # host; this path is ~4s).
+    hist = np.bincount(acc, minlength=5**k + 1)
+    return _ftab_from_hist(hist, k)
+
+
+def _ftab_from_hist(hist: np.ndarray, k: int):
+    """top/bot from the base-5 key histogram (shared by the in-memory
+    and blockwise builders — identical output by construction)."""
     nq = 4**k
     q5 = _q5_keys(k)
-    hist = np.bincount(acc, minlength=5**k + 1)
     idx = np.empty(2 * nq + 1, np.int64)
     idx[0] = 0
     idx[1::2] = q5
@@ -99,6 +105,22 @@ def _ftab(text: np.ndarray, k: int) -> tuple[np.ndarray, np.ndarray]:
     top = cs[0::2].astype(np.uint32)
     bot = cs[1::2].astype(np.uint32)
     return top, bot
+
+
+def _ftab_hist(text: np.ndarray, k: int, chunk: int = 1 << 24):
+    """_ftab with bounded memory: the per-suffix base-5 keys histogram
+    accumulates chunk-by-chunk (the in-memory path stages two O(n)
+    staging arrays — too big under the blockwise build's RAM cap)."""
+    from .blockwise import _keys_chunk
+
+    n = len(text)
+    hist = np.zeros(5**k + 1, np.int64)
+    for lo in range(0, n + 1, chunk):
+        hi = min(lo + chunk, n + 1)
+        hist[: 5**k] += np.bincount(
+            _keys_chunk(text, lo, hi, k), minlength=5**k
+        )
+    return _ftab_from_hist(hist, k)
 
 
 _Q5_CACHE: dict = {}
@@ -186,8 +208,25 @@ def build_index_from_text(
 
 
 def build_index(fasta_paths, ftab_k: int | None = None,
-                srate: int = 8) -> FMIndex:
-    """FASTA file(s) -> FMIndex (the bowtie2-build equivalent entry point)."""
+                srate: int = 8, bmax: int | None = None,
+                bmaxdivn: int | None = None,
+                dcv: int | None = None) -> FMIndex:
+    """FASTA file(s) -> FMIndex (the bowtie2-build equivalent entry point).
+
+    bmax/bmaxdivn/dcv select the bounded-memory blockwise build
+    (index/blockwise.py — byte-identical output, SA streamed in sorted
+    buckets of ~bmax suffixes; the --bmax/--bmaxdivn/--dcv capability of
+    the reference's KarkkainenBlockwiseSA, blockwise_sa.h:255+). Left
+    None, the whole-SA native SA-IS path runs (faster, more RAM)."""
     names, seqs = parse_fasta(fasta_paths)
     joined, refmap = join_references(names, seqs)
+    if bmax is not None or bmaxdivn is not None or dcv is not None:
+        from .blockwise import build_index_blockwise
+
+        if bmax is None:
+            bmax = max(1 << 20, (len(joined) + 1) // (bmaxdivn or 4))
+        return build_index_blockwise(
+            joined, refmap, ftab_k=ftab_k, srate=srate, bmax=bmax,
+            dcv=dcv or 1024,
+        )
     return build_index_from_text(joined, refmap, ftab_k=ftab_k, srate=srate)

@@ -109,6 +109,34 @@ class FMIndex:
         arrs = {k: z[k] for k in z.files if not k.startswith("__")}
         return cls(refmap=refmap, **scalars, **arrs)
 
+    def subsample_sa(self, new_srate: int) -> "FMIndex":
+        """Load-time offrate override (-o at align time,
+        bt2_io.cpp:220-235): keep only the SA samples at text positions
+        = 0 mod new_srate. Sparser resident sample, walks bounded by
+        new_srate instead of srate."""
+        if new_srate <= self.srate:
+            return self
+        if new_srate % self.srate:
+            raise SystemExit(
+                "error: -o override must be a multiple of the built "
+                f"SA rate ({self.srate})"
+            )
+        keep = (self.sa_sample.astype(np.int64) % new_srate) == 0
+        bits = np.unpackbits(
+            self.mark_words.view(np.uint8), bitorder="little"
+        )
+        pos = np.flatnonzero(bits)  # marked rows, row order
+        bits[pos[~keep]] = 0
+        mark_words = np.packbits(bits, bitorder="little").view(np.uint32)
+        per_block = bits.reshape(self.nblocks, OCC_BLOCK).sum(axis=1)
+        mark_cp = np.concatenate(
+            [[0], np.cumsum(per_block, dtype=np.int64)[:-1]]
+        )
+        return dataclasses.replace(
+            self, srate=new_srate, mark_words=mark_words,
+            mark_cp=mark_cp, sa_sample=self.sa_sample[keep],
+        )
+
 
 @struct.dataclass
 class DeviceIndex:

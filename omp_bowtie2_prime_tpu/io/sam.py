@@ -325,20 +325,28 @@ class SamWriter:
     # XG NM MD YS YT (sam.cpp:130-340).
 
     def write_pair(self, rd1, rd2, res1, res2, cat: str,
-                   tlen1: int, tlen2: int):
+                   tlen1: int, tlen2: int, secondary: bool = False,
+                   unique: bool = True):
         """res1/res2: AlnResult-likes (status/fw/refid/refoff/mapq/cigar/
-        stats/score/secbest); cat: 'concord' | 'discord' | 'mixed'."""
+        stats/score/secbest); cat: 'concord' | 'discord' | 'mixed'.
+        secondary: a further -k/-a pairing (0x100 records, no summary)."""
         yt = {"concord": "CP", "discord": "DP", "mixed": "UP"}[cat]
-        self._write_mate(rd1, res1, res2, True, cat, yt, tlen1)
-        self._write_mate(rd2, res2, res1, False, cat, yt, tlen2)
+        self._write_mate(rd1, res1, res2, True, cat, yt, tlen1, secondary)
+        self._write_mate(rd2, res2, res1, False, cat, yt, tlen2, secondary)
+        if secondary:
+            return
         a1 = res1.status == "aligned"
         a2 = res2.status == "aligned"
-        self.summary.add_pair(cat, 1 if a1 else 0, 1 if a2 else 0)
+        self.summary.add_pair(cat, 1 if a1 else 0, 1 if a2 else 0,
+                              unique=unique)
 
-    def _write_mate(self, rd, res, ores, is1: bool, cat: str, yt: str, tlen: int):
+    def _write_mate(self, rd, res, ores, is1: bool, cat: str, yt: str,
+                    tlen: int, secondary: bool = False):
         aligned = res.status == "aligned"
         oaligned = ores.status == "aligned"
         fl = FLAG_PAIRED | (FLAG_FIRST_IN_PAIR if is1 else FLAG_SECOND_IN_PAIR)
+        if secondary:
+            fl |= FLAG_NOT_PRIMARY
         if cat == "concord":
             fl |= FLAG_MAPPED_PAIRED
         if not oaligned:

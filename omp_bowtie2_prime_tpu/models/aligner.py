@@ -89,6 +89,16 @@ class AlignOpts:
     # the walk kernel's cost is linear in slots, and post-dedupe demand is
     # ~0.3/lane on unique genomes — spilled chunks retry at range_cap wide)
     resolve_expand: float = 0.5
+    # up-front rescue round (half-read exact seeds, _seed_grid roundi=-1):
+    # restores upstream's do1mmUpFront capability for reads whose every
+    # multiseed crosses the mismatch; off = --no-1mm-upfront
+    upfront_rescue: bool = True
+    # --overhang (gReportOverhangs, bt2_search.cpp:1092): alignments may
+    # hang off the reference ends — off-end positions align against N
+    # (scored -npen, counted in ns/XN) and the overhanging read chars
+    # soft-clip in the record (aligner_result.cpp:1806-1840). Such
+    # problems run through the ref-space bridge DP.
+    overhang: bool = False
     dp_batch: int = 2048
     dp_cols: int = 200  # device window capacity, short-read bucket (cols)
     # widest window the Pallas SW kernel takes before its VMEM tile
@@ -687,28 +697,13 @@ class TPUAligner:
         o = self.opts
         sl = o.seed_len
         lens = self._mat_lens[idx].astype(np.int64)
-        # min(seed_len, rdlen) clamp: short reads yield one full-read
-        # seed, stored right-aligned with -1 padding (prepareSeed,
-        # aligner_seed.cpp:321-341; pad semantics in ops/seed_search.py)
-        eff = np.minimum(lens, sl)
-        ivals = np.maximum(1, o.ival.f_vec(lens.astype(np.float64)))
-        nr = np.minimum(o.nrounds, ivals)
-        start = (ivals * roundi) // nr
-        count = np.where(
-            (roundi < nr) & (lens >= 1) & (start <= lens - eff),
-            (lens - eff - start) // ivals + 1,
-            0,
-        )
-        S = int(count.sum())
+        rsel, d, eff_s = self._seed_grid(idx, lens, roundi)
+        S = len(rsel)
         if S == 0:
             return np.zeros((0, sl), np.int8), (
                 np.zeros(0, np.int32), np.zeros(0, bool),
                 np.zeros(0, np.int32),
             )
-        rsel = np.repeat(np.arange(len(idx), dtype=np.int64), count)
-        k = np.arange(S, dtype=np.int64)
-        k -= np.repeat(np.cumsum(count) - count, count)
-        d = start[rsel] + k * ivals[rsel]  # fw 5' seed offsets
         ri_s = idx[rsel]
         mat = self._mat_reads
         L = mat.shape[1]
@@ -717,7 +712,6 @@ class TPUAligner:
         # short seeds: right-aligned when they can still ftab-jump
         # (eff >= ftab_k), left-aligned below (sub-ftab lanes; layout
         # contract in ops/seed_search.py search_seeds)
-        eff_s = eff[rsel]
         shift = np.where(eff_s >= self.fm.ftab_k, sl - eff_s, 0)
         jj = j[None, :] - shift[:, None]
         real = (jj >= 0) & (jj < eff_s[:, None])
@@ -733,7 +727,7 @@ class TPUAligner:
             chunks.append(win(2 * ri_s * L + d))
             metas.append((ri_s, np.ones(S, bool), d))
         if not o.norc:
-            rc_off = lens[rsel] - d - eff[rsel]  # mirrored rc offsets
+            rc_off = lens[rsel] - d - eff_s  # mirrored rc offsets
             chunks.append(win((2 * ri_s + 1) * L + rc_off))
             metas.append((ri_s, np.zeros(S, bool), rc_off))
         seeds = np.concatenate(chunks) if len(chunks) > 1 else chunks[0]
@@ -743,25 +737,34 @@ class TPUAligner:
             np.concatenate([m[2] for m in metas]).astype(np.int32),
         )
 
-    def _instantiate_seeds_meta(self, indices, roundi: int):
-        """(m_ri, m_fw, m_off) for the fused device path: the same seed
-        multiset _instantiate_seeds would emit, WITHOUT materializing the
-        seed windows — the device gathers them from the resident packed
-        read matrix (_rank_frame_mega).  Reads longer than the matrix
-        width (> l_hard, truncated, read_ok=False anyway) clamp their
-        depth range to the resident prefix."""
+    def _seed_grid(self, idx, lens, roundi: int):
+        """Per-seed (read sel, fw offset, effective length) for one round.
+
+        roundi >= 0: the reference's multiseed grid — seeds of
+        min(seed_len, rdlen) every ival(rdlen), round offsets staggered
+        (prepareSeed/instantiateSeeds, aligner_seed.cpp:321-447).
+
+        roundi == -1: the up-front-rescue round — TWO half-read exact
+        seeds (prefix + suffix). Upstream bowtie2 catches 1-mismatch
+        reads whose every multiseed crosses the mismatch with a
+        bidirectional 1mm end-to-end search (do1mmUpFront); the fork
+        compiled that out with the mirror index (bt2_search.cpp:
+        4018-4034 #if 0). Same guarantee, existing machinery: any
+        1-mismatch (or 1-small-gap) alignment has an exact half, so the
+        half seeds feed the normal resolve+DP path."""
         o = self.opts
         sl = o.seed_len
-        idx = np.asarray(list(indices), np.int64)
-        W = self._mat_reads.shape[1]
-        lens = np.minimum(self._mat_lens[idx], W).astype(np.int64)
-        # effective seed length = min(seed_len, rdlen): reads shorter
-        # than the seed get ONE full-read seed (prepareSeed,
-        # aligner_seed.cpp:321-341)
+        if roundi < 0:
+            h = np.minimum(sl, np.maximum(1, lens // 2))
+            rsel = np.repeat(np.arange(len(idx), dtype=np.int64), 2)
+            second = np.arange(2 * len(idx)) % 2 == 1
+            d = np.where(second, lens[rsel] - h[rsel], 0)
+            return rsel, d, h[rsel]
+        # min(seed_len, rdlen) clamp: short reads yield one full-read
+        # seed, stored right-aligned with -1 padding (prepareSeed,
+        # aligner_seed.cpp:321-341; pad semantics in ops/seed_search.py)
         eff = np.minimum(lens, sl)
-        ivals = np.maximum(1, o.ival.f_vec(
-            self._mat_lens[idx].astype(np.float64)
-        ))
+        ivals = np.maximum(1, o.ival.f_vec(lens.astype(np.float64)))
         nr = np.minimum(o.nrounds, ivals)
         start = (ivals * roundi) // nr
         count = np.where(
@@ -770,24 +773,41 @@ class TPUAligner:
             0,
         )
         S = int(count.sum())
-        if S == 0:
-            return (np.zeros(0, np.int32), np.zeros(0, bool),
-                    np.zeros(0, np.int32))
         rsel = np.repeat(np.arange(len(idx), dtype=np.int64), count)
         k = np.arange(S, dtype=np.int64)
         k -= np.repeat(np.cumsum(count) - count, count)
-        d = start[rsel] + k * ivals[rsel]
+        d = start[rsel] + k * ivals[rsel]  # fw 5' seed offsets
+        return rsel, d, eff[rsel]
+
+    def _instantiate_seeds_meta(self, indices, roundi: int):
+        """(m_ri, m_fw, m_off, m_eff) for the fused device path: the same
+        seed multiset _instantiate_seeds would emit, WITHOUT materializing
+        the seed windows — the device gathers them from the resident
+        packed read matrix (_rank_frame_mega).  Reads longer than the
+        matrix width (> l_hard, truncated, read_ok=False anyway) clamp
+        their depth range to the resident prefix."""
+        o = self.opts
+        idx = np.asarray(list(indices), np.int64)
+        W = self._mat_reads.shape[1]
+        lens = np.minimum(self._mat_lens[idx], W).astype(np.int64)
+        rsel, d, eff_s = self._seed_grid(idx, lens, roundi)
+        S = len(rsel)
+        if S == 0:
+            z32 = np.zeros(0, np.int32)
+            return (z32, np.zeros(0, bool), z32, z32)
         ri_s = idx[rsel].astype(np.int32)
+        eff32 = eff_s.astype(np.int32)
         metas = []
         if not o.nofw:
             metas.append((ri_s, np.ones(S, bool), d.astype(np.int32)))
         if not o.norc:
-            rc_off = (lens[rsel] - d - eff[rsel]).astype(np.int32)
+            rc_off = (lens[rsel] - d - eff_s).astype(np.int32)
             metas.append((ri_s, np.zeros(S, bool), rc_off))
         return (
             np.concatenate([m[0] for m in metas]),
             np.concatenate([m[1] for m in metas]),
             np.concatenate([m[2] for m in metas]),
+            np.concatenate([eff32] * len(metas)),
         )
 
     # ---------------- device phase helpers (padded chunking) ----------------
@@ -908,7 +928,7 @@ class TPUAligner:
 
         return tops, bots, (glob_offs, glob_start, glob_end)
 
-    def _rank_frame_device(self, m_ri, m_fw, m_off, lens_pad,
+    def _rank_frame_device(self, m_ri, m_fw, m_off, m_eff, lens_pad,
                            mgn_pad, read_ok_pad):
         """Fused instantiate+search+resolve+rank+frame: per-seed (matrix
         row, offset) pairs go up, ONE packed problem table comes back —
@@ -925,12 +945,10 @@ class TPUAligner:
         src_p[:S_act] = 2 * m_ri.astype(np.int32) + (~m_fw)
         offw_p = np.zeros(S, np.int32)
         offw_p[:S_act] = m_off
-        # per-seed effective length: min(seed_len, rdlen) (short reads
-        # get one full-read seed, prepareSeed aligner_seed.cpp:321-341)
+        # per-seed effective length (min(seed_len, rdlen) on normal
+        # rounds, half-read on the rescue round — see _seed_grid)
         eff_p = np.full(S, o.seed_len, np.int32)
-        eff_p[:S_act] = np.minimum(
-            o.seed_len, self._mat_lens[m_ri]
-        ).astype(np.int32)
+        eff_p[:S_act] = m_eff
         valid2 = np.zeros(S, bool)
         valid2[:S_act] = True
         npad = len(lens_pad)
@@ -1222,6 +1240,18 @@ class TPUAligner:
                     if self._hit_nonz[ri] == 0
                     or self._hit_elts[ri] // self._hit_nonz[ri] >= sb
                 ]
+        if self.opts.upfront_rescue:
+            # half-read-seed rescue round for reads still unaligned —
+            # upstream's do1mmUpFront capability (the fork compiled it
+            # out, bt2_search.cpp:4018 #if 0); only previously-unaligned
+            # reads enter, so fork-differential records are unchanged
+            rescue = [ri for ri in range(n)
+                      if results[ri].status != "aligned"]
+            if rescue:
+                cands = self.collect_candidates(reads, minscs, rescue, -1)
+                self.metrics.add(candidates=sum(len(c) for c in cands))
+                with self.timers.phase("finishRead"):
+                    self._finalize_unpaired(reads, minscs, cands, results)
         return results
 
     def build_read_matrices(self, reads) -> None:
@@ -1331,7 +1361,7 @@ class TPUAligner:
         seeds = None
         with self.timers.phase("instantiateSeeds"):
             if fused:
-                m_ri, m_fw, m_off = self._instantiate_seeds_meta(
+                m_ri, m_fw, m_off, m_eff = self._instantiate_seeds_meta(
                     active, roundi
                 )
             else:
@@ -1383,7 +1413,8 @@ class TPUAligner:
             with self.timers.phase("searchResolve"):
                 try:
                     fused = self._rank_frame_device(
-                        m_ri, m_fw, m_off, lens_pad, mgn_pad, rok_pad
+                        m_ri, m_fw, m_off, m_eff, lens_pad, mgn_pad,
+                        rok_pad
                     )
                 except Exception as e:
                     # axon runtime instability (see __init__): disable for
@@ -1530,13 +1561,13 @@ class TPUAligner:
         # fast path entirely (see _run_bridge); zero overhead when the
         # genome has no such gaps
         bridge_cands = []
-        bi = self._bridge_problem_indices(problems)
+        bi = self._bridge_problem_indices(problems, mgn_all)
         if len(bi):
             bridge_probs = problems.take(bi)
             keep = np.ones(len(problems), bool)
             keep[bi] = False
             problems = problems.take(np.flatnonzero(keep))
-            bridge_cands = self._run_bridge(minscs, bridge_probs)
+            bridge_cands = self._run_bridge(minscs, bridge_probs, mgn_all)
             if not len(problems):
                 cands = [{} for _ in range(n)]
                 for ri, key, cand in bridge_cands:
@@ -1702,10 +1733,19 @@ class TPUAligner:
             endj = problems.wstart[vi] + bestcol[vi].astype(np.int64)
             fwv = problems.fw[vi]
             riv = ri_arr[vi]
-            order = np.lexsort(
-                (np.arange(len(vi)), -best[vi], endj, fwv, riv)
+            # local mode groups by DIAGONAL (endj - end read row), not
+            # end position: a lower-scoring sub-alignment of the same
+            # diagonal is redundant with the longer one (the reference's
+            # per-cell RedundantAlns check, aligner_result.h:1687; two
+            # DISJOINT same-diagonal local alignments also collapse here
+            # — an accepted approximation, they share the seed diagonal)
+            gkey = endj if rows is None else (
+                endj - rows[0][vi].astype(np.int64)
             )
-            r_o, f_o, e_o = riv[order], fwv[order], endj[order]
+            order = np.lexsort(
+                (np.arange(len(vi)), -best[vi], gkey, fwv, riv)
+            )
+            r_o, f_o, e_o = riv[order], fwv[order], gkey[order]
             gf = np.empty(len(vi), bool)
             gf[0] = True
             gf[1:] = ((r_o[1:] != r_o[:-1]) | (f_o[1:] != f_o[:-1])
@@ -1721,6 +1761,7 @@ class TPUAligner:
             ri_l = riv[emit].tolist()
             fw_l = fwv[emit].tolist()
             ej_l = endj[emit].tolist()
+            gk_l = gkey[emit].tolist()  # dict key: diag in local mode
             sc_l = best[pis].tolist()
             bc_l = bestcol[pis].tolist()
             st_l = startcols[pis].tolist()
@@ -1733,7 +1774,7 @@ class TPUAligner:
                 rlo_l = rows[1][pis].tolist()
             for t in range(len(emit)):
                 ri = ri_l[t]
-                cands[ri][(fw_l[t], ej_l[t])] = Candidate(
+                cands[ri][(fw_l[t], gk_l[t])] = Candidate(
                     score=sc_l[t], fw=fw_l[t], endj=ej_l[t],
                     problem=dict(src=src_l[t], wstart=ws_l[t],
                                  wlen=wl_l[t], diag=dg_l[t]),
@@ -1772,21 +1813,41 @@ class TPUAligner:
             )
         return flag
 
-    def _bridge_problem_indices(self, problems) -> np.ndarray:
+    def _bridge_problem_indices(self, problems, mgn_all=None) -> np.ndarray:
         """Indices of problems whose joined window crosses a fragment
-        boundary between fragments of the SAME reference (an N gap)."""
-        if not self._has_intra_ref_gaps() or len(problems) == 0:
+        boundary between fragments of the SAME reference (an N gap), plus
+        — under --overhang — problems whose desired (unclipped) window
+        extends outside the containing reference's [0, reflen) span
+        (gReportOverhangs: such alignments run in ref space with N fill
+        and soft-clip the off-end part)."""
+        if len(problems) == 0:
             return np.zeros(0, np.int64)
+        sel = np.zeros(len(problems), bool)
         rm = self.fm.refmap
-        ws = problems.wstart
-        we = ws + problems.wlen
-        fi_s = np.searchsorted(rm.frag_joined, ws, side="right") - 1
-        fi_e = np.searchsorted(rm.frag_joined, we - 1, side="right") - 1
-        return np.flatnonzero(
-            (fi_s != fi_e) & (rm.frag_refid[fi_s] == rm.frag_refid[fi_e])
-        )
+        if self._has_intra_ref_gaps():
+            ws = problems.wstart
+            we = ws + problems.wlen
+            fi_s = np.searchsorted(rm.frag_joined, ws, side="right") - 1
+            fi_e = np.searchsorted(rm.frag_joined, we - 1, side="right") - 1
+            sel |= (fi_s != fi_e) & (
+                rm.frag_refid[fi_s] == rm.frag_refid[fi_e]
+            )
+        if self.opts.overhang and mgn_all is not None:
+            fi_d = np.searchsorted(
+                rm.frag_joined, problems.diag, side="right") - 1
+            fi_d = np.clip(fi_d, 0, None)
+            rid = rm.frag_refid[fi_d]
+            ref_diag = rm.frag_ref[fi_d] + (
+                problems.diag - rm.frag_joined[fi_d]
+            )
+            mg = mgn_all[problems.ri]
+            ln = self._mat_lens[problems.ri].astype(np.int64)
+            sel |= (ref_diag - mg < 0) | (
+                ref_diag + ln + mg > rm.reflens[rid]
+            )
+        return np.flatnonzero(sel)
 
-    def _run_bridge(self, minscs, probs) -> list:
+    def _run_bridge(self, minscs, probs, mgn_all=None) -> list:
         """DP the bridge problems with explicit ref-space N-filled windows;
         returns [(ri, key, Candidate)] for valid-scoring endpoints."""
         rm = self.fm.refmap
@@ -1795,14 +1856,43 @@ class TPUAligner:
         we = ws + probs.wlen
         fi_s = np.searchsorted(rm.frag_joined, ws, side="right") - 1
         fi_e = np.searchsorted(rm.frag_joined, we - 1, side="right") - 1
-        refid = rm.frag_refid[fi_s].astype(np.int64)
-        ref_lo = rm.frag_ref[fi_s] + (ws - rm.frag_joined[fi_s])
-        ref_hi = rm.frag_ref[fi_e] + (we - 1 - rm.frag_joined[fi_e]) + 1
-        width = (ref_hi - ref_lo).astype(np.int64)
-        # unspannable windows (gap chars beyond any N/gap budget) drop out
-        keep = np.flatnonzero(
-            width - probs.wlen <= self._BRIDGE_EXTRA_MAX
+        map_lo = rm.frag_ref[fi_s] + (ws - rm.frag_joined[fi_s])
+        map_hi = rm.frag_ref[fi_e] + (we - 1 - rm.frag_joined[fi_e]) + 1
+        # anchor every window on the seed DIAGONAL's fragment: the joined
+        # window's other end may live across a huge N gap (or in another
+        # reference entirely) — such spans are clamped, not dropped (the
+        # alignment cannot bridge more than X gap chars anyway: a
+        # deletion of that size busts any score budget)
+        fi_d = np.clip(np.searchsorted(
+            rm.frag_joined, probs.diag, side="right") - 1, 0, None)
+        rid_d = rm.frag_refid[fi_d].astype(np.int64)
+        ref_diag = rm.frag_ref[fi_d] + (probs.diag - rm.frag_joined[fi_d])
+        mg = mgn_all[probs.ri] if mgn_all is not None else (
+            probs.wlen.astype(np.int64) // 2
         )
+        ln = self._mat_lens[probs.ri].astype(np.int64)
+        if o.overhang:
+            # --overhang: full desired margins, off-reference positions
+            # included (N-filled by ref_window; soft-clipped at finish)
+            want_lo = ref_diag - mg
+            want_hi = ref_diag + ln + mg
+        else:
+            want_lo = np.maximum(ref_diag - mg, 0)
+            want_hi = np.minimum(ref_diag + ln + mg, rm.reflens[rid_d])
+        X = self._BRIDGE_EXTRA_MAX
+        same_s = rm.frag_refid[fi_s] == rid_d
+        same_e = rm.frag_refid[fi_e] == rid_d
+        refid = rid_d
+        ref_lo = np.maximum(
+            want_lo - X,
+            np.minimum(np.where(same_s, map_lo, want_lo), want_lo),
+        )
+        ref_hi = np.minimum(
+            want_hi + X,
+            np.maximum(np.where(same_e, map_hi, want_hi), want_hi),
+        )
+        width = (ref_hi - ref_lo).astype(np.int64)
+        keep = np.flatnonzero(width > 0)
         if not len(keep):
             return []
         srcs = probs.src[keep]
@@ -1897,8 +1987,34 @@ class TPUAligner:
         stats = cigar_util.alignment_stats(read, refw, c.start_col, cigar)
         if stats["ns"] > self.sc.n_ceil_for(rdlen):
             return  # too many Ns (aligner_swsse_ee_u8.cpp:1284)
+        refoff = int(ref_lo + c.start_col)
+        reflen = int(self.fm.refmap.reflens[rid])
+        if self.opts.overhang and (
+            refoff < 0 or refoff + stats["ref_span"] > reflen
+        ):
+            # soft-clip the off-reference columns for the record
+            # (aligner_result.cpp:1806-1840); AS keeps the full DP score
+            # and ns/XN keep the full alignment's N count — only
+            # CIGAR/POS/MD/NM/XM reflect the trimmed span
+            cig2, refoff2, lead, trail = cigar_util.clip_off_end(
+                cigar, refoff, reflen
+            )
+            if not cig2:
+                return
+            read2 = read[lead : len(read) - trail] if (lead or trail) \
+                else read
+            st2 = cigar_util.alignment_stats(
+                read2, refw, refoff2 - int(ref_lo), cig2
+            )
+            st2["ns"] = stats["ns"]
+            st2["xn"] = stats["xn"]
+            stats = st2
+            ql += lead
+            qr += trail
+            cigar = cig2
+            refoff = refoff2
         c.refid = rid
-        c.refoff = ref_lo + c.start_col
+        c.refoff = refoff
         c.span = stats["ref_span"]
         js = self.fm.refmap.ref_to_joined(rid, c.refoff)
         c.joined_start = js if js is not None else -1
@@ -2179,9 +2295,17 @@ class TPUAligner:
         lens_l = self._mat_lens.tolist()
         mq_cache: dict = {}  # distinct (score, secbest, minsc, len) are few
         while pend:
-            self.backtrace_batch(
-                [ranked[i][1] for ranked, i in pend.values()]
-            )
+            batch = []
+            for ranked, i in pend.values():
+                batch.append(ranked[i][1])
+                if i + 1 < len(ranked) and ranked[i + 1][1].bridge is not None:
+                    # the runner-up's validity is uncertain (N-filled
+                    # window: gap bridge or --overhang) — validate it now
+                    # so a nceil-rejected candidate never sets XS/MAPQ
+                    # (the reference only tracks second-best among
+                    # alignments that survived its backtrace filters)
+                    batch.append(ranked[i + 1][1])
+            self.backtrace_batch(batch)
             nxt = {}
             for ri, (ranked, i) in pend.items():
                 cand = ranked[i][1]
@@ -2189,7 +2313,13 @@ class TPUAligner:
                     if i + 1 < len(ranked):
                         nxt[ri] = (ranked, i + 1)
                     continue
-                secbest = ranked[1][1].score if len(ranked) > 1 else None
+                secbest = None
+                for j in range(i + 1, len(ranked)):
+                    c2 = ranked[j][1]
+                    if c2.resolved and not c2.valid:
+                        continue  # proved invalid: not a second-best
+                    secbest = c2.score
+                    break
                 if multi:
                     mq = 255
                 else:
@@ -2252,3 +2382,16 @@ class TPUAligner:
             ))
         res.extra = extras
         res.nhits = 1 + len(extras)
+        # XS from surviving alignments: the rank-order secbest may have
+        # been a candidate the backtrace filters rejected (nceil /
+        # fragment straddle); first not-known-invalid non-primary wins
+        vsec = None
+        for j, (_key, c2) in enumerate(ranked):
+            if j == primary_i or (c2.resolved and not c2.valid):
+                continue
+            vsec = c2.score
+            break
+        if res.secbest != vsec:
+            res.secbest = vsec
+            for ex in extras:
+                ex.secbest = vsec

@@ -48,6 +48,9 @@ class PairResult:
     m2: AlnResult
     tlen1: int = 0  # signed TLEN on mate 1's record
     tlen2: int = 0
+    # -k>1 / -a: additional concordant pairings reported as secondary
+    # records, each (m1, m2, tlen1, tlen2)
+    extras: list = dataclasses.field(default_factory=list)
 
 
 def _to_result(cand: Candidate, secbest, mapq) -> AlnResult:
@@ -233,6 +236,7 @@ class PairedAligner:
         acc = [dict() for _ in range(2 * npairs)]
         best_pair = [None] * npairs  # (c1, c2)
         secbest_csc = [None] * npairs  # second-best concordant combined score
+        self._all_combos = {}  # pi -> ranked combos (-k>1/-a only)
 
         unresolved = list(range(npairs))
         for roundi in range(self.al.opts.nrounds):
@@ -263,6 +267,26 @@ class PairedAligner:
                     if any(hn[i] == 0 or he[i] // hn[i] >= sb
                            for i in (2 * pi, 2 * pi + 1))
                 ]
+
+        # half-read-seed rescue round (upstream's do1mmUpFront analog,
+        # models/aligner.py _seed_grid roundi=-1): mates of unresolved
+        # pairs with NO candidates at all get two exact half seeds
+        if unresolved and o.upfront_rescue:
+            need = [i for pi in unresolved for i in (2 * pi, 2 * pi + 1)
+                    if not nfilt[i] and not acc[i]]
+            if need:
+                cands = al.collect_candidates(reads, minscs, need, -1)
+                for i in need:
+                    ban = self._ban[i % 2]
+                    for key, c in cands[i].items():
+                        if ban[0 if key[0] else 1]:
+                            continue
+                        cur = acc[i].get(key)
+                        if cur is None or c.score > cur.score:
+                            acc[i][key] = c
+                unresolved = self._concordance_pass(
+                    pairs, unresolved, acc, best_pair, secbest_csc
+                )
 
         # batched mate rescue for pairs without a concordant combo
         if unresolved:
@@ -306,7 +330,8 @@ class PairedAligner:
             if best_pair[pi] is not None:
                 out.append(self._emit_concordant(
                     rd1, rd2, best_pair[pi], secbest_csc[pi],
-                    int(minscs[2 * pi]), int(minscs[2 * pi + 1])))
+                    int(minscs[2 * pi]), int(minscs[2 * pi + 1]),
+                    pi=pi))
                 continue
             out.append(self._emit_unpaired_pair(
                 rd1, rd2, acc[2 * pi], acc[2 * pi + 1],
@@ -349,22 +374,50 @@ class PairedAligner:
             best_pair[pi] = combos[0]
             if len(combos) > 1:
                 secbest_csc[pi] = combos[1][0].score + combos[1][1].score
+            o = self.al.opts
+            if o.allhits or o.khits > 1:
+                self._all_combos[pi] = combos
         return still
 
     def _emit_concordant(self, rd1, rd2, combo, secbest_csc,
-                         minsc1, minsc2) -> PairResult:
+                         minsc1, minsc2, pi=None) -> PairResult:
         sc = self.al.sc
+        o = self.al.opts
         c1, c2 = combo
         perfect = sc.match_bonus * (len(rd1.seq) + len(rd2.seq))
         csc = c1.score + c2.score
-        mq_fn = mapq_v2_local if self.al.opts.local else mapq_v2_e2e
-        mq = mq_fn(csc, secbest_csc, minsc1 + minsc2, perfect)
+        multi = o.allhits or o.khits > 1
+        if multi:
+            mq = 255  # -k>1/-a: no meaningful MAPQ (unique.h:200-205)
+        else:
+            mq_fn = mapq_v2_local if self.al.opts.local else mapq_v2_e2e
+            mq = mq_fn(csc, secbest_csc, minsc1 + minsc2, perfect)
         m1 = _to_result(c1, None, mq)
         m2 = _to_result(c2, None, mq)
         tlen1 = fragment_length(
             c1.refoff, c1.span, c1.fw, True, c2.refoff, c2.span, c2.fw
         )
-        return PairResult(cat="concord", m1=m1, m2=m2, tlen1=tlen1, tlen2=-tlen1)
+        res = PairResult(cat="concord", m1=m1, m2=m2,
+                         tlen1=tlen1, tlen2=-tlen1)
+        combos = self._all_combos.get(pi) if multi and pi is not None \
+            else None
+        if combos and len(combos) > 1:
+            # further concordant pairings -> secondary pair records
+            # (upstream -k/-a paired reporting; rank order stands in for
+            # selectAlnsToReport's rotation, aln_sink.cpp:1640-1676)
+            limit = len(combos) if o.allhits else o.khits
+            for e1, e2 in combos[1:limit]:
+                if (e1, e2) == (c1, c2):
+                    continue
+                t1 = fragment_length(
+                    e1.refoff, e1.span, e1.fw, True,
+                    e2.refoff, e2.span, e2.fw,
+                )
+                res.extras.append(
+                    (_to_result(e1, None, 255), _to_result(e2, None, 255),
+                     t1, -t1)
+                )
+        return res
 
     def _pair_rng(self, rd1, rd2) -> refrng.RandomSource:
         """Pair reporting RNG: seed = seed1 ^ seed2

@@ -21,7 +21,7 @@ import numpy as np
 _ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 _CSRC = os.path.join(_ROOT, "csrc")
 _LIB_PATH = os.path.join(_CSRC, "libbtcore.so")
-_SOURCES = ["sais.cpp"]
+_SOURCES = ["sais.cpp", "blockwise.cpp"]
 
 _lock = threading.Lock()
 _lib = None
@@ -79,6 +79,19 @@ def get_lib():
         lib.bt_bwt_from_sa_i64.restype = ctypes.c_int64
         lib.bt_bwt_from_sa_i64.argtypes = [ctypes.c_void_p] * 3 + [
             ctypes.c_int64]
+        lib.bt_dc_ranks_i64.restype = ctypes.c_int
+        lib.bt_dc_ranks_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+        ]
+        lib.bt_dc_sort_i64.restype = ctypes.c_int
+        lib.bt_dc_sort_i64.argtypes = [
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_void_p, ctypes.c_int32,
+            ctypes.c_void_p, ctypes.c_int64, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_int64,
+        ]
         lib.bt_finish_batch.restype = ctypes.c_int64
         lib.bt_finish_batch.argtypes = [ctypes.c_void_p, ctypes.c_int64,
                                         ctypes.c_int64] + [ctypes.c_void_p] * 2 + [

@@ -27,6 +27,57 @@ def parse_cigar(s: str) -> list:
     return out
 
 
+def clip_off_end(cigar: list, refoff: int, reflen: int):
+    """Soft-clip alignment columns lying outside [0, reflen) — the
+    --overhang record trim (gReportOverhangs; the reference soft-clips
+    the overhanging portion for SAM, aligner_result.cpp:1806-1840).
+
+    Returns (cigar', refoff', lead_read_clip, trail_read_clip): cigar'
+    covers only on-reference columns (no S ops included — the caller adds
+    them, merging with any local-mode clips), refoff' is the clipped-in
+    POS, and the read-clip counts say how many read chars fell off each
+    end (M and I consume read; off-end D ops drop silently)."""
+    out = []
+    lead_rd = trail_rd = 0
+    p = refoff
+    new_off = None
+    for op, n in cigar:
+        if op == "I":
+            if not out and p <= 0:
+                lead_rd += n  # insertion before any on-ref column
+            elif p >= reflen:
+                trail_rd += n
+            else:
+                out.append((op, n))
+            continue
+        # M or D consumes ref [p, p+n): split into off-left / on / off-right
+        pre = min(n, max(0, -p))
+        post = min(n - pre, max(0, p + n - reflen))
+        mid = n - pre - post
+        if op == "M":
+            lead_rd += pre
+            trail_rd += post
+        if mid:
+            if new_off is None:
+                new_off = p + pre
+            out.append((op, mid))
+        p += n
+    # neither a deletion nor an insertion can start or end an alignment
+    while out and out[0][0] in "DI":
+        op, n = out.pop(0)
+        if op == "D":
+            new_off += n
+        else:
+            lead_rd += n
+    while out and out[-1][0] in "DI":
+        op, n = out.pop()
+        if op == "I":
+            trail_rd += n
+    if new_off is None:
+        new_off = max(0, refoff)
+    return out, new_off, lead_rd, trail_rd
+
+
 def left_align_cigar(cigar: list, read_codes, ref_window, start_col: int
                      ) -> list:
     """Left-align gap runs (StackedAln::leftAlign with pastMms=False,
@@ -198,10 +249,14 @@ def alignment_stats(read_codes, ref_window, start_col, cigar):
         elif op == "D":  # ref chars skipped in read (read gap)
             md_parts.append(str(match_run))
             match_run = 0
-            md_parts.append("^" + dna.decode([int(c) for c in ref_window[j : j + n]]))
+            dref = [int(c) for c in ref_window[j : j + n]]
+            md_parts.append("^" + dna.decode(dref))
             nm += n
             xo += 1
             xg += n
+            xn += sum(1 for c in dref if c >= 4)  # XN = ref Ns
+            # overlapped by the alignment, deleted ones included
+            # (AlnRes::refNs, aligner_result.h:1578)
             j += n
     md_parts.append(str(match_run))
     # MD needs digits between consecutive events; the construction above

@@ -104,3 +104,33 @@ def test_join_references_splits_on_N():
     assert list(valid) == [True, True, True, False]
     assert list(refid[:3]) == [0, 0, 1]
     assert list(refoff[:3]) == [0, 7, 2]
+
+
+def test_subsample_sa_offrate_override():
+    """-o at align time (FMIndex.subsample_sa, bt2_io.cpp:220-235):
+    sparser marks, same resolved offsets through the walk kernel."""
+    from omp_bowtie2_prime_tpu.index.builder import build_index_from_text
+    from omp_bowtie2_prime_tpu.index.format import DeviceIndex
+    from omp_bowtie2_prime_tpu.ops import walk
+
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    text = rng.integers(0, 4, 3000).astype(np.int8)
+    joined, rm = join_references(["c"], [text])
+    fm = build_index_from_text(joined, rm, ftab_k=7)
+    fm64 = fm.subsample_sa(64)
+    assert fm64.srate == 64
+    # sample set: exactly the positions = 0 mod 64
+    assert np.array_equal(
+        fm64.sa_sample, fm.sa_sample[fm.sa_sample % 64 == 0]
+    )
+    assert fm64.mark_cp[-1] <= fm.mark_cp[-1]
+    # walks resolve every row to the same offset as the dense sample
+    idx16 = DeviceIndex.from_host(fm)
+    idx64 = DeviceIndex.from_host(fm64)
+    rows = jnp.asarray(rng.integers(0, fm.nrows, 512, dtype=np.int64))
+    valid = jnp.ones(512, bool)
+    o16 = np.asarray(walk.resolve_rows(idx16, rows, valid))
+    o64 = np.asarray(walk.resolve_rows(idx64, rows, valid))
+    assert np.array_equal(o16, o64)

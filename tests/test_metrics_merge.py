@@ -104,7 +104,7 @@ def test_seed_meta_matches_materialized_seeds():
         seeds, (ri, fw, off) = al._instantiate_seeds(
             reads, range(len(reads)), roundi
         )
-        mri, mfw, moff = al._instantiate_seeds_meta(
+        mri, mfw, moff, meff = al._instantiate_seeds_meta(
             range(len(reads)), roundi
         )
         a = sorted(zip(ri.tolist(), fw.tolist(), off.tolist()))
