@@ -591,9 +591,14 @@ class TPUAligner:
             self._sw_bt_fn = self._sw_bt_xla
             self._sw_bt_fn_mat = self._sw_bt_xla_mat
         # index-only dispatch needs a globally-addressable matrix row
-        # gather: single-device only (a 'data'-sharded mesh would need an
-        # all-gather per dispatch)
-        self._dp_from_mat = self.placer is None
+        # gather. Single device: trivially. Data mesh: the packed read
+        # matrix REPLICATES per device (~10 MB/batch — negligible next
+        # to the index) so row gathers stay local and XLA inserts no
+        # collectives. Only a model-sharded (tp-index) mesh falls back
+        # to inline rows.
+        self._dp_from_mat = (
+            self.placer is None or self.placer.model_axis is None
+        )
         self._dev_mat = None
         self._put = _put_factory(self.placer)
         self._put_chunked = (
@@ -963,6 +968,8 @@ class TPUAligner:
             d_offw = self._put_chunked(offw_p.reshape(NC, SB))
             d_eff = self._put_chunked(eff_p.reshape(NC, SB))
             d_valid = self._put_chunked(valid2.reshape(NC, SB))
+        _t_disp = self.timers.phase("searchResolve.dispatch")
+        _t_disp.__enter__()
         packed = _rank_frame_mega(
             self.idx, self._dev_mat, d_src, d_offw, d_eff, d_valid,
             self._put(ri_p), self._put(fw_p), self._put(off_p),
@@ -976,6 +983,7 @@ class TPUAligner:
             sample_seed=o.rng_seed & 0xFFFFFFFF,
             sub_ftab=bool((eff_p[:S_act] < self.fm.ftab_k).any()),
         )
+        _t_disp.__exit__(None, None, None)
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)
         count, ov = int(a[4 * P_CAP]), int(a[4 * P_CAP + 1])
@@ -1304,9 +1312,13 @@ class TPUAligner:
             # ONE resident device copy for index-only DP dispatch and
             # on-device seed gathering: read code and qual-scaled
             # mismatch penalty packed per byte (code | pen << 4) —
-            # halves the per-batch host->device bytes vs separate mats
-            self._dev_mat = jnp.asarray(
-                mat_r.view(np.uint8).astype(pdt) | (mat_p << np.uint8(4))
+            # halves the per-batch host->device bytes vs separate mats.
+            # On a data mesh the matrix replicates (placer.repl) so the
+            # per-problem row gathers never cross shards.
+            packed = mat_r.view(np.uint8).astype(pdt) | (mat_p << np.uint8(4))
+            self._dev_mat = (
+                jnp.asarray(packed) if self.placer is None
+                else jax.device_put(packed, self.placer.repl)
             )
 
     def min_scores(self, reads) -> np.ndarray:
