@@ -149,10 +149,17 @@ def _keys_chunk(text: np.ndarray, lo: int, hi: int, p: int) -> np.ndarray:
 
 
 def sa_blocks(text: np.ndarray, bmax: int, dcv: int = 1024,
-              verbose: bool = False):
+              verbose: bool = False, workers: int = 3):
     """Yield the suffix array of text+sentinel as consecutive sorted
     blocks, each ~<= bmax positions (a single pathological prefix key
-    may exceed it; its block is sorted anyway and a warning printed)."""
+    may exceed it; its block is sorted anyway and a warning printed).
+
+    Bucket groups sort CONCURRENTLY (`workers` of them in flight —
+    ctypes releases the GIL during the native sort, so this is real
+    task parallelism, the analog of the reference dispatching buckets
+    to a thread_pool, blockwise_sa.h:310-340) while blocks yield in
+    order; peak extra memory = workers * bmax * 8 bytes."""
+    from concurrent.futures import ThreadPoolExecutor
     from ..native import get_lib
     import ctypes
     import sys
@@ -188,11 +195,12 @@ def sa_blocks(text: np.ndarray, bmax: int, dcv: int = 1024,
 
     t8 = np.ascontiguousarray(text.view(np.uint8))
     D32 = np.ascontiguousarray(D.astype(np.int32))
-    for gi in range(len(bounds) - 1):
+
+    def sort_group(gi):
         klo, khi = bounds[gi], bounds[gi + 1]
         total = int(hist[klo:khi].sum())
         if total == 0:
-            continue
+            return np.empty(0, np.int64)
         if total > bmax and verbose:
             print(f"blockwise: bucket group [{klo},{khi}) holds {total} "
                   f"suffixes (> bmax {bmax})", file=sys.stderr)
@@ -220,7 +228,19 @@ def sa_blocks(text: np.ndarray, bmax: int, dcv: int = 1024,
             posbuf.ctypes.data_as(ctypes.c_void_p), ctypes.c_int64(total),
         )
         assert rc == 0
-        yield posbuf
+        return posbuf
+
+    ngroups = len(bounds) - 1
+    with ThreadPoolExecutor(max_workers=max(1, workers)) as ex:
+        pend = {gi: ex.submit(sort_group, gi)
+                for gi in range(min(workers, ngroups))}
+        for gi in range(ngroups):
+            blk = pend.pop(gi).result()
+            nxt = gi + len(pend) + 1
+            if nxt < ngroups and nxt not in pend:
+                pend[nxt] = ex.submit(sort_group, nxt)
+            if len(blk):
+                yield blk
 
 
 # ---------------- streaming FM assembly ----------------

@@ -85,10 +85,15 @@ class AlignOpts:
     # on-chip time of these kernels)
     seed_batch: int = 32768
     row_batch: int = 32768
-    # compaction slots per seed lane for SA resolution (may be fractional;
-    # the walk kernel's cost is linear in slots, and post-dedupe demand is
-    # ~0.3/lane on unique genomes — spilled chunks retry at range_cap wide)
-    resolve_expand: float = 0.5
+    # compaction slots per seed lane for SA resolution (may be
+    # fractional; the walk kernel's cost is linear in slots). The fused
+    # mega path never dedupes seeds, and on real genomes nearly every
+    # existing k-mer has >= 1 hit, so demand is ~1 slot/lane: 0.5 made
+    # the mega spill on EVERY genome-scale batch and silently fall back
+    # to the host path (found round 2 via the 46 Mbp phase profile —
+    # the "0.3/lane post-dedupe" sizing only described the deduped host
+    # path). Deep-repeat batches past 1.0 still spill and fall back.
+    resolve_expand: float = 1.0
     # up-front rescue round (half-read exact seeds, _seed_grid roundi=-1):
     # restores upstream's do1mmUpFront capability for reads whose every
     # multiseed crosses the mismatch; off = --no-1mm-upfront
@@ -979,20 +984,25 @@ class TPUAligner:
             np.int32(self.fm.n),
             range_cap=o.range_cap, expand=o.resolve_expand,
             max_elts=o.max_elts_per_read, max_dp=o.max_dp_per_read,
-            p_cap=P_CAP, seed_len=o.seed_len,
+            # problem-table rows scale with the batch: typical yield is
+            # ~1.2 problems/read (fw+rc diagonals), so a fixed 32K table
+            # overflowed on every full 32K-read batch — and the silent
+            # host-path fallback halved genome-scale throughput
+            p_cap=max(P_CAP, 2 * npad), seed_len=o.seed_len,
             sample_seed=o.rng_seed & 0xFFFFFFFF,
             sub_ftab=bool((eff_p[:S_act] < self.fm.ftab_k).any()),
         )
         _t_disp.__exit__(None, None, None)
+        p_cap = max(P_CAP, 2 * npad)
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)
-        count, ov = int(a[4 * P_CAP]), int(a[4 * P_CAP + 1])
-        if ov or count > P_CAP:
+        count, ov = int(a[4 * p_cap]), int(a[4 * p_cap + 1])
+        if ov or count > p_cap:
             return None
         probs = a[: 4 * count].reshape(count, 4) if count else \
             np.zeros((0, 4), np.int32)
-        hn = a[4 * P_CAP + 2 : 4 * P_CAP + 2 + npad]
-        he = a[4 * P_CAP + 2 + npad :]
+        hn = a[4 * p_cap + 2 : 4 * p_cap + 2 + npad]
+        he = a[4 * p_cap + 2 + npad :]
         return probs, hn, he
 
     # windows wider than the device text's tail padding (ops/sw.py
@@ -1462,7 +1472,17 @@ class TPUAligner:
                     reads, minscs, n, problems,
                     lens_all, mgn_all, mgw_all, thr_all,
                 )
-            # table overflow (repeat-heavy batch): host path below
+            # table overflow (repeat-heavy batch): host path below.
+            # Note it once — a silent per-batch fallback cost 2-3x
+            # end-to-end throughput for a whole round before it was
+            # noticed (resolve_expand sizing, AlignOpts)
+            if not getattr(self, "_warned_mega_overflow", False):
+                self._warned_mega_overflow = True
+                import sys as _sys
+
+                print("note: fused rank/frame table overflowed "
+                      "(repeat-heavy batch); such batches use the host "
+                      "path", file=_sys.stderr)
 
         if seeds is None:  # fused fallback: materialize seed windows
             with self.timers.phase("instantiateSeeds"):
