@@ -339,6 +339,92 @@ def _rank_frame_mega(idx, matpk, src2, off2, eff2, valid2, m_ri, m_fw,
     ])
 
 
+@functools.partial(
+    jax.jit,
+    static_argnames=("K", "NC", "SB", "roundi", "seed_len", "nrounds",
+                     "range_cap", "expand", "max_elts", "max_dp", "p_cap",
+                     "sample_seed", "sub_ftab", "nofw", "norc"),
+)
+def _rank_frame_mega_grid(idx, matpk, meta, active, text_n, *, K, NC, SB,
+                          roundi, seed_len, nrounds, range_cap, expand,
+                          max_elts, max_dp, p_cap, sample_seed, sub_ftab,
+                          nofw, norc):
+    """P2+P4-P6 in one executable with the seed grid computed ON DEVICE
+    (ops/seed_search.device_seed_grid): the host ships one [npad, 4]
+    int32 meta row per read ONCE per batch plus a per-round active mask
+    — no per-seed arrays ever cross the link.  Replaces the
+    _rank_frame_mega transfer set (4 chunked [S] arrays + 3 flat [S]
+    arrays per round) whose relay round-trips dominated the
+    searchResolve phase at genome scale (round-2 profile: 52 s of 88.8 s
+    non-device inside the phase for 1M reads)."""
+    from ..ops.rank_frame import rank_frame
+    from ..ops.seed_search import device_seed_grid
+
+    lens = meta[:, 0]
+    mgn = meta[:, 1]
+    read_ok = meta[:, 2] != 0
+    ival = meta[:, 3]
+    npad = lens.shape[0]
+    rs, d, eff, vg = device_seed_grid(
+        lens, ival, active, K=K, seed_len=seed_len, nrounds=nrounds,
+        roundi=roundi,
+    )
+    srcs, offs_, fws = [], [], []
+    if not nofw:
+        srcs.append(2 * rs)
+        offs_.append(d)
+        fws.append(jnp.ones(K, bool))
+    if not norc:
+        srcs.append(2 * rs + 1)
+        offs_.append(lens[rs] - d - eff)
+        fws.append(jnp.zeros(K, bool))
+
+    def cat(xs):
+        return jnp.concatenate(xs) if len(xs) > 1 else xs[0]
+
+    src = cat(srcs)
+    offw = cat(offs_)
+    m_fw = cat(fws)
+    eff2 = cat([eff] * len(srcs))
+    valid = cat([vg] * len(srcs))
+    m_ri = jnp.where(valid, cat([rs] * len(srcs)), npad).astype(jnp.int32)
+    m_off = jnp.where(valid, offw, 0).astype(jnp.int32)
+
+    W = matpk.shape[1]
+    flat = matpk.reshape(-1)
+    j = jnp.arange(seed_len, dtype=jnp.int32)
+
+    def one(args):
+        src, off, eff, v = args
+        # short-seed layout contract: see _rank_frame_mega.one
+        shift = jnp.where(eff >= idx.ftab_k, seed_len - eff, 0)[:, None]
+        jj = j[None, :] - shift
+        real = (jj >= 0) & (jj < eff[:, None])
+        win = (src * W + jnp.maximum(off, 0))[:, None] + jnp.clip(jj, 0, W - 1)
+        s = (flat[win] & 0xF).astype(jnp.int8)
+        s = jnp.where(real, s, jnp.int8(-1))
+        return seed_search.search_resolve_seeds(idx, s, v, range_cap,
+                                                expand, sample_seed,
+                                                sub_ftab)
+
+    tops, bots, starts, offs = jax.lax.map(
+        one,
+        (src.reshape(NC, SB), m_off.reshape(NC, SB),
+         eff2.reshape(NC, SB), valid.reshape(NC, SB)),
+    )
+    probs, count, hn, he, ov = rank_frame(
+        tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
+        text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
+        max_dp=max_dp, p_cap=p_cap, n_reads=npad,
+    )
+    odt = probs.dtype  # int64 for .bt2l-scale genomes, else int32
+    return jnp.concatenate([
+        probs.reshape(-1),
+        jnp.stack([count.astype(odt), ov.astype(odt)]),
+        hn.astype(odt), he.astype(odt),
+    ])
+
+
 def _prefetch(*arrs):
     """Start async device->host copies so chunked results stream back
     overlapped instead of paying one tunnel round-trip per np.asarray."""
@@ -1005,6 +1091,95 @@ class TPUAligner:
         he = a[4 * p_cap + 2 + npad :]
         return probs, hn, he
 
+    def _grid_meta(self, mgn_all, read_ok):
+        """Per-batch device meta for the grid mega: [npad, 4] int32
+        (len clamped to the matrix width, narrow slack, read_ok, seed
+        interval).  Built+put ONCE per batch (build_read_matrices clears
+        it); rounds ship only the active mask."""
+        o = self.opts
+        n = len(self._mat_lens)
+        npad = 1 << max(8, (n - 1).bit_length())
+        W = self._mat_reads.shape[1]
+        lens_c = np.minimum(self._mat_lens, W).astype(np.int32)
+        ivals = np.maximum(1, o.ival.f_vec(
+            np.maximum(lens_c, 1).astype(np.float64)
+        )).astype(np.int32)
+        meta = np.zeros((npad, 4), np.int32)
+        meta[:n, 0] = lens_c
+        meta[:n, 1] = mgn_all
+        meta[:n, 2] = read_ok
+        meta[:n, 3] = ivals
+        self._meta_host = (lens_c, ivals, npad)
+        self._meta_dev = self._put(meta)
+
+    def _rank_frame_device_grid(self, active, roundi, mgn_all, read_ok):
+        """Fused instantiate+search+resolve+rank+frame with the seed grid
+        computed on device: ships one [npad] active mask per round (plus
+        the per-batch meta on first use).  Returns (probs, hn, he,
+        n_seeds), the string "empty" when the round emits no seeds, or
+        None when the fixed table overflowed (caller reruns the host
+        path)."""
+        o = self.opts
+        if getattr(self, "_meta_dev", None) is None:
+            with self.timers.phase("searchResolve.put"):
+                self._grid_meta(mgn_all, read_ok)
+        lens_c, ivals, npad = self._meta_host
+        n = len(lens_c)
+        act = np.zeros(npad, bool)
+        act[np.asarray(active, np.int64)] = True
+        # size the static lane count with the same integer arithmetic
+        # the device grid uses (ops/seed_search.device_seed_grid)
+        sl = o.seed_len
+        a = act[:n]
+        if roundi < 0:
+            eff = np.minimum(sl, np.maximum(1, lens_c // 2))
+            cnt = np.where(a & (lens_c >= 1), 2, 0)
+        else:
+            eff = np.minimum(lens_c, sl)
+            nr = np.minimum(o.nrounds, ivals)
+            start = (ivals * roundi) // nr
+            cnt = np.where(
+                a & (roundi < nr) & (lens_c >= 1)
+                & (start <= lens_c - eff),
+                (lens_c - eff - start) // ivals + 1,
+                0,
+            )
+        G = int(cnt.sum())
+        if G == 0:
+            return "empty"
+        sub_ftab = bool((eff[cnt > 0] < self.fm.ftab_k).any())
+        orients = int(not o.nofw) + int(not o.norc)
+        SB = o.seed_batch
+        NC = (orients * G + SB - 1) // SB
+        K = NC * SB // orients
+        p_cap = max(P_CAP, 2 * npad)
+        with self.timers.phase("searchResolve.put"):
+            d_act = self._put(act)
+        _t_disp = self.timers.phase("searchResolve.dispatch")
+        _t_disp.__enter__()
+        packed = _rank_frame_mega_grid(
+            self.idx, self._dev_mat, self._meta_dev, d_act,
+            np.int64(self.fm.n) if self._large_index else
+            np.int32(self.fm.n),
+            K=K, NC=NC, SB=SB, roundi=roundi, seed_len=sl,
+            nrounds=o.nrounds, range_cap=o.range_cap,
+            expand=o.resolve_expand, max_elts=o.max_elts_per_read,
+            max_dp=o.max_dp_per_read, p_cap=p_cap,
+            sample_seed=o.rng_seed & 0xFFFFFFFF, sub_ftab=sub_ftab,
+            nofw=o.nofw, norc=o.norc,
+        )
+        _t_disp.__exit__(None, None, None)
+        with self.timers.phase("searchResolve.wait"):
+            a = np.asarray(packed)
+        count, ov = int(a[4 * p_cap]), int(a[4 * p_cap + 1])
+        if ov or count > p_cap:
+            return None
+        probs = a[: 4 * count].reshape(count, 4) if count else \
+            np.zeros((0, 4), np.int32)
+        hn = a[4 * p_cap + 2 : 4 * p_cap + 2 + npad]
+        he = a[4 * p_cap + 2 + npad :]
+        return probs, hn, he, orients * G
+
     # windows wider than the device text's tail padding (ops/sw.py
     # gather_ref_windows; DeviceIndex pads 128 words = 2048 bases) ship
     # host-gathered refs inline instead
@@ -1318,6 +1493,7 @@ class TPUAligner:
         self._mat_reads = mat_r
         self._mat_pens = mat_p
         self._mat_lens = lens
+        self._meta_dev = None  # grid meta is per-batch (see _grid_meta)
         if getattr(self, "_dp_from_mat", False):
             # ONE resident device copy for index-only DP dispatch and
             # on-device seed gathering: read code and qual-scaled
@@ -1380,18 +1556,25 @@ class TPUAligner:
         # meta — windows are gathered on device from the resident matrix;
         # the host paths materialize seed arrays lazily below.
         fused = getattr(self, "_use_fused_rank", False)
+        # grid path: the seed grid is computed on device from per-read
+        # meta (single-device only — a data mesh keeps the sharded-lanes
+        # mega; a tp mesh keeps its shard_map path)
+        grid = (fused and self.placer is None
+                and getattr(self, "_dev_mat", None) is not None)
         seeds = None
-        with self.timers.phase("instantiateSeeds"):
-            if fused:
-                m_ri, m_fw, m_off, m_eff = self._instantiate_seeds_meta(
-                    active, roundi
-                )
-            else:
-                seeds, (m_ri, m_fw, m_off) = self._instantiate_seeds(
-                    reads, active, roundi
-                )
-        if len(m_ri) == 0:
-            return empty
+        m_ri = None
+        if not grid:
+            with self.timers.phase("instantiateSeeds"):
+                if fused:
+                    m_ri, m_fw, m_off, m_eff = self._instantiate_seeds_meta(
+                        active, roundi
+                    )
+                else:
+                    seeds, (m_ri, m_fw, m_off) = self._instantiate_seeds(
+                        reads, active, roundi
+                    )
+            if len(m_ri) == 0:
+                return empty
         # per-read envelopes: two window tiers.  The reference rect pads
         # each side by 2 * min(gap budget, maxhalf) diagonals ("LHS gap +
         # LHS extra", dp_framer.cpp:94-101).  We frame with the NARROW
@@ -1401,20 +1584,22 @@ class TPUAligner:
         # least const + (mg_n+1)*linear, so a problem whose narrow best
         # beats that bound is bitwise-identical under the wide rect.
         lens_all = self._mat_lens.astype(np.int64)
-        mgn_all = np.zeros(n, np.int64)  # narrow slack (first pass)
-        mgw_all = np.zeros(n, np.int64)  # full reference-rect slack
-        thr_all = np.full(n, np.iinfo(np.int64).min, np.int64)
-        mg_cache = {}
         gap_const = min(sc.rdg_const, sc.rfg_const)
         gap_lin = min(sc.rdg_linear, sc.rfg_linear)
-        for ri in active:
-            key = (int(lens_all[ri]), int(minscs[ri]))
-            if key not in mg_cache:
-                mg_n = min(sc.max_read_gaps(key[1], key[0]), o.maxhalf)
-                mg_cache[key] = (
-                    mg_n, 2 * mg_n, -(gap_const + (mg_n + 1) * gap_lin)
-                )
-            mgn_all[ri], mgw_all[ri], thr_all[ri] = mg_cache[key]
+        # vectorized over ALL reads (distinct (len, minsc) pairs are few;
+        # values for reads outside `active` are the same per-read
+        # constants and feed the cached grid meta)
+        ukeys, uinv = np.unique(
+            np.stack([lens_all, np.asarray(minscs).astype(np.int64)], 1),
+            axis=0, return_inverse=True,
+        )
+        mg_u = np.fromiter(
+            (min(sc.max_read_gaps(int(ms), int(ln)), o.maxhalf)
+             for ln, ms in ukeys), np.int64, len(ukeys),
+        )
+        mgn_all = mg_u[uinv]  # narrow slack (first pass)
+        mgw_all = 2 * mgn_all  # full reference-rect slack
+        thr_all = -(gap_const + (mgn_all + 1) * gap_lin)
         # any read up to l_hard aligns: regular problems (ln <= l_max,
         # window <= dp_cols) take the hot Pallas shape, everything else
         # routes to the irregular any-shape XLA bucket
@@ -1422,6 +1607,64 @@ class TPUAligner:
 
         problems = None
         dp_cells = 0
+
+        # ---- grid device path: P2+P4-P6 in ONE dispatch, one copy ----
+        if grid:
+            out = None
+            with self.timers.phase("searchResolve"):
+                try:
+                    out = self._rank_frame_device_grid(
+                        active, roundi, mgn_all, read_ok
+                    )
+                except Exception as e:
+                    import sys as _sys
+
+                    print("warning: grid rank/frame failed on this "
+                          "backend; falling back to the host path "
+                          f"({type(e).__name__}: {str(e)[:300]})",
+                          file=_sys.stderr)
+                    self._use_fused_rank = False
+            if isinstance(out, str):  # no seeds this round
+                return empty
+            if out is not None:
+                probs, hn, he, n_seeds = out
+                self.metrics.add(seeds=n_seeds)
+                self._hit_nonz = hn[:n].astype(np.int64)
+                self._hit_elts = he[:n].astype(np.int64)
+                with self.timers.phase("rankAndFrame"):
+                    problems = Problems(probs[:, 0], probs[:, 1],
+                                        probs[:, 2], probs[:, 3])
+                    dp_cells = int(
+                        (lens_all[problems.ri]
+                         * probs[:, 2].astype(np.int64)).sum()
+                    ) if len(probs) else 0
+                self.metrics.add(
+                    ranges_nonzero=int(self._hit_nonz.sum()),
+                    dps=len(problems),
+                    dp_cells=dp_cells,
+                )
+                if not problems:
+                    return empty
+                return self._extend_and_collect(
+                    reads, minscs, n, problems,
+                    lens_all, mgn_all, mgw_all, thr_all,
+                )
+            # table overflow (repeat-heavy batch) or backend fault: the
+            # host path below (with up-front seed dedupe) handles it
+            if not getattr(self, "_warned_mega_overflow", False):
+                self._warned_mega_overflow = True
+                import sys as _sys
+
+                print("note: fused rank/frame table overflowed "
+                      "(repeat-heavy batch); such batches use the host "
+                      "path", file=_sys.stderr)
+            fused = False
+            with self.timers.phase("instantiateSeeds"):
+                seeds, (m_ri, m_fw, m_off) = self._instantiate_seeds(
+                    reads, active, roundi
+                )
+            if len(m_ri) == 0:
+                return empty
 
         # ---- fused device path: P4-P6 in two dispatches, one copy ----
         if fused:

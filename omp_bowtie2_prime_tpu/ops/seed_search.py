@@ -102,6 +102,62 @@ def search_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
     return jnp.where(empty, zero, top), jnp.where(empty, zero, bot)
 
 
+def device_seed_grid(lens, ival, active, *, K: int, seed_len: int,
+                     nrounds: int, roundi: int):
+    """The multiseed grid computed ON DEVICE from per-read lengths.
+
+    Device analog of the host `_seed_grid` (models/aligner.py): the seed
+    set is pure integer arithmetic of (rdlen, interval, round), so the
+    steady loop ships only [n_reads] metadata instead of [n_seeds]
+    arrays — at genome scale that removes ~95% of the per-round
+    host->device bytes and every per-seed host-side repeat/concat
+    (instantiateSeeds, the reference's P2, aligner_seed.cpp:397-447).
+
+    lens, ival: int32 [npad] (ival = max(1, msIval f(len)), computed
+    host-side once per batch — float64 SimpleFunc semantics); active:
+    bool [npad].  K: static lane capacity (host sizes it from the same
+    arithmetic).  roundi >= 0: multiseed round; roundi == -1: the
+    half-read rescue round (two seeds per read).
+
+    Returns (rsel [K] int32 read index, d [K] int32 fw 5' offset,
+    eff [K] int32 effective seed length, valid [K] bool). Lane order is
+    (read ascending, depth ascending) exactly like the host grid.
+    """
+    npad = lens.shape[0]
+    if roundi < 0:
+        eff_r = jnp.minimum(seed_len, jnp.maximum(1, lens // 2))
+        cnt = jnp.where(active & (lens >= 1), 2, 0).astype(jnp.int32)
+        start = jnp.zeros(npad, jnp.int32)
+    else:
+        eff_r = jnp.minimum(lens, seed_len)
+        nr = jnp.minimum(nrounds, ival)
+        start = (ival * roundi) // nr
+        cnt = jnp.where(
+            active & (roundi < nr) & (lens >= 1)
+            & (start <= lens - eff_r),
+            (lens - eff_r - start) // ival + 1,
+            0,
+        ).astype(jnp.int32)
+    ccum = jnp.cumsum(cnt)
+    G = ccum[-1]
+    k = jnp.arange(K, dtype=jnp.int32)
+    # lane k belongs to the first read r with ccum[r] > k, i.e.
+    # rsel[k] = #{r : ccum[r] <= k} — a scatter-add + cumsum instead of
+    # a per-lane binary search (TPU scalar gathers are slow; see
+    # ops/rank.py _select_minor note)
+    ind = jnp.zeros(K + 1, jnp.int32).at[jnp.clip(ccum, 0, K)].add(1)
+    rsel = jnp.cumsum(ind)[:K]
+    valid = k < G
+    rs = jnp.clip(rsel, 0, npad - 1)
+    base = ccum[rs] - cnt[rs]
+    klocal = k - base
+    if roundi < 0:
+        d = jnp.where(klocal == 1, lens[rs] - eff_r[rs], 0)
+    else:
+        d = start[rs] + klocal * ival[rs]
+    return rs, d, eff_r[rs], valid
+
+
 def _mix32(a, b):
     """uint32 avalanche hash of two lane vectors (splitmix-style)."""
     x = a.astype(jnp.uint32) ^ (b.astype(jnp.uint32)
