@@ -85,6 +85,10 @@ class AlignOpts:
     # on-chip time of these kernels)
     seed_batch: int = 32768
     row_batch: int = 32768
+    # flat-lane cap for the grid mega (one chunk up to this many lanes;
+    # larger seed sets fall back to chunked lax.map): transient gather
+    # blocks are [2*lanes, 128] u32 = 1 GB at the cap
+    grid_lanes_cap: int = 1 << 20
     # compaction slots per seed lane for SA resolution (may be
     # fractional; the walk kernel's cost is linear in slots). The fused
     # mega path never dedupes seeds, and on real genomes nearly every
@@ -279,6 +283,57 @@ def _put_factory(placer):
 P_CAP = 32768  # fixed on-device problem-table rows (fused rank/frame)
 
 
+def _gather_seed_windows(matpk, src, off, eff, seed_len: int, ftab_k: int):
+    """[B] (matrix row, fw offset, effective len) -> [B, seed_len] int8
+    seed codes from the resident packed read matrix.
+
+    ONE u32 row gather per seed + compare-selects instead of a [B,
+    seed_len] per-byte gather (TPU element gathers are ~100x slower than
+    tile-ish row gathers; measured 81 ms -> ~0 ms device for 459K seeds).
+    Layout contract for short seeds matches ops/seed_search.search_seeds:
+    eff >= ftab_k lanes are right-aligned (left -1 padded), shorter lanes
+    left-aligned (right -1 padded)."""
+    W = matpk.shape[1]
+    if matpk.dtype == jnp.uint16:
+        ipw = 2  # 16-bit items per u32 word
+        matw = jax.lax.bitcast_convert_type(
+            matpk.reshape(-1, W // ipw, ipw), jnp.uint32
+        )
+        bits = 16
+    else:
+        ipw = 4
+        matw = jax.lax.bitcast_convert_type(
+            matpk.reshape(-1, W // ipw, ipw), jnp.uint32
+        )
+        bits = 8
+    Wq = W // ipw
+    row = matw[src]  # [B, Wq] u32
+    shift = jnp.where(eff >= ftab_k, seed_len - eff, 0)
+    off2 = off - shift
+    a = off2 % ipw
+    w0 = off2 // ipw
+    nw = (seed_len + ipw - 1) // ipw + 1
+    sel = jnp.arange(Wq, dtype=jnp.int32)[None, :]
+    wstack = jnp.stack(
+        [jnp.sum(jnp.where((w0 + t)[:, None] == sel, row, 0), axis=1)
+         for t in range(nw)],
+        axis=1,
+    )  # [B, nw] u32
+    tsel = jnp.arange(nw, dtype=jnp.int32)[None, :]
+    chars = []
+    j32 = jnp.arange(seed_len, dtype=jnp.int32)
+    for j in range(seed_len):
+        wi = (a + j) // ipw
+        sh = (((a + j) % ipw) * bits).astype(jnp.uint32)
+        w = jnp.sum(jnp.where(wi[:, None] == tsel, wstack, 0), axis=1)
+        chars.append(((w >> sh) & 0xF).astype(jnp.int8))
+    s = jnp.stack(chars, axis=1)  # [B, seed_len]
+    real = (j32[None, :] >= shift[:, None]) & (
+        j32[None, :] < (shift + eff)[:, None]
+    )
+    return jnp.where(real, s, jnp.int8(-1))
+
+
 def _bt_gap_cap(B: int) -> int:
     """Side-buffer rows for gapped-alignment op strings per DP dispatch
     of B problems (indel alignments are a small minority; overflow
@@ -304,23 +359,13 @@ def _rank_frame_mega(idx, matpk, src2, off2, eff2, valid2, m_ri, m_fw,
     axon runtime's unreliable cross-executable buffer chaining."""
     from ..ops.rank_frame import rank_frame
 
-    W = matpk.shape[1]
-    flat = matpk.reshape(-1)
-    j = jnp.arange(seed_len, dtype=jnp.int32)
-
     def one(args):
         src, off, eff, v = args
-        # seeds shorter than seed_len (reads below the seed length: the
-        # reference clamps to min(seed_len, rdlen), prepareSeed,
-        # aligner_seed.cpp:321-341) store right-aligned with -1 padding
-        # when they can still ftab-jump (eff >= ftab_k), LEFT-aligned
-        # (right-padded) below that (ops/seed_search.py sub-ftab lanes)
-        shift = jnp.where(eff >= idx.ftab_k, seed_len - eff, 0)[:, None]
-        jj = j[None, :] - shift
-        real = (jj >= 0) & (jj < eff[:, None])
-        win = (src * W + off)[:, None] + jnp.clip(jj, 0, W - 1)
-        s = (flat[win] & 0xF).astype(jnp.int8)
-        s = jnp.where(real, s, jnp.int8(-1))
+        # seeds shorter than seed_len (the reference clamps to
+        # min(seed_len, rdlen), prepareSeed, aligner_seed.cpp:321-341):
+        # alignment layout handled in _gather_seed_windows
+        s = _gather_seed_windows(matpk, src, off, eff, seed_len,
+                                 idx.ftab_k)
         return seed_search.search_resolve_seeds(idx, s, v, range_cap,
                                                 expand, sample_seed,
                                                 sub_ftab)
@@ -390,28 +435,24 @@ def _rank_frame_mega_grid(idx, matpk, meta, active, text_n, *, K, NC, SB,
     m_ri = jnp.where(valid, cat([rs] * len(srcs)), npad).astype(jnp.int32)
     m_off = jnp.where(valid, offw, 0).astype(jnp.int32)
 
-    W = matpk.shape[1]
-    flat = matpk.reshape(-1)
-    j = jnp.arange(seed_len, dtype=jnp.int32)
-
     def one(args):
         src, off, eff, v = args
-        # short-seed layout contract: see _rank_frame_mega.one
-        shift = jnp.where(eff >= idx.ftab_k, seed_len - eff, 0)[:, None]
-        jj = j[None, :] - shift
-        real = (jj >= 0) & (jj < eff[:, None])
-        win = (src * W + jnp.maximum(off, 0))[:, None] + jnp.clip(jj, 0, W - 1)
-        s = (flat[win] & 0xF).astype(jnp.int8)
-        s = jnp.where(real, s, jnp.int8(-1))
+        # short-seed layout contract: see _gather_seed_windows
+        s = _gather_seed_windows(matpk, src, off, eff, seed_len,
+                                 idx.ftab_k)
         return seed_search.search_resolve_seeds(idx, s, v, range_cap,
                                                 expand, sample_seed,
                                                 sub_ftab)
 
-    tops, bots, starts, offs = jax.lax.map(
-        one,
-        (src.reshape(NC, SB), m_off.reshape(NC, SB),
-         eff2.reshape(NC, SB), valid.reshape(NC, SB)),
-    )
+    if NC == 1:
+        t1, b1, s1, o1 = one((src, m_off, eff2, valid))
+        tops, bots, starts, offs = (t1[None], b1[None], s1[None], o1[None])
+    else:
+        tops, bots, starts, offs = jax.lax.map(
+            one,
+            (src.reshape(NC, SB), m_off.reshape(NC, SB),
+             eff2.reshape(NC, SB), valid.reshape(NC, SB)),
+        )
     probs, count, hn, he, ov = rank_frame(
         tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
         text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
@@ -1149,8 +1190,19 @@ class TPUAligner:
             return "empty"
         sub_ftab = bool((eff[cnt > 0] < self.fm.ftab_k).any())
         orients = int(not o.nofw) + int(not o.norc)
-        SB = o.seed_batch
-        NC = (orients * G + SB - 1) // SB
+        # ONE wide chunk, lanes padded to a power of two: the chunked
+        # lax.map serialized 26 fori-loop gather steps PER CHUNK; flat
+        # lanes issue each LF/walk step as one wide gather instead
+        # (bounded by grid_lanes_cap — transient gather blocks are
+        # [2*lanes, 128] u32)
+        lanes = orients * G
+        cap_l = o.grid_lanes_cap
+        if lanes <= cap_l:
+            S = 1 << max(13, (lanes - 1).bit_length())
+            NC, SB = 1, S
+        else:
+            SB = cap_l
+            NC = (lanes + SB - 1) // SB
         K = NC * SB // orients
         p_cap = max(P_CAP, 2 * npad)
         with self.timers.phase("searchResolve.put"):

@@ -155,29 +155,34 @@ def rank_frame(
     elt_base = csum - take - base_of_read
     take_eff = jnp.clip(max_elts - elt_base, 0, take)
 
-    # rank of each stream seed (sorted position), scattered back
-    rank_of_stream = _scatter_set(
-        jnp.zeros(S, I32), sid, jnp.arange(S, dtype=I32)
-    )
+    # stream position base per seed: cumulative take_eff in rank order,
+    # scattered back to lane space
+    csum_eff = jnp.cumsum(take_eff)
+    total_stream = csum_eff[-1]
+    stream_base = _scatter_set(jnp.zeros(S, I32), sid, csum_eff - take_eff)
     take_eff_stream = _scatter_set(jnp.zeros(S, I32), sid, take_eff)
 
     # ---- 2. slot ownership + element stream order ----
+    # owner of slot g = the seed (lane order) whose slot range covers g:
+    # #{s : slot-range-end(s) <= g} — scatter-add + cumsum instead of a
+    # per-slot binary search (searchsorted gathers are slow on TPU), and
+    # a direct scatter to stream positions instead of a [G] sort: stream
+    # pos of slot (seed, intra) = stream_base[seed] + intra, which is
+    # exactly the (seed rank, intra) sort order over live slots.
     g = jnp.arange(G, dtype=I32)
     if "owner" in _ABLATE:
         owner = g // jnp.maximum(jnp.int32(expand), 1)
     else:
-        owner = (
-            jnp.searchsorted(gstart, g, side="right").astype(I32) - 1
-        )
+        ends_o = jnp.concatenate([gstart[1:], jnp.full(1, G, I32)])
+        cnt_end = jnp.zeros(G + 1, I32).at[jnp.clip(ends_o, 0, G)].add(1)
+        owner = jnp.cumsum(cnt_end)[:G]
     owner = jnp.clip(owner, 0, S - 1)
     intra = g - gstart[owner]
     slot_ok = (intra >= 0) & (intra < take_eff_stream[owner])
-    srank = rank_of_stream[owner]
-    RC = max(range_cap, int(expand)) + 1
-    slot_key = jnp.where(slot_ok, srank * RC + intra, BIG)
-    # g as second sort key -> fully deterministic order
-    sk_sorted, g_e = _sort((slot_key, g), num_keys=2)
-    epos_ok = sk_sorted < BIG  # stream-ordered validity
+    pos = stream_base[owner] + intra
+    tgt = jnp.where(slot_ok, jnp.minimum(pos, G), G)
+    g_e = _scatter_set(jnp.zeros(G + 1, I32), tgt, g)[:G]
+    epos_ok = jnp.arange(G, dtype=I32) < total_stream
 
     owner_e = owner[g_e]
     # joined offsets keep their index dtype: int64 for .bt2l-scale

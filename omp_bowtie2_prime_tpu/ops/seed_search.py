@@ -206,36 +206,44 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
     width = jnp.minimum(wfull, cap).astype(jnp.int32)
     rmax = int(S * expand)
     starts = jnp.cumsum(width) - width
-    k = jnp.arange(cap, dtype=rowdt)[None, :]
+    ends = starts + width
+    # slot -> owning seed WITHOUT a [S, cap] scatter (most of whose
+    # elements were dumped): owner of slot g is the first seed whose
+    # slot range ends past g, i.e. #{s : ends[s] <= g} — one
+    # scatter-add + cumsum (S*cap scatter elements -> rmax)
+    cnt_end = jnp.zeros(rmax + 1, jnp.int32).at[
+        jnp.clip(ends, 0, rmax)
+    ].add(1)
+    owner = jnp.cumsum(cnt_end)[:rmax]
+    own = jnp.clip(owner, 0, S - 1)
+    g32 = jnp.arange(rmax, dtype=jnp.int32)
+    intra = g32 - starts[own]
+    live = (owner < S) & (intra >= 0) & (intra < width[own])
+    k = intra.astype(rowdt)
+    wo = wfull[own]
     if sample_seed is None:
-        rows2d = top[:, None] + k
+        rows_flat = top[own] + k
     else:
         # stratified without-replacement sample of cap rows from [0, w):
         # stratum j = [j*(w//cap) + min(j, w%cap), ...) of size
         # w//cap (+1 for the first w%cap strata); all arithmetic stays
-        # within the row dtype (no k*w products that could overflow)
-        q = (wfull // cap)[:, None]
-        r = (wfull % cap)[:, None]
+        # within the row dtype (no k*w products that could overflow).
+        # Per-slot formulation of the same (seed, stratum) hash — picks
+        # are identical to the per-seed [S, cap] formulation.
+        q = wo // cap
+        r = wo % cap
         lo = k * q + jnp.minimum(k, r)
         span = q + (k < r)
-        t32 = top if rowdt == jnp.int32 else top ^ (top >> 32)
+        to = top[own]
+        t32 = to if rowdt == jnp.int32 else to ^ (to >> 32)
         h = _mix32(
-            t32[:, None].astype(jnp.uint32)
+            t32.astype(jnp.uint32)
             + jnp.uint32(np.uint32(sample_seed & 0xFFFFFFFF)),
             k + 1,
         )
         pick = lo + (h % jnp.maximum(span, 1).astype(jnp.uint32)).astype(
             rowdt
         )
-        rows2d = top[:, None] + jnp.where(wfull[:, None] > cap, pick, k)
-    k32 = jnp.arange(cap, dtype=jnp.int32)[None, :]
-    live = k32 < width[:, None]
-    slots = starts[:, None] + k32
-    slots = jnp.where(live & (slots < rmax), slots, rmax)  # rmax = dump slot
-    rows_flat = jnp.zeros(rmax + 1, rowdt).at[slots.reshape(-1)].set(
-        rows2d.reshape(-1)
-    )[:rmax]
-    total = jnp.minimum(starts[-1] + width[-1], rmax)
-    rvalid = jnp.arange(rmax, dtype=jnp.int32) < total
-    offs = resolve_rows(idx, rows_flat, rvalid)
+        rows_flat = to + jnp.where(wo > cap, pick, k)
+    offs = resolve_rows(idx, rows_flat, live)
     return top, bot, starts, offs

@@ -26,23 +26,27 @@ def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
     B = rows.shape[0]
 
     def step(_, carry):
-        row, steps, done, off = carry
+        row, steps, done, rnk = carry
         # fused mark-test + LF from one block gather (rank.walk_step)
         marked, r, nrow = rank.walk_step(idx, row)
         hit = marked & ~done & valid
-        off = jnp.where(hit, rank.sa_lookup(idx, r) + steps, off)
+        # record the mark rank; the SA-sample gather happens ONCE after
+        # the loop (an in-loop sa_lookup issued srate gathers per lane
+        # where one suffices — the walk loop is gather-bound)
+        rnk = jnp.where(hit, r, rnk)
         done = done | hit
         # step left where not yet done (safe: zoff is marked, so lf_row
         # is never evaluated "through" the sentinel for live lanes)
         row = jnp.where(done, row, nrow)
         steps = jnp.where(done, steps, steps + 1)
-        return row, steps, done, off
+        return row, steps, done, rnk
 
     init = (
         rows,
         jnp.zeros(B, rows.dtype),
         jnp.zeros(B, jnp.bool_),
-        jnp.full(B, -1, rows.dtype),
+        jnp.zeros(B, jnp.int32),
     )
-    _, _, done, off = jax.lax.fori_loop(0, idx.srate, step, init)
-    return jnp.where(valid, off, -1)
+    _, steps, done, rnk = jax.lax.fori_loop(0, idx.srate, step, init)
+    off = rank.sa_lookup(idx, rnk) + steps
+    return jnp.where(valid & done, off, -1)
