@@ -152,7 +152,8 @@ def _transform_reads(src, args, paired: bool):
         if args.upto is not None and taken >= args.upto:
             return
         taken += 1
-        if paired:
+        p = isinstance(item, tuple) if paired == "auto" else paired
+        if p:
             yield (trim(item[0]), trim(item[1]))
         else:
             yield trim(item)
@@ -389,6 +390,7 @@ def cmd_align(args):
            "qseq" if args.fmt_qseq else
            "fastq" if args.fmt_fastq else None)
     paired_src = None
+    mixed_src = None
     if args.m1 and args.m2:
         if args.cmdline:
             from .io.fastq import cmdline_reads
@@ -403,30 +405,12 @@ def cmd_align(args):
     elif args.tab6:
         paired_src = read_tab6(args.tab6)
     elif args.tab5:
-        # --tab5/--12 lines may be 3-field (unpaired) or 5-field
-        # (paired); route on the first record. A stream that switches
-        # shape mid-file is rejected (the reference muxes both per
-        # line; homogeneous-stream limitation noted in PARITY.md).
-        import itertools
-
-        def _tab_homo(it, want_pair):
-            for x in it:
-                if isinstance(x, tuple) != want_pair:
-                    raise SystemExit(
-                        "error: --tab5 input mixes paired (5-field) and "
-                        "unpaired (3-field) records; split the file")
-                yield x
-
-        _tab_items = read_tab5(args.tab5)
-        _tab_first = next(_tab_items, None)
-        if isinstance(_tab_first, tuple):
-            paired_src = itertools.chain(
-                [_tab_first], _tab_homo(_tab_items, True))
-        elif _tab_first is not None:
-            tab5_unpaired = itertools.chain(
-                [_tab_first], _tab_homo(_tab_items, False))
-        else:
-            tab5_unpaired = iter(())
+        # --tab5/--12 muxes 3-field (unpaired) and 5-field (paired)
+        # records PER LINE (TabbedPatternSource / PatternComposer,
+        # pat.h:961-1071, pat.cpp:1530-1700): the mixed drive below
+        # routes each batch's pairs through the paired policy and its
+        # singles through the unpaired engine, emitting in line order
+        mixed_src = read_tab5(args.tab5)
     elif args.bam and args.bam_paired:
         from .io.bam import read_bam_pairs
 
@@ -531,8 +515,49 @@ def cmd_align(args):
             stderr=args.met_stderr,
         ).start()
 
+    def emit_unpaired(batch, results):
+        for rd, res in zip(batch, results):
+            if res.status == "aligned":
+                if al_out:
+                    fq_dump(al_out, rd)
+                w.write_aligned(
+                    rd, res.fw, w.refnames[res.refid],
+                    res.refoff, res.mapq, w.cigar_str(res),
+                    res.score, res.secbest, res.stats,
+                    nhits_for_summary=res.nhits,
+                )
+                for ex in res.extra:
+                    w.write_aligned(
+                        rd, ex.fw, w.refnames[ex.refid],
+                        ex.refoff, ex.mapq, w.cigar_str(ex),
+                        ex.score, ex.secbest, ex.stats, secondary=True,
+                    )
+            else:
+                if un_out:
+                    fq_dump(un_out, rd)
+                if not args.no_unal:
+                    w.write_unaligned(rd, yf=res.filt)
+                else:
+                    w.summary.add(0)
+
+    def _qc_wrap(fn):
+        # --qc-filter: qseq filter-field-0 reads never align
+        # (qcfilt, bt2_search.cpp:2517-2520; YF:Z:QC)
+        if not args.qc_filter:
+            return fn
+
+        def wrapped(batch):
+            from .models.aligner import AlnResult
+
+            keep = [rd for rd in batch if not rd.qcfail]
+            sub = iter(fn(keep) if keep else [])
+            return [AlnResult(status="unaligned", filt="QC")
+                    if rd.qcfail else next(sub) for rd in batch]
+
+        return wrapped
+
     t0 = time.time()
-    if paired_src is not None:
+    if paired_src is not None or mixed_src is not None:
         m1fw, m2fw = {"fr": (True, False), "rf": (False, True),
                       "ff": (True, True)}[args.orient]
         pe = PEPolicy(
@@ -579,14 +604,54 @@ def cmd_align(args):
                                  discord=not args.no_discordant,
                                  qc_filter=args.qc_filter)
             pal_fns = [pal.align_pairs, pal2.align_pairs]
-        nreads = 2 * run_pipeline(
-            batch_iterator(src, args.batch), pal.align_pairs, emit_pairs,
-            align_fns=pal_fns,
-        )
+        if mixed_src is not None:
+            # --tab5/--12 mixed drive: each batch's 5-field lines run
+            # through the paired policy and its 3-field lines through
+            # the unpaired engine; emission preserves line order (the
+            # reference's PatternComposer contract, pat.h:961-1071)
+            src = _transform_reads(mixed_src, args, "auto")
+            up_fn = _qc_wrap(aligner.align_batch)
+
+            def align_mixed(batch, _pal=pal, _up=up_fn):
+                pi = [i for i, x in enumerate(batch)
+                      if isinstance(x, tuple)]
+                si = [i for i, x in enumerate(batch)
+                      if not isinstance(x, tuple)]
+                out = [None] * len(batch)
+                if pi:
+                    for i, r in zip(pi, _pal.align_pairs(
+                            [batch[i] for i in pi])):
+                        out[i] = r
+                if si:
+                    for i, r in zip(si, _up([batch[i] for i in si])):
+                        out[i] = r
+                return out
+
+            def emit_mixed(batch, results):
+                for item, res in zip(batch, results):
+                    if isinstance(item, tuple):
+                        emit_pairs([item], [res])
+                    else:
+                        emit_unpaired([item], [res])
+
+            mix_fns = None
+            if aligner2 is not None:
+                up2 = _qc_wrap(aligner2.align_batch)
+                mix_fns = [
+                    align_mixed,
+                    lambda b: align_mixed(b, _pal=pal2, _up=up2),
+                ]
+            nreads = run_pipeline(
+                batch_iterator(src, args.batch), align_mixed, emit_mixed,
+                align_fns=mix_fns,
+            )
+        else:
+            nreads = 2 * run_pipeline(
+                batch_iterator(src, args.batch), pal.align_pairs,
+                emit_pairs, align_fns=pal_fns,
+            )
     else:
-        if args.tab5:
-            rsrc = tab5_unpaired
-        elif args.cmdline:
+        if args.cmdline:
             from .io.fastq import cmdline_reads
 
             rsrc = cmdline_reads(args.reads)
@@ -603,47 +668,6 @@ def cmd_align(args):
             rsrc = open_reads(args.reads, fmt=fmt,
                               int_quals=args.int_quals)
         src = _transform_reads(rsrc, args, False)
-
-        def emit_unpaired(batch, results):
-            for rd, res in zip(batch, results):
-                if res.status == "aligned":
-                    if al_out:
-                        fq_dump(al_out, rd)
-                    w.write_aligned(
-                        rd, res.fw, w.refnames[res.refid],
-                        res.refoff, res.mapq, w.cigar_str(res),
-                        res.score, res.secbest, res.stats,
-                        nhits_for_summary=res.nhits,
-                    )
-                    for ex in res.extra:
-                        w.write_aligned(
-                            rd, ex.fw, w.refnames[ex.refid],
-                            ex.refoff, ex.mapq, w.cigar_str(ex),
-                            ex.score, ex.secbest, ex.stats, secondary=True,
-                        )
-                else:
-                    if un_out:
-                        fq_dump(un_out, rd)
-                    if not args.no_unal:
-                        w.write_unaligned(rd, yf=res.filt)
-                    else:
-                        w.summary.add(0)
-
-        def _qc_wrap(fn):
-            # --qc-filter: qseq filter-field-0 reads never align
-            # (qcfilt, bt2_search.cpp:2517-2520; YF:Z:QC)
-            if not args.qc_filter:
-                return fn
-
-            def wrapped(batch):
-                from .models.aligner import AlnResult
-
-                keep = [rd for rd in batch if not rd.qcfail]
-                sub = iter(fn(keep) if keep else [])
-                return [AlnResult(status="unaligned", filt="QC")
-                        if rd.qcfail else next(sub) for rd in batch]
-
-            return wrapped
 
         nreads = run_pipeline(
             batch_iterator(src, args.batch), _qc_wrap(aligner.align_batch),

@@ -734,3 +734,38 @@ def test_P_takes_preset_names(genome, tmp_path):
     with pytest.raises(SystemExit):
         run_cli(["align", "-x", idx, "-U", str(fq), "-S", str(out),
                  "-P", "MMP=C,3"])
+
+
+def test_tab5_mixed_stream_muxing(genome, tmp_path):
+    """--tab5/--12 muxes 3-field (unpaired) and 5-field (paired) records
+    per LINE (TabbedPatternSource/PatternComposer, pat.h:961-1071):
+    a mid-file shape switch must route pairs through the paired policy
+    and singles through the unpaired engine, emitting in line order."""
+    d, text, idx = genome
+    up1 = dna.decode(text[1000:1080])
+    m1 = dna.decode(text[3000:3080])
+    m2 = dna.decode_rc(text[3200:3280]) if hasattr(dna, "decode_rc") else \
+        dna.decode(dna.revcomp(text[3200:3280]))
+    up2 = dna.decode(text[5000:5080])
+    q = "I" * 80
+    tab = tmp_path / "mix.tab5"
+    tab.write_text(
+        f"u1\t{up1}\t{q}\n"            # unpaired
+        f"p1\t{m1}\t{q}\t{m2}\t{q}\n"  # paired (switch 3->5 fields)
+        f"u2\t{up2}\t{q}\n"            # switch back 5->3
+    )
+    out = tmp_path / "mix.sam"
+    run_cli(["align", "-x", idx, "--tab5", str(tab), "-S", str(out)])
+    recs = [l.split("\t") for l in out.read_text().splitlines()
+            if not l.startswith("@")]
+    assert [r[0] for r in recs] == ["u1", "p1", "p1", "u2"]  # line order
+    flags = [int(r[1]) for r in recs]
+    assert flags[0] == 0 and flags[3] == 0          # unpaired records
+    assert flags[1] & 1 and flags[2] & 1            # paired flag set
+    assert flags[1] & 64 and flags[2] & 128         # mate1 / mate2
+    assert int(recs[0][3]) == 1001
+    assert int(recs[1][3]) == 3001
+    assert int(recs[3][3]) == 5001
+    # concordant pair: proper-pair bit + symmetric TLEN
+    assert flags[1] & 2 and flags[2] & 2
+    assert int(recs[1][8]) == -int(recs[2][8]) != 0
