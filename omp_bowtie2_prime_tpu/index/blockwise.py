@@ -128,7 +128,7 @@ def dc_sample_ranks(text: np.ndarray, v: int, D: np.ndarray):
         ranks.ctypes.data_as(ctypes.c_void_p),
     )
     assert rc == 0
-    return spos, ranks
+    return ranks  # spos is index arithmetic (q*d+j); freed here
 
 
 # ---------------- bucketed SA streaming ----------------
@@ -168,7 +168,7 @@ def sa_blocks(text: np.ndarray, bmax: int, dcv: int = 1024,
     n = len(text)
     v = int(dcv)
     D = difference_cover(v)
-    spos, ranks = dc_sample_ranks(text, v, D)
+    ranks = dc_sample_ranks(text, v, D)
     xt = _xtab(v, D)
 
     # prefix-key histogram (chunked): pick p so avg bucket << bmax
@@ -260,39 +260,89 @@ def build_index_blockwise(text: np.ndarray, refmap, ftab_k: int | None = None,
         bmax = max(1 << 20, (n + 3) // 4)  # --bmaxdivn default 4
 
     nblocks = (nrows + OCC_BLOCK - 1) // OCC_BLOCK
-    bwt = np.zeros(nblocks * OCC_BLOCK, np.int8)
-    mark_bits = np.zeros(nblocks * MARK_WORDS_PER_BLOCK * 32, bool)
+    # fully streaming assembly: each yielded SA block packs its BWT
+    # chars and mark bits straight into the PREALLOCATED packed arrays
+    # (2-bit words / bit-packed bytes) and fills the occ / mark-rank
+    # checkpoints it crosses from running totals.  No O(n)-byte bwt or
+    # O(n)-bool mark staging exists — peak temporaries are O(bmax) per
+    # in-flight block (the reference streams BWT sides to disk for the
+    # same reason, bt2_idx.h:2922-3290).
+    bwt_words = np.zeros(nblocks * WORDS_PER_BLOCK, np.uint32)
+    occ_cp = np.zeros((nblocks, 4), np.int64)
+    mark_u8 = np.zeros(nblocks * MARK_WORDS_PER_BLOCK * 4, np.uint8)
+    mark_cp = np.zeros(nblocks, np.int64)
     sa_chunks = []
     zoff = -1
     base = 0
+    run_occ = np.zeros(4, np.int64)
+    run_marks = 0
+    pend_chars = np.zeros(0, np.int8)  # <16 chars awaiting a full word
+    pend_marks = np.zeros(0, bool)  # <8 mark bits awaiting a full byte
     for block in sa_blocks(text, bmax=bmax, dcv=dcv):
+        L = len(block)
         prev = block - (block > 0)
         chars = text[prev]
         z = np.flatnonzero(block == 0)
         if len(z):
             zoff = base + int(z[0])
             chars[z[0]] = 0  # dummy (bwt_from_sa semantics)
-        bwt[base : base + len(block)] = chars
         marked = (block % srate) == 0
-        mark_bits[base : base + len(block)] = marked
         sa_chunks.append(block[marked].astype(np.uint32))
-        base += len(block)
+        # occ/mark checkpoints at OCC_BLOCK boundaries inside (base,
+        # base+L]: cp[b] = counts in bwt[0 : b*OCC_BLOCK)
+        b0 = (base + OCC_BLOCK - 1) // OCC_BLOCK
+        b1 = (base + L - 1) // OCC_BLOCK
+        if b1 >= b0:
+            offs = np.arange(b0, b1 + 1) * OCC_BLOCK - base  # in [0, L)
+            nz = offs > 0
+            for c in range(4):
+                cum = np.cumsum(chars == c)
+                occ_cp[b0 : b1 + 1, c] = run_occ[c] + np.where(
+                    nz, cum[offs - 1], 0
+                )
+            mcum = np.cumsum(marked)
+            mark_cp[b0 : b1 + 1] = run_marks + np.where(
+                nz, mcum[offs - 1], 0
+            )
+        run_occ += np.bincount(chars, minlength=4)[:4]
+        run_marks += int(marked.sum())
+        # pack BWT chars (16/uint32, LSB-first) and mark bits (8/byte)
+        buf = (np.concatenate([pend_chars, chars]) if len(pend_chars)
+               else chars)
+        nfull = len(buf) // 16
+        if nfull:
+            w0 = (base - len(pend_chars)) // 16
+            bwt_words[w0 : w0 + nfull] = dna.pack_2bit(buf[: nfull * 16])
+        pend_chars = buf[nfull * 16 :].copy()
+        mbuf = (np.concatenate([pend_marks, marked]) if len(pend_marks)
+                else marked)
+        nbytes = len(mbuf) // 8
+        if nbytes:
+            y0 = (base - len(pend_marks)) // 8
+            mark_u8[y0 : y0 + nbytes] = np.packbits(
+                mbuf[: nbytes * 8], bitorder="little"
+            )
+        pend_marks = mbuf[nbytes * 8 :].copy()
+        base += L
     assert base == nrows and zoff >= 0
+    if len(pend_chars):  # zero-padded final word / byte
+        w0 = (base - len(pend_chars)) // 16
+        tail = np.zeros(16, np.int8)
+        tail[: len(pend_chars)] = pend_chars
+        bwt_words[w0] = dna.pack_2bit(tail)[0]
+    if len(pend_marks):
+        y0 = (base - len(pend_marks)) // 8
+        mark_u8[y0] = np.packbits(pend_marks, bitorder="little")[0]
+    mark_words = mark_u8.view(np.uint32)
 
-    from .builder import _ftab_hist, _occ_checkpoints, _pack_padded
+    from .builder import _ftab_hist
 
-    bwt_words = _pack_padded(bwt[:nrows], nblocks * OCC_BLOCK)
-    occ_cp = _occ_checkpoints(bwt[:nrows], nblocks)
-    del bwt  # the packed words + checkpoints replace it (peak-RSS win)
     cnt = np.bincount(text, minlength=4).astype(np.int64)
     fchr = np.zeros(5, dtype=np.int64)
     fchr[0] = 1
     for c in range(1, 5):
         fchr[c] = fchr[c - 1] + cnt[c - 1]
     ftab_top, ftab_bot = _ftab_hist(text, ftab_k, chunk=_CHUNK)
-    mark_words = np.packbits(mark_bits, bitorder="little").view(np.uint32)
-    per_block = mark_bits.reshape(nblocks, OCC_BLOCK).sum(axis=1)
-    mark_cp = np.concatenate([[0], np.cumsum(per_block, dtype=np.int64)[:-1]])
     return FMIndex(
         n=n, nrows=nrows, zoff=zoff, fchr=fchr, bwt_words=bwt_words,
         occ_cp=occ_cp, ftab_k=ftab_k, ftab_top=ftab_top, ftab_bot=ftab_bot,
