@@ -374,6 +374,7 @@ def cmd_align(args):
         khits=args.khits, allhits=args.allhits,
         mapqv=args.mapqv, maxhalf=args.dpad,
         seed_boost=args.seed_boost, rng_seed=args.seed,
+        tighten=args.tighten,
         overhang=args.overhang,
         upfront_rescue=not args.no_1mm_upfront,
     )
@@ -935,6 +936,8 @@ def main(argv=None):
     a.add_argument("-D", "--dps", type=int, default=None)
     a.add_argument("-R", "--reseed", type=int, default=None)
     a.add_argument("--seed-boost", type=int, default=300)
+    # --tighten: -M minsc raising mode (bt2_search.cpp:233,431,1372)
+    a.add_argument("--tighten", type=int, default=3)
     a.add_argument("--mp", default=None)
     a.add_argument("--np", type=int, default=1)
     a.add_argument("--rdg", default=None)
@@ -1047,7 +1050,7 @@ def main(argv=None):
                   "--cp-min", "--desc-exp", "--desc-fmops", "--desc-kb",
                   "--desc-landing", "--desc-prioritize",
                   "--partition", "--reads-per-batch", "--thread-ceiling",
-                  "--tighten", "--snpphred", "--test-25"):
+                  "--snpphred", "--test-25"):  # --tighten is live now
         a.add_argument(_flag, type=int, help=argparse.SUPPRESS)
     for _flag in ("--log-dp", "--log-dp-opp", "--orig", "--thread-piddir",
                   "--wrapper", "--snpfrac", "--seed-off",

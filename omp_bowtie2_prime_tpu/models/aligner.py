@@ -74,6 +74,9 @@ class AlignOpts:
     local: bool = False
     khits: int = 1  # -k: report up to this many alignments
     allhits: bool = False  # -a: report all found alignments
+    # --tighten: -M-mode minsc raising once best+secondBest are known
+    # (0=off, 1=best, 2=secbest+1, 3=interpolated; bt2_search.cpp:233,431)
+    tighten: int = 3
     mapqv: int = 2  # --mapq-v: 2 = BowtieMapq2 (default), 3 = V3 table
     # --seed: global RNG seed mixed into every per-read reporting seed
     # (genRandSeed, pat.cpp:45-82) — equal-score tie-breaks draw from a
@@ -2591,24 +2594,74 @@ class TPUAligner:
             read.seq, read.qual, read.name, self.opts.rng_seed
         ))
 
+    def _tighten_filter(self, alns: dict, minsc: int, perfect: int) -> dict:
+        """-M minsc tightening (aligner_sw_driver.cpp:588-618): replay
+        the candidate stream in report order (dict insertion order ==
+        first stream occurrence, the reference's report order),
+        maintaining the running best/secondBest exactly like
+        AlnSinkWrap::report (aln_sink.cpp:1427-1441) and raising the
+        running minimum score per --tighten mode; candidates below the
+        raised bound are exactly those whose later DP the reference
+        would have failed."""
+        mode = self.opts.tighten
+        best = sec = None
+        cur = minsc
+        out = {}
+        for key, c in alns.items():
+            s = c.score
+            if s < cur:
+                continue
+            out[key] = c
+            if best is None or s > best:
+                best, sec = s, best
+            elif sec is None or s > sec:
+                sec = s
+            if sec is None:
+                continue
+            if mode == 1:
+                if best >= cur:
+                    cur = best
+                    if cur < perfect and best == sec:
+                        cur += 1
+            elif mode == 2:
+                if sec >= cur:
+                    cur = sec
+                    if cur < perfect:
+                        cur += 1
+            else:
+                bot = sec + ((best - sec) * 3) // 4
+                if bot >= cur:
+                    cur = bot
+                    if cur < perfect:
+                        cur += 1
+        return out
+
     def _finalize_unpaired(self, reads, minscs, cands, results) -> None:
         # pick winner per read; backtraces batched across reads, advancing
         # to the next-ranked candidate only when one proves invalid
         # (fragment-boundary straddle — rare)
+        o = self.opts
+        multi = o.allhits or o.khits > 1
+        bonus = self.sc.match_bonus
+        mins_l = np.asarray(minscs, np.int64).tolist()
+        lens_l = self._mat_lens.tolist()
         pend = {}  # ri -> (ranked list, next index)
         rank = self.rank_candidates
         read_rng = self.read_rng
+        tighten = o.tighten and not multi
         for ri, alns in enumerate(cands):
             if not alns:
                 continue
+            if tighten and len(alns) > 2:  # <3 candidates never prune
+                alns = self._tighten_filter(
+                    alns, mins_l[ri], bonus * lens_l[ri]
+                )
             if len(alns) == 1:  # unique candidate: no rank/RNG machinery
                 pend[ri] = (list(alns.items()), 0)
             else:
                 pend[ri] = (
                     rank(alns, (lambda rd=reads[ri]: read_rng(rd))), 0
                 )
-        o = self.opts
-        multi = o.allhits or o.khits > 1
         # -k>1 / -a report modes don't compute a meaningful MAPQ
         # (BowtieMapq2's !canMax short-circuit, unique.h:200-205)
         if o.mapqv == 3:
@@ -2617,9 +2670,6 @@ class TPUAligner:
             mapq_fn = mapq_v2_local  # non-monotone branch, unique.h:330-383
         else:
             mapq_fn = mapq_v2_e2e
-        bonus = self.sc.match_bonus
-        mins_l = np.asarray(minscs, np.int64).tolist()
-        lens_l = self._mat_lens.tolist()
         mq_cache: dict = {}  # distinct (score, secbest, minsc, len) are few
         while pend:
             batch = []

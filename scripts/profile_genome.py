@@ -57,6 +57,10 @@ def main():
     ap.add_argument("--workdir", default="/tmp/bt2prof")
     ap.add_argument("--build-only", action="store_true",
                     help="build+save the index and exit (no device use)")
+    ap.add_argument("--pipe", action="store_true",
+                    help="-p2 overlap mode: two align workers over "
+                         "interleaved batches (host phases hide behind "
+                         "the other worker's device waits)")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -103,15 +107,36 @@ def main():
     t0 = time.time()
     al.align_batch(reads[: args.batch])
     print(f"## warmup {time.time()-t0:.1f}s", flush=True)
+    al2 = None
+    if args.pipe:
+        from omp_bowtie2_prime_tpu.models.pipeline import run_pipeline
+
+        al2 = TPUAligner(fm)
+        t0 = time.time()
+        al2.align_batch(reads[: args.batch])
+        print(f"## warmup2 {time.time()-t0:.1f}s", flush=True)
 
     best = None
     for it in range(args.iters):
         al.timers.reset()
         t0 = time.time()
         naligned = 0
-        for lo in range(0, len(reads), args.batch):
-            res = al.align_batch(reads[lo : lo + args.batch])
-            naligned += sum(1 for r in res if r.status == "aligned")
+        if args.pipe:
+            batches = [reads[lo : lo + args.batch]
+                       for lo in range(0, len(reads), args.batch)]
+            out = {}
+            run_pipeline(
+                iter(enumerate(batches)), None,
+                lambda b, r: out.__setitem__(b[0], r),
+                align_fns=[lambda b: al.align_batch(b[1]),
+                           lambda b: al2.align_batch(b[1])],
+            )
+            naligned = sum(1 for rs in out.values() for r in rs
+                           if r.status == "aligned")
+        else:
+            for lo in range(0, len(reads), args.batch):
+                res = al.align_batch(reads[lo : lo + args.batch])
+                naligned += sum(1 for r in res if r.status == "aligned")
         dt = time.time() - t0
         rps = len(reads) / dt
         print(f"## iter{it} {dt:.2f}s rps={rps:.0f} aligned={naligned}",
