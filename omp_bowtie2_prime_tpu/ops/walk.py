@@ -32,8 +32,10 @@ def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
         hit = marked & ~done & valid
         # record the mark rank; the SA-sample gather happens ONCE after
         # the loop (an in-loop sa_lookup issued srate gathers per lane
-        # where one suffices — the walk loop is gather-bound)
-        rnk = jnp.where(hit, r, rnk)
+        # where one suffices — the walk loop is gather-bound).  int32
+        # always (nmarked < 2^31 at any .bt2l scale; under x64 the
+        # popcount-sum arithmetic promotes, so pin the carry dtype)
+        rnk = jnp.where(hit, r.astype(jnp.int32), rnk)
         done = done | hit
         # step left where not yet done (safe: zoff is marked, so lf_row
         # is never evaluated "through" the sentinel for live lanes)
