@@ -66,7 +66,23 @@ def main():
     print(f"1-device:  {nreads/dt1:8.0f} reads/s ({dt1:.2f}s)")
     print(f"{ndev}-device: {nreads/dtN:8.0f} reads/s ({dtN:.2f}s)")
     print(f"identity: {'BITWISE-IDENTICAL' if ident else 'MISMATCH'}")
-    sys.exit(0 if ident else 1)
+    ident_tp = True
+    if "--tp" in sys.argv:
+        # tensor-parallel index: FM blocks + SA sample sharded row-wise
+        # over a 'model' axis (parallel/tp_index.py), rank gathers
+        # recombined by one psum per step
+        import jax
+        from jax.sharding import Mesh
+
+        devs = np.array(jax.devices()[:ndev])
+        tp_mesh = Mesh(devs.reshape(1, ndev), ("data", "model"))
+        resT, dtT = run(TPUAligner(fm, mesh=tp_mesh))
+        ident_tp = all(key(a) == key(b) for a, b in zip(res1, resT))
+        print(f"tp-index {ndev}-way: {nreads/dtT:8.0f} reads/s "
+              f"({dtT:.2f}s)")
+        print(f"tp identity: "
+              f"{'BITWISE-IDENTICAL' if ident_tp else 'MISMATCH'}")
+    sys.exit(0 if (ident and ident_tp) else 1)
 
 
 if __name__ == "__main__":
