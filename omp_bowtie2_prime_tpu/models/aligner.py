@@ -349,9 +349,9 @@ def _bt_gap_cap(B: int) -> int:
     static_argnames=("range_cap", "expand", "max_elts", "max_dp", "p_cap",
                      "seed_len", "sample_seed", "sub_ftab"),
 )
-def _rank_frame_mega(idx, matpk, src2, off2, eff2, valid2, m_ri, m_fw,
-                     m_off, lens, mgn, read_ok, text_n, *, range_cap,
-                     expand, max_elts, max_dp, p_cap, seed_len,
+def _rank_frame_mega(idx, matpk, src2, off2, eff2, valid2, lseed2, m_ri,
+                     m_fw, m_off, lens, mgn, read_ok, text_n, *,
+                     range_cap, expand, max_elts, max_dp, p_cap, seed_len,
                      sample_seed=0, sub_ftab=False):
     """The WHOLE P2+P4-P6 stage as ONE executable: seed windows gathered
     from the resident packed read matrix (nothing but per-seed (row,
@@ -363,7 +363,7 @@ def _rank_frame_mega(idx, matpk, src2, off2, eff2, valid2, m_ri, m_fw,
     from ..ops.rank_frame import rank_frame
 
     def one(args):
-        src, off, eff, v = args
+        src, off, eff, v, ls = args
         # seeds shorter than seed_len (the reference clamps to
         # min(seed_len, rdlen), prepareSeed, aligner_seed.cpp:321-341):
         # alignment layout handled in _gather_seed_windows
@@ -371,9 +371,11 @@ def _rank_frame_mega(idx, matpk, src2, off2, eff2, valid2, m_ri, m_fw,
                                  idx.ftab_k)
         return seed_search.search_resolve_seeds(idx, s, v, range_cap,
                                                 expand, sample_seed,
-                                                sub_ftab)
+                                                sub_ftab, lane_seed=ls)
 
-    tops, bots, starts, offs = jax.lax.map(one, (src2, off2, eff2, valid2))
+    tops, bots, starts, offs = jax.lax.map(
+        one, (src2, off2, eff2, valid2, lseed2)
+    )
     probs, count, hn, he, ov = rank_frame(
         tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
         text_n, range_cap=range_cap, expand=expand, max_elts=max_elts,
@@ -412,6 +414,9 @@ def _rank_frame_mega_grid(idx, matpk, meta, active, text_n, *, K, NC, SB,
     mgn = meta[:, 1]
     read_ok = meta[:, 2] != 0
     ival = meta[:, 3]
+    # per-read genRandSeed (int32 bit pattern -> uint32): mixed into the
+    # wide-range row sampling for per-read pick diversity
+    rdseed = jax.lax.bitcast_convert_type(meta[:, 4], jnp.uint32)
     npad = lens.shape[0]
     rs, d, eff, vg = device_seed_grid(
         lens, ival, active, K=K, seed_len=seed_len, nrounds=nrounds,
@@ -435,26 +440,28 @@ def _rank_frame_mega_grid(idx, matpk, meta, active, text_n, *, K, NC, SB,
     m_fw = cat(fws)
     eff2 = cat([eff] * len(srcs))
     valid = cat([vg] * len(srcs))
+    lseed = cat([rdseed[jnp.clip(rs, 0, npad - 1)]] * len(srcs))
     m_ri = jnp.where(valid, cat([rs] * len(srcs)), npad).astype(jnp.int32)
     m_off = jnp.where(valid, offw, 0).astype(jnp.int32)
 
     def one(args):
-        src, off, eff, v = args
+        src, off, eff, v, ls = args
         # short-seed layout contract: see _gather_seed_windows
         s = _gather_seed_windows(matpk, src, off, eff, seed_len,
                                  idx.ftab_k)
         return seed_search.search_resolve_seeds(idx, s, v, range_cap,
                                                 expand, sample_seed,
-                                                sub_ftab)
+                                                sub_ftab, lane_seed=ls)
 
     if NC == 1:
-        t1, b1, s1, o1 = one((src, m_off, eff2, valid))
+        t1, b1, s1, o1 = one((src, m_off, eff2, valid, lseed))
         tops, bots, starts, offs = (t1[None], b1[None], s1[None], o1[None])
     else:
         tops, bots, starts, offs = jax.lax.map(
             one,
             (src.reshape(NC, SB), m_off.reshape(NC, SB),
-             eff2.reshape(NC, SB), valid.reshape(NC, SB)),
+             eff2.reshape(NC, SB), valid.reshape(NC, SB),
+             lseed.reshape(NC, SB)),
         )
     probs, count, hn, he, ov = rank_frame(
         tops, bots, starts, offs, m_ri, m_fw, m_off, lens, mgn, read_ok,
@@ -482,10 +489,19 @@ def _prefetch(*arrs):
 
 class TPUAligner:
     def __init__(self, fm: FMIndex, scoring: Scoring | None = None,
-                 opts: AlignOpts | None = None, mesh=None):
+                 opts: AlignOpts | None = None, mesh=None, share=None):
         """mesh: optional jax.sharding.Mesh with a 'data' axis — device
         phases then run SPMD data-parallel across its devices with the FM
-        index replicated (SURVEY §2.4's OpenMP-batch -> chip-mesh mapping)."""
+        index replicated (SURVEY §2.4's OpenMP-batch -> chip-mesh mapping).
+
+        share: another TPUAligner over the SAME index — the new instance
+        reuses its device index, unpacked text and window cache (read-only
+        after construction) instead of uploading/uncompressing another
+        copy. This is what makes -p2 overlap (two aligner instances, one
+        per pipeline worker — models/pipeline.py) viable at genome scale:
+        one 3.6 GB HBM-resident index serves both workers, the analog of
+        the reference's one-index-many-threads sharing (--mm/--shmem,
+        SURVEY §2.4)."""
         from ..utils.jaxcfg import enable_compile_cache
 
         enable_compile_cache()
@@ -497,10 +513,19 @@ class TPUAligner:
             from ..parallel.mesh import MeshPlacer
 
             self.placer = MeshPlacer(mesh)
-        self.idx = DeviceIndex.from_host(fm)
-        if self.placer is not None:
-            self.idx = self.placer.put_index(self.idx)
-        self.text = dna.unpack_2bit(fm.ref_words, fm.n)
+        if share is not None:
+            if share.fm is not fm:
+                raise ValueError("share= must wrap the same FMIndex")
+            self.placer = share.placer
+            self.idx = share.idx
+            self.text = share.text
+            self._win_cache = getattr(share, "_win_cache", None) or {}
+            share._win_cache = self._win_cache
+        else:
+            self.idx = DeviceIndex.from_host(fm)
+            if self.placer is not None:
+                self.idx = self.placer.put_index(self.idx)
+            self.text = dna.unpack_2bit(fm.ref_words, fm.n)
         self._large_index = (
             str(jnp.asarray(self.idx.fchr).dtype) == "int64"
         )
@@ -517,7 +542,8 @@ class TPUAligner:
 
             _tp_fns: dict = {}
 
-            def _srf(idx, seeds, valid, cap, expand, sub_ftab=False):
+            def _srf(idx, seeds, valid, lseed, cap, expand,
+                     sub_ftab=False):
                 key = (cap, expand, sub_ftab)
                 if key not in _tp_fns:
                     _tp_fns[key] = tp_search_resolve_fn(
@@ -526,7 +552,7 @@ class TPUAligner:
                         sample_seed=self.opts.rng_seed & 0xFFFFFFFF,
                         sub_ftab=sub_ftab,
                     )
-                return _tp_fns[key](idx, seeds, valid)
+                return _tp_fns[key](idx, seeds, valid, lseed)
 
             self._search_resolve_fn = _srf
         else:
@@ -536,28 +562,31 @@ class TPUAligner:
             # copy per chunk instead of four is a direct wall-clock win
             _sseed = o.rng_seed & 0xFFFFFFFF
 
-            def _sr_packed(idx, chunk, valid, cap, expand, sub_ftab=False):
+            def _sr_packed(idx, chunk, valid, lseed, cap, expand,
+                           sub_ftab=False):
                 t, b, st, of = seed_search.search_resolve_seeds(
-                    idx, chunk, valid, cap, expand, _sseed, sub_ftab
+                    idx, chunk, valid, cap, expand, _sseed, sub_ftab,
+                    lane_seed=lseed,
                 )
                 return jnp.concatenate([t, b, st.astype(t.dtype), of])
 
-            def _sr_mega(idx, seeds3, valid2, cap, expand, sub_ftab=False):
+            def _sr_mega(idx, seeds3, valid2, lseed2, cap, expand,
+                         sub_ftab=False):
                 # ALL seed chunks in one executable (lax.map over the
                 # chunk axis) and ONE packed result copy — each separate
                 # device->host copy costs a fixed relay round-trip
                 def one(args):
-                    s, v = args
-                    return _sr_packed(idx, s, v, cap, expand, sub_ftab)
+                    s, v, ls = args
+                    return _sr_packed(idx, s, v, ls, cap, expand, sub_ftab)
 
-                return jax.lax.map(one, (seeds3, valid2))
+                return jax.lax.map(one, (seeds3, valid2, lseed2))
 
             self._search_resolve_fn = None
             self._search_resolve_packed = jax.jit(
-                _sr_packed, static_argnums=(3, 4, 5)
+                _sr_packed, static_argnums=(4, 5, 6)
             )
             self._search_resolve_mega = jax.jit(
-                _sr_mega, static_argnums=(3, 4, 5)
+                _sr_mega, static_argnums=(4, 5, 6)
             )
             # fused rank/frame path: the whole P4-P6 stage runs in one
             # executable (ops/rank_frame.py via _rank_frame_mega); one
@@ -952,31 +981,39 @@ class TPUAligner:
 
     # ---------------- device phase helpers (padded chunking) ----------------
 
-    def _search_resolve(self, seeds: np.ndarray):
+    def _search_resolve(self, seeds: np.ndarray,
+                        lseed: np.ndarray | None = None):
         """Chunked fused search+resolve. Returns (tops, bots, offs_of) where
         offs_of(si) -> np array of resolved joined offsets for seed si
         (first min(width, range_cap) SA rows; -1 = unresolved).
 
-        Identical seed sequences are searched ONCE: FM search + SA
-        resolution are pure functions of the seed text, and reads share
-        many seeds (lambda 10K: ~26% duplicates; more on repetitive
-        genomes), so instances are deduped up front and the per-unique
-        results fanned back out by index."""
+        Identical seed INSTANCES are searched ONCE: FM search + SA
+        resolution are pure functions of (seed text, per-read sample
+        seed), and reads share many seeds (lambda 10K: ~26% duplicates;
+        more on repetitive genomes), so instances are deduped up front
+        and the per-unique results fanned back out by index.  lseed
+        (uint32 [S]) is each lane's per-read genRandSeed, mixed into the
+        wide-range row sampling (ops/seed_search.search_resolve_seeds) —
+        it joins the dedupe key so distinct reads keep distinct draws."""
+        if lseed is None:
+            lseed = np.zeros(len(seeds), np.uint32)
         if len(seeds) > 1024 and seeds.shape[1] <= 24:  # 6^24 < 2^63
             key = np.zeros(len(seeds), np.int64)
             for j in range(seeds.shape[1]):  # base-6 (codes -1..4 -> 0..5)
                 key = key * 6 + (seeds[:, j] + 1)
             uniq, first, inv = np.unique(
-                key, return_index=True, return_inverse=True
+                np.stack([key, lseed.astype(np.int64)], 1), axis=0,
+                return_index=True, return_inverse=True,
             )
+            inv = inv.reshape(-1)  # numpy 2.x keeps the stacked shape
             if len(uniq) <= 0.92 * len(seeds):
                 tops, bots, (offs, start, end) = self._search_resolve_impl(
-                    seeds[first]
+                    seeds[first], lseed[first]
                 )
                 return tops[inv], bots[inv], (offs, start[inv], end[inv])
-        return self._search_resolve_impl(seeds)
+        return self._search_resolve_impl(seeds, lseed)
 
-    def _search_resolve_impl(self, seeds: np.ndarray):
+    def _search_resolve_impl(self, seeds: np.ndarray, lseed: np.ndarray):
         o = self.opts
         S = len(seeds)
         npdt = np.asarray(self.idx.fchr).dtype
@@ -994,18 +1031,21 @@ class TPUAligner:
             # one executable + one result copy for ALL chunks
             seeds3 = np.zeros((nchunks, SB, seeds.shape[1]), np.int8)
             valid2 = np.zeros((nchunks, SB), bool)
+            lseed2 = np.zeros((nchunks, SB), np.uint32)
             for ci, lo in enumerate(range(0, S, SB)):
                 hi = min(lo + SB, S)
                 seeds3[ci, : hi - lo] = seeds[lo:hi]
                 valid2[ci, : hi - lo] = True
+                lseed2[ci, : hi - lo] = lseed[lo:hi]
             a2d = np.asarray(self._search_resolve_mega(
                 self.idx, self._put_chunked(seeds3),
-                self._put_chunked(valid2),
+                self._put_chunked(valid2), self._put_chunked(lseed2),
                 o.range_cap, o.resolve_expand, sub_ftab,
             ))
             for ci, lo in enumerate(range(0, S, SB)):
                 hi = min(lo + SB, S)
-                futs.append((ci, lo, hi, seeds3[ci], valid2[ci], a2d[ci]))
+                futs.append((ci, lo, hi, seeds3[ci], valid2[ci],
+                             lseed2[ci], a2d[ci]))
         else:
             for ci, lo in enumerate(range(0, S, SB)):
                 hi = min(lo + SB, S)
@@ -1013,13 +1053,16 @@ class TPUAligner:
                 chunk[: hi - lo] = seeds[lo:hi]
                 valid = np.zeros(SB, bool)
                 valid[: hi - lo] = True
+                lsc = np.zeros(SB, np.uint32)
+                lsc[: hi - lo] = lseed[lo:hi]
                 res = _prefetch(*self._search_resolve_fn(
                     self.idx, self._put(chunk), self._put(valid),
-                    o.range_cap, o.resolve_expand, sub_ftab,
+                    self._put(lsc), o.range_cap, o.resolve_expand,
+                    sub_ftab,
                 ))
-                futs.append((ci, lo, hi, chunk, valid, res))
+                futs.append((ci, lo, hi, chunk, valid, lsc, res))
         rmax = int(o.seed_batch * o.resolve_expand)
-        for ci, lo, hi, chunk, valid, res in futs:
+        for ci, lo, hi, chunk, valid, lsc, res in futs:
             if packed_mode:
                 a = res
                 t, b = a[:SB], a[SB : 2 * SB]
@@ -1036,13 +1079,15 @@ class TPUAligner:
                 if packed_mode:
                     a2 = np.asarray(self._search_resolve_packed(
                         self.idx, self._put(chunk), self._put(valid),
-                        o.range_cap, o.range_cap, sub_ftab,
+                        self._put(lsc), o.range_cap, o.range_cap,
+                        sub_ftab,
                     ))
                     st2, of2 = a2[2 * SB : 3 * SB], a2[3 * SB :]
                 else:
                     _, _, st2, of2 = self._search_resolve_fn(
                         self.idx, self._put(chunk), self._put(valid),
-                        o.range_cap, o.range_cap, sub_ftab,
+                        self._put(lsc), o.range_cap, o.range_cap,
+                        sub_ftab,
                     )
                 chunk_starts[ci] = np.asarray(st2)
                 chunk_offs[ci] = np.asarray(of2)
@@ -1091,6 +1136,8 @@ class TPUAligner:
         eff_p[:S_act] = m_eff
         valid2 = np.zeros(S, bool)
         valid2[:S_act] = True
+        lseed_p = np.zeros(S, np.uint32)
+        lseed_p[:S_act] = self._batch_rdseed()[m_ri]
         npad = len(lens_pad)
         ri_p = np.full(S, npad, np.int32)
         ri_p[:S_act] = m_ri
@@ -1103,11 +1150,12 @@ class TPUAligner:
             d_offw = self._put_chunked(offw_p.reshape(NC, SB))
             d_eff = self._put_chunked(eff_p.reshape(NC, SB))
             d_valid = self._put_chunked(valid2.reshape(NC, SB))
+            d_lseed = self._put_chunked(lseed_p.reshape(NC, SB))
         _t_disp = self.timers.phase("searchResolve.dispatch")
         _t_disp.__enter__()
         packed = _rank_frame_mega(
             self.idx, self._dev_mat, d_src, d_offw, d_eff, d_valid,
-            self._put(ri_p), self._put(fw_p), self._put(off_p),
+            d_lseed, self._put(ri_p), self._put(fw_p), self._put(off_p),
             self._put(lens_pad), self._put(mgn_pad),
             self._put(read_ok_pad),
             np.int64(self.fm.n) if self._large_index else
@@ -1136,10 +1184,11 @@ class TPUAligner:
         return probs, hn, he
 
     def _grid_meta(self, mgn_all, read_ok):
-        """Per-batch device meta for the grid mega: [npad, 4] int32
+        """Per-batch device meta for the grid mega: [npad, 5] int32
         (len clamped to the matrix width, narrow slack, read_ok, seed
-        interval).  Built+put ONCE per batch (build_read_matrices clears
-        it); rounds ship only the active mask."""
+        interval, per-read genRandSeed as an int32 bit pattern).  Built+
+        put ONCE per batch (build_read_matrices clears it); rounds ship
+        only the active mask."""
         o = self.opts
         n = len(self._mat_lens)
         npad = 1 << max(8, (n - 1).bit_length())
@@ -1148,11 +1197,12 @@ class TPUAligner:
         ivals = np.maximum(1, o.ival.f_vec(
             np.maximum(lens_c, 1).astype(np.float64)
         )).astype(np.int32)
-        meta = np.zeros((npad, 4), np.int32)
+        meta = np.zeros((npad, 5), np.int32)
         meta[:n, 0] = lens_c
         meta[:n, 1] = mgn_all
         meta[:n, 2] = read_ok
         meta[:n, 3] = ivals
+        meta[:n, 4] = self._batch_rdseed().view(np.int32)
         self._meta_host = (lens_c, ivals, npad)
         self._meta_dev = self._put(meta)
 
@@ -1163,6 +1213,19 @@ class TPUAligner:
         n_seeds), the string "empty" when the round emits no seeds, or
         None when the fixed table overflowed (caller reruns the host
         path)."""
+        h = self._grid_dispatch(active, roundi, mgn_all, read_ok)
+        if isinstance(h, str):
+            return h
+        return self._grid_collect(h)
+
+    def _grid_dispatch(self, active, roundi, mgn_all, read_ok):
+        """Dispatch half of _rank_frame_device_grid: queues the mega on
+        the device and returns an opaque handle for _grid_collect — the
+        cross-batch software pipeline (align_stream) dispatches batch
+        k+1's round-0 mega while batch k's host phases run, so the chip
+        never idles between batches (the TPU analog of the fork's
+        resident-batch refill keeping every phase's workers busy,
+        bt2_search.cpp:2297-2888)."""
         o = self.opts
         if getattr(self, "_meta_dev", None) is None:
             with self.timers.phase("searchResolve.put"):
@@ -1224,6 +1287,11 @@ class TPUAligner:
             nofw=o.nofw, norc=o.norc,
         )
         _t_disp.__exit__(None, None, None)
+        return packed, p_cap, npad, orients * G
+
+    def _grid_collect(self, handle):
+        """Wait half of _rank_frame_device_grid (see _grid_dispatch)."""
+        packed, p_cap, npad, n_seeds = handle
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)
         count, ov = int(a[4 * p_cap]), int(a[4 * p_cap + 1])
@@ -1233,7 +1301,7 @@ class TPUAligner:
             np.zeros((0, 4), np.int32)
         hn = a[4 * p_cap + 2 : 4 * p_cap + 2 + npad]
         he = a[4 * p_cap + 2 + npad :]
-        return probs, hn, he, orients * G
+        return probs, hn, he, n_seeds
 
     # windows wider than the device text's tail padding (ops/sw.py
     # gather_ref_windows; DeviceIndex pads 128 words = 2048 bases) ship
@@ -1449,15 +1517,20 @@ class TPUAligner:
 
     # ---------------- main entry ----------------
 
-    def align_batch(self, reads) -> list[AlnResult]:
+    def align_batch(self, reads, *, _prebuilt=False,
+                    _predisp=None) -> list[AlnResult]:
         """Multi-round alignment: round 0 seeds at offset 0, round 1 (for
         reads still unaligned) at offset interval/2 — the fork's resident
         batch keeps reads for nSeedRounds=2 rounds (bt2_search.cpp:2436,
-        2572-2584)."""
+        2572-2584).
+
+        _prebuilt/_predisp: align_stream already built this batch's
+        matrices and queued its round-0 mega (models/pipeline.py)."""
         n = len(reads)
         self.metrics.add(reads=n)
-        with self.timers.phase("buildMatrices"):
-            self.build_read_matrices(reads)
+        if not _prebuilt:
+            with self.timers.phase("buildMatrices"):
+                self.build_read_matrices(reads)
         results = [AlnResult(status="unaligned") for _ in range(n)]
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
         minscs = self.min_scores(reads)
@@ -1473,7 +1546,10 @@ class TPUAligner:
         for roundi in range(self.opts.nrounds):
             if not active:
                 break
-            cands = self.collect_candidates(reads, minscs, active, roundi)
+            cands = self.collect_candidates(
+                reads, minscs, active, roundi,
+                predisp=_predisp if roundi == 0 else None,
+            )
             self.metrics.add(candidates=sum(len(c) for c in cands))
             with self.timers.phase("finishRead"):
                 self._finalize_unpaired(reads, minscs, cands, results)
@@ -1533,6 +1609,15 @@ class TPUAligner:
                     - np.repeat(starts_f, lens)) < L
             flat_r, flat_q = flat_r[keep], flat_q[keep]
         flat_p = self.mm_tab[flat_q]
+        # per-read genRandSeed while the flat concatenations exist (the
+        # standalone gen_rand_seeds_batch re-concatenates — ~1s/32K batch)
+        self._rdseed = refrng.gen_rand_seeds_flat(
+            flat_r if longest <= L else
+            np.concatenate([rd.seq for rd in reads]),
+            flat_q if longest <= L else
+            np.concatenate([rd.qual for rd in reads]),
+            lens, [rd.name for rd in reads], self.opts.rng_seed,
+        ) if n else np.zeros(0, np.uint32)
         rev_src = np.repeat(starts + clipped - 1, clipped) - pos
         mask = np.arange(L, dtype=np.int32)[None, :] < clipped[:, None]
         mat_r = np.full((2 * n, L), 4, np.int8)
@@ -1549,6 +1634,7 @@ class TPUAligner:
         self._mat_pens = mat_p
         self._mat_lens = lens
         self._meta_dev = None  # grid meta is per-batch (see _grid_meta)
+        self._batch_reads = reads
         if getattr(self, "_dp_from_mat", False):
             # ONE resident device copy for index-only DP dispatch and
             # on-device seed gathering: read code and qual-scaled
@@ -1561,6 +1647,17 @@ class TPUAligner:
                 jnp.asarray(packed) if self.placer is None
                 else jax.device_put(packed, self.placer.repl)
             )
+
+    def _batch_rdseed(self) -> np.ndarray:
+        """Per-read genRandSeed for the resident batch (uint32 [n]),
+        computed in build_read_matrices from the flat concatenations —
+        feeds the wide-range row sampling (per-read pick diversity,
+        aligner_sw_driver.cpp:151-259)."""
+        if getattr(self, "_rdseed", None) is None:  # direct callers
+            self._rdseed = refrng.gen_rand_seeds_batch(
+                self._batch_reads, self.opts.rng_seed
+            )
+        return self._rdseed
 
     def min_scores(self, reads) -> np.ndarray:
         """Per-read clamped minimum scores (bt2_search.cpp:2476-2491).
@@ -1595,9 +1692,68 @@ class TPUAligner:
         )
         return ns > maxns
 
-    def collect_candidates(self, reads, minscs, active, roundi):
+    def _frame_consts(self, minscs):
+        """Per-read framing constants (narrow/wide window slacks, the
+        escalation threshold, the hot-shape eligibility mask) — a pure
+        function of the resident batch's lengths and min scores, shared
+        by collect_candidates and the align_stream pre-dispatch."""
+        o, sc = self.opts, self.sc
+        # per-read envelopes: two window tiers.  The reference rect pads
+        # each side by 2 * min(gap budget, maxhalf) diagonals ("LHS gap +
+        # LHS extra", dp_framer.cpp:94-101).  We frame with the NARROW
+        # half of that (min(budget, maxhalf)) first and escalate only
+        # provably-affected problems to the full rect: any path leaving a
+        # +-mg_n window carries > mg_n gap chars of one type, costing at
+        # least const + (mg_n+1)*linear, so a problem whose narrow best
+        # beats that bound is bitwise-identical under the wide rect.
+        lens_all = self._mat_lens.astype(np.int64)
+        gap_const = min(sc.rdg_const, sc.rfg_const)
+        gap_lin = min(sc.rdg_linear, sc.rfg_linear)
+        # vectorized over ALL reads (distinct (len, minsc) pairs are few;
+        # values for reads outside `active` are the same per-read
+        # constants and feed the cached grid meta)
+        ukeys, uinv = np.unique(
+            np.stack([lens_all, np.asarray(minscs).astype(np.int64)], 1),
+            axis=0, return_inverse=True,
+        )
+        mg_u = np.fromiter(
+            (min(sc.max_read_gaps(int(ms), int(ln)), o.maxhalf)
+             for ln, ms in ukeys), np.int64, len(ukeys),
+        )
+        mgn_all = mg_u[uinv]  # narrow slack (first pass)
+        mgw_all = 2 * mgn_all  # full reference-rect slack
+        thr_all = -(gap_const + (mgn_all + 1) * gap_lin)
+        # any read up to l_hard aligns: regular problems (ln <= l_max,
+        # window <= dp_cols) take the hot Pallas shape, everything else
+        # routes to the irregular any-shape XLA bucket
+        read_ok = lens_all <= o.l_hard
+        return lens_all, mgn_all, mgw_all, thr_all, read_ok
+
+    def dispatch_round0(self, reads, minscs):
+        """align_stream's pre-dispatch: queue this batch's round-0 grid
+        mega on the device (matrices must be built) and return the
+        handle for collect_candidates(predisp=...).  None when the grid
+        path is unavailable (mesh/tp or fused-rank off) — the stream
+        then just runs align_batch serially for this batch."""
+        fused = getattr(self, "_use_fused_rank", False)
+        if not (fused and self.placer is None
+                and getattr(self, "_dev_mat", None) is not None):
+            return None
+        _, mgn_all, _, _, read_ok = self._frame_consts(minscs)
+        try:
+            with self.timers.phase("searchResolve"):
+                return self._grid_dispatch(
+                    list(range(len(reads))), 0, mgn_all, read_ok
+                )
+        except Exception:
+            return None
+
+    def collect_candidates(self, reads, minscs, active, roundi,
+                           predisp=None):
         """Phases P2-P7 for one seeding round: returns per-read dicts
-        {(fw, endj): Candidate} for every valid-scoring DP endpoint."""
+        {(fw, endj): Candidate} for every valid-scoring DP endpoint.
+        predisp: a _grid_dispatch handle already queued for (active,
+        roundi) — the round-0 cross-batch overlap (align_stream)."""
         o, sc = self.opts, self.sc
         n = len(reads)
 
@@ -1630,35 +1786,8 @@ class TPUAligner:
                     )
             if len(m_ri) == 0:
                 return empty
-        # per-read envelopes: two window tiers.  The reference rect pads
-        # each side by 2 * min(gap budget, maxhalf) diagonals ("LHS gap +
-        # LHS extra", dp_framer.cpp:94-101).  We frame with the NARROW
-        # half of that (min(budget, maxhalf)) first and escalate only
-        # provably-affected problems to the full rect: any path leaving a
-        # +-mg_n window carries > mg_n gap chars of one type, costing at
-        # least const + (mg_n+1)*linear, so a problem whose narrow best
-        # beats that bound is bitwise-identical under the wide rect.
-        lens_all = self._mat_lens.astype(np.int64)
-        gap_const = min(sc.rdg_const, sc.rfg_const)
-        gap_lin = min(sc.rdg_linear, sc.rfg_linear)
-        # vectorized over ALL reads (distinct (len, minsc) pairs are few;
-        # values for reads outside `active` are the same per-read
-        # constants and feed the cached grid meta)
-        ukeys, uinv = np.unique(
-            np.stack([lens_all, np.asarray(minscs).astype(np.int64)], 1),
-            axis=0, return_inverse=True,
-        )
-        mg_u = np.fromiter(
-            (min(sc.max_read_gaps(int(ms), int(ln)), o.maxhalf)
-             for ln, ms in ukeys), np.int64, len(ukeys),
-        )
-        mgn_all = mg_u[uinv]  # narrow slack (first pass)
-        mgw_all = 2 * mgn_all  # full reference-rect slack
-        thr_all = -(gap_const + (mgn_all + 1) * gap_lin)
-        # any read up to l_hard aligns: regular problems (ln <= l_max,
-        # window <= dp_cols) take the hot Pallas shape, everything else
-        # routes to the irregular any-shape XLA bucket
-        read_ok = lens_all <= o.l_hard
+        lens_all, mgn_all, mgw_all, thr_all, read_ok = \
+            self._frame_consts(minscs)
 
         problems = None
         dp_cells = 0
@@ -1668,9 +1797,13 @@ class TPUAligner:
             out = None
             with self.timers.phase("searchResolve"):
                 try:
-                    out = self._rank_frame_device_grid(
-                        active, roundi, mgn_all, read_ok
-                    )
+                    if predisp is not None:  # queued by dispatch_round0
+                        out = (predisp if isinstance(predisp, str)
+                               else self._grid_collect(predisp))
+                    else:
+                        out = self._rank_frame_device_grid(
+                            active, roundi, mgn_all, read_ok
+                        )
                 except Exception as e:
                     import sys as _sys
 
@@ -1789,7 +1922,7 @@ class TPUAligner:
                 )
         with self.timers.phase("searchResolve"):
             tops, bots, (glob_offs, glob_start, glob_end) = \
-                self._search_resolve(seeds)
+                self._search_resolve(seeds, self._batch_rdseed()[m_ri])
         self.metrics.add(seeds=len(seeds))
 
         # P5 + framing, fully vectorized with the reference's semantics:

@@ -26,6 +26,44 @@ import threading
 _DONE = object()
 
 
+def align_stream(als, batches, emit_fn=None):
+    """Single-thread cross-batch software pipeline: batch k+1's round-0
+    mega is QUEUED on the device before batch k's host phases run, so
+    the chip chews the next batch's seed search while the host frames,
+    packs DP problems and finishes reads for the current one — the
+    single-stream analog of the fork's resident-batch refill that never
+    lets hardware wait (bt2_search.cpp:2297-2888, pat.h:1283-1402), with
+    no GIL contention because there is only one host thread (a 1-core
+    host fights itself in the 2-worker thread overlap; measured round 3:
+    -p2 at genome scale INFLATED Python phases 3x and lost to serial).
+
+    als: >= 2 TPUAligner instances over the SAME index (share=);
+    batches: list of read batches; emit_fn(k, results) optional, called
+    in input order. Returns the per-batch results list."""
+    nals = len(als)
+    assert nals >= 2, "align_stream needs two aligner instances"
+    results = [None] * len(batches)
+    inflight: list = []
+
+    def _finish(item):
+        k, a, reads, h = item
+        results[k] = a.align_batch(reads, _prebuilt=True, _predisp=h)
+        if emit_fn is not None:
+            emit_fn(k, results[k])
+
+    for k, reads in enumerate(batches):
+        a = als[k % nals]
+        with a.timers.phase("buildMatrices"):
+            a.build_read_matrices(reads)
+        h = a.dispatch_round0(reads, a.min_scores(reads))
+        inflight.append((k, a, reads, h))
+        if len(inflight) == nals:  # keep nals-1 batches queued ahead
+            _finish(inflight.pop(0))
+    for item in inflight:
+        _finish(item)
+    return results
+
+
 def run_pipeline(batches, align_fn, emit_fn, depth: int = 2,
                  align_fns=None):
     """batches: iterator of input batches; align_fn(batch) -> results;

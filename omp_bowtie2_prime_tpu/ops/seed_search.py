@@ -170,7 +170,8 @@ def _mix32(a, b):
 def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
                          cap: int, expand: float = 4,
                          sample_seed: int | None = 0,
-                         sub_ftab: bool = False):
+                         sub_ftab: bool = False,
+                         lane_seed: jnp.ndarray | None = None):
     """Fused seed search + SA resolution in ONE device dispatch (the fork
     splits these into phases P4/P6 with host work between,
     bt2_search.cpp:2638/2683; on a remote device each round-trip costs more
@@ -186,8 +187,14 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
     analog of the reference's weighted random element draw over large
     ranges (RowSampler/Random1toN, aligner_sw_driver.cpp:151-259,
     random_util.h): picks are random across the whole range yet
-    deterministic in (range, --seed), so output stays batch/shard
-    placement invariant.  sample_seed=None restores first-cap-rows.
+    deterministic in (range, read, --seed), so output stays batch/shard
+    placement invariant.  lane_seed (uint32 [S], optional) mixes each
+    lane's per-read genRandSeed (utils/rng.gen_rand_seed — itself a pure
+    function of read content + --seed, the reference's own invariance
+    trick, pat.cpp:45-82) into the draw, recovering the reference's
+    PER-READ pick diversity on deep repeats (its RowSampler draws from a
+    per-read RNG): distinct reads hitting the same wide SA range sample
+    different rows.  sample_seed=None restores first-cap-rows.
     Returns (top, bot, starts, offs) with seed s's offsets at
     offs[starts[s] : starts[s] + min(bot-top, cap)[s]]; seeds whose
     slots spill past the buffer have starts[s] + width > int(S*expand)
@@ -230,17 +237,37 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
         # within the row dtype (no k*w products that could overflow).
         # Per-slot formulation of the same (seed, stratum) hash — picks
         # are identical to the per-seed [S, cap] formulation.
+        #
+        # EMISSION ORDER is itself a per-(range, read) pseudorandom
+        # permutation of the cap strata (odd-multiplier LCG when cap is
+        # a power of two, rotation otherwise): the candidate STREAM
+        # order downstream is diagonal-dedupe + budget + tighten replay
+        # order (aligner_sw_driver.cpp:588-618 keeps only what was
+        # reported before the minsc raise), and the reference's stream
+        # is its RowSampler's random draw order — emitting our strata
+        # in fixed SA order concentrated the post-tighten survivors on
+        # the first strata's fixed copy subset (measured: depth-500
+        # deep repeats reported only ~2 strata ~= 64 fixed copies).
         q = wo // cap
         r = wo % cap
-        lo = k * q + jnp.minimum(k, r)
-        span = q + (k < r)
         to = top[own]
         t32 = to if rowdt == jnp.int32 else to ^ (to >> 32)
-        h = _mix32(
-            t32.astype(jnp.uint32)
-            + jnp.uint32(np.uint32(sample_seed & 0xFFFFFFFF)),
-            k + 1,
-        )
+        hbase = (t32.astype(jnp.uint32)
+                 + jnp.uint32(np.uint32(sample_seed & 0xFFFFFFFF)))
+        if lane_seed is not None:
+            hbase = hbase + lane_seed[own].astype(jnp.uint32)
+        k32 = k.astype(jnp.uint32)
+        if cap & (cap - 1) == 0:  # odd-multiplier bijection mod 2^m
+            ja = _mix32(hbase, jnp.uint32(0xA5A5)) | jnp.uint32(1)
+            jb = _mix32(hbase, jnp.uint32(0x5A5A))
+            j32 = (k32 * ja + jb) & jnp.uint32(cap - 1)
+        else:  # rotation is a bijection for any cap
+            jb = _mix32(hbase, jnp.uint32(0x5A5A))
+            j32 = (k32 + jb) % jnp.uint32(cap)
+        j = j32.astype(rowdt)
+        lo = j * q + jnp.minimum(j, r)
+        span = q + (j < r)
+        h = _mix32(hbase, j + 1)
         pick = lo + (h % jnp.maximum(span, 1).astype(jnp.uint32)).astype(
             rowdt
         )

@@ -82,13 +82,17 @@ def tp_search_resolve_fn(idx, mesh: Mesh, range_cap: int, expand: int,
 
     dspec = P(data_axis) if data_axis and mesh.shape.get(data_axis, 1) > 1 \
         else P()
-    fn = functools.partial(
-        search_resolve_seeds, cap=range_cap, expand=expand,
-        sample_seed=sample_seed, sub_ftab=sub_ftab,
-    )
+
+    def fn(idx_, seeds, valid, lane_seed):
+        return search_resolve_seeds(
+            idx_, seeds, valid, cap=range_cap, expand=expand,
+            sample_seed=sample_seed, sub_ftab=sub_ftab,
+            lane_seed=lane_seed,
+        )
+
     mapped = jax.shard_map(
         fn, mesh=mesh,
-        in_specs=(_index_specs(idx, axis), dspec, dspec),
+        in_specs=(_index_specs(idx, axis), dspec, dspec, dspec),
         out_specs=(dspec, dspec, dspec, dspec),
         check_vma=False,
     )

@@ -61,6 +61,86 @@ def gen_rand_seed(seq_codes: np.ndarray, qual_phred: np.ndarray,
     return rseed & _M32
 
 
+def _xor_segments(vals32: np.ndarray, pos: np.ndarray, starts: np.ndarray,
+                  shifts: np.ndarray, out: np.ndarray) -> None:
+    """out[s] ^= xor-reduce of (vals32 << shifts[pos & mask]) per segment.
+    uint32 shifts wrap exactly like the reference's (v << s) & 0xffffffff
+    (genRandSeed, pat.cpp:45-82)."""
+    total = len(vals32)
+    if not total:
+        return
+    sh = vals32 << shifts[pos]
+    red = np.bitwise_xor.reduceat(sh, np.minimum(starts, total - 1))
+    seglen = np.diff(np.concatenate([starts, [total]]))
+    nz = seglen > 0
+    out[nz] ^= red[nz]
+
+
+_SEQ_SHIFTS = (np.arange(16, dtype=np.uint32) << 1).astype(np.uint32)
+_BYTE_SHIFTS = (np.arange(4, dtype=np.uint32) << 3).astype(np.uint32)
+
+
+def gen_rand_seeds_flat(flat_s: np.ndarray, flat_q: np.ndarray,
+                        lens: np.ndarray, names: list, seed: int
+                        ) -> np.ndarray:
+    """Vectorized ``gen_rand_seed`` from pre-concatenated per-read seq
+    codes / phred quals (read i occupies flat[starts[i] : +lens[i]]) and
+    the per-read name list — the hot-path form: build_read_matrices
+    already holds the flats, so no per-read numpy calls remain.
+    Bit-identical to per-read gen_rand_seed (asserted in tests)."""
+    n = len(lens)
+    base = np.uint32(((seed + 101) * 59 * 61 * 67 * 71 * 73 * 79 * 83)
+                     & _M32)
+    out = np.full(n, base, np.uint32)
+    if n == 0:
+        return out
+    lens = np.asarray(lens, np.int64)
+    starts = np.cumsum(lens) - lens
+    total = int(lens.sum())
+    if total and lens[0] > 0 and (lens == lens[0]).all():
+        # equal-length fast path (the overwhelmingly common batch):
+        # [n, L] broadcast + axis-1 xor-reduce, no per-element gathers
+        L0 = int(lens[0])
+        ssh = _SEQ_SHIFTS[np.arange(L0) & 15]
+        qsh = _BYTE_SHIFTS[np.arange(L0) & 3]
+        out ^= np.bitwise_xor.reduce(
+            flat_s.reshape(n, L0).astype(np.uint32) << ssh, axis=1)
+        out ^= np.bitwise_xor.reduce(
+            (flat_q.reshape(n, L0).astype(np.uint32) + np.uint32(33))
+            << qsh, axis=1)
+    elif total:
+        pos = np.arange(total, dtype=np.int64)
+        pos -= np.repeat(starts, lens)
+        _xor_segments(flat_s.astype(np.uint32), (pos & 15), starts,
+                      _SEQ_SHIFTS, out)
+        _xor_segments(flat_q.astype(np.uint32) + np.uint32(33), (pos & 3),
+                      starts, _BYTE_SHIFTS, out)
+    nbs = [nm.split("/", 1)[0].encode("ascii", "replace") for nm in names]
+    nlens = np.fromiter(map(len, nbs), np.int64, n)
+    ntot = int(nlens.sum())
+    if ntot:
+        nstarts = np.cumsum(nlens) - nlens
+        flat_n = np.frombuffer(b"".join(nbs), np.uint8)
+        pos = np.arange(ntot, dtype=np.int64) - np.repeat(nstarts, nlens)
+        _xor_segments(flat_n.astype(np.uint32), (pos & 3), nstarts,
+                      _BYTE_SHIFTS, out)
+    return out
+
+
+def gen_rand_seeds_batch(reads, seed: int) -> np.ndarray:
+    """Vectorized ``gen_rand_seed`` over a whole batch (uint32 [n])."""
+    n = len(reads)
+    if n == 0:
+        return np.zeros(0, np.uint32)
+    lens = np.fromiter((len(rd.seq) for rd in reads), np.int64, n)
+    flat_s = (np.concatenate([np.asarray(rd.seq) for rd in reads])
+              if lens.sum() else np.zeros(0, np.int8))
+    flat_q = (np.concatenate([np.asarray(rd.qual) for rd in reads])
+              if lens.sum() else np.zeros(0, np.uint8))
+    return gen_rand_seeds_flat(flat_s, flat_q, lens,
+                               [rd.name for rd in reads], seed)
+
+
 class RandomSource:
     """The reference LCG (random_source.h:34-80), bit-exact."""
 

@@ -61,6 +61,10 @@ def main():
                     help="-p2 overlap mode: two align workers over "
                          "interleaved batches (host phases hide behind "
                          "the other worker's device waits)")
+    ap.add_argument("--stream", action="store_true",
+                    help="single-thread cross-batch software pipeline "
+                         "(align_stream): batch k+1's round-0 mega is "
+                         "queued before batch k's host phases")
     args = ap.parse_args()
 
     os.makedirs(args.workdir, exist_ok=True)
@@ -108,10 +112,12 @@ def main():
     al.align_batch(reads[: args.batch])
     print(f"## warmup {time.time()-t0:.1f}s", flush=True)
     al2 = None
-    if args.pipe:
-        from omp_bowtie2_prime_tpu.models.pipeline import run_pipeline
+    if args.pipe or args.stream:
+        from omp_bowtie2_prime_tpu.models.pipeline import (
+            align_stream, run_pipeline,
+        )
 
-        al2 = TPUAligner(fm)
+        al2 = TPUAligner(fm, share=al)
         t0 = time.time()
         al2.align_batch(reads[: args.batch])
         print(f"## warmup2 {time.time()-t0:.1f}s", flush=True)
@@ -121,7 +127,14 @@ def main():
         al.timers.reset()
         t0 = time.time()
         naligned = 0
-        if args.pipe:
+        if args.stream:
+            al2.timers.reset()
+            batches = [reads[lo : lo + args.batch]
+                       for lo in range(0, len(reads), args.batch)]
+            outs = align_stream([al, al2], batches)
+            naligned = sum(1 for rs in outs for r in rs
+                           if r.status == "aligned")
+        elif args.pipe:
             batches = [reads[lo : lo + args.batch]
                        for lo in range(0, len(reads), args.batch)]
             out = {}
@@ -144,6 +157,8 @@ def main():
         if best is None or dt < best:
             best = dt
             al.timers.report()
+            if al2 is not None:
+                al2.timers.report()
             sys.stderr.flush()
     print(f"## best rps={len(reads)/best:.0f} batch={args.batch}",
           flush=True)

@@ -47,6 +47,17 @@ if "xla_force_host_platform_device_count" not in _flags:
 import jax  # noqa: E402
 
 # Cache compiles across test runs (compiles dominate test wall time here).
+# Default READ-ONLY in one-process suite runs: the cache-WRITE path
+# (executable.serialize() in put_executable_and_time) segfaults after
+# enough executables accumulate in one process — reproduced at ~35% of a
+# full `pytest tests/` on both CPU and the axon TPU backend, while every
+# test file passes in isolation (see utils/jaxcfg.py).  Populate the
+# cache by running files in separate processes (or BT2TPU_CACHE_READONLY=0
+# for an explicit warming run); the full one-process gate then runs
+# entirely on cache READS.
+os.environ.setdefault("BT2TPU_CACHE_READONLY", "1")
+_ro = os.environ["BT2TPU_CACHE_READONLY"] == "1"
 jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                  1e18 if _ro else 0.5)

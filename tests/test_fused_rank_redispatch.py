@@ -34,6 +34,7 @@ def _mk_args(idx, fm, nc, sb=2048, npad=256, seed_len=10):
     return (
         idx, jnp.asarray(matpk), jnp.asarray(src2), jnp.asarray(off2),
         jnp.asarray(eff2), jnp.asarray(valid2),
+        jnp.asarray(np.zeros((nc, sb), np.uint32)),
         jnp.asarray(np.zeros(S, np.int32)),
         jnp.asarray(np.zeros(S, bool)),
         jnp.asarray(np.zeros(S, np.int32)),

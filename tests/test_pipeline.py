@@ -120,6 +120,62 @@ def test_two_aligner_workers_match_single():
                 getattr(b, "mapq", None))
 
 
+def test_align_stream_matches_serial():
+    """align_stream (cross-batch round-0 pre-dispatch) must reproduce the
+    serial align_batch results exactly — identical per-batch state, same
+    executables, only the dispatch ORDER differs."""
+    import numpy as np
+
+    from omp_bowtie2_prime_tpu.index.builder import build_index_from_text
+    from omp_bowtie2_prime_tpu.index.fasta import join_references
+    from omp_bowtie2_prime_tpu.io.fastq import Read
+    from omp_bowtie2_prime_tpu.models.aligner import TPUAligner
+    from omp_bowtie2_prime_tpu.models.pipeline import align_stream
+    from omp_bowtie2_prime_tpu.utils import dna
+
+    rng = np.random.default_rng(91)
+    text = rng.integers(0, 4, 20000).astype(np.int8)
+    # a 40-copy exact repeat exercises the wide-range sampler through
+    # both the serial and pre-dispatched megas
+    unit = rng.integers(0, 4, 120).astype(np.int8)
+    for p in range(500, 500 + 40 * 300, 300):
+        text[p : p + 120] = unit
+    joined, refmap = join_references(["chrS"], [text.copy()])
+    fm = build_index_from_text(joined, refmap, ftab_k=8)
+    reads = []
+    for i in range(150):
+        if i % 3 == 0:
+            seq = unit[10:110].copy()
+        else:
+            pos = int(rng.integers(0, len(text) - 100))
+            seq = text[pos : pos + 100].copy()
+            seq[int(rng.integers(5, 95))] += 1
+            seq %= 4
+        if rng.integers(0, 2):
+            seq = dna.revcomp(seq)
+        reads.append(Read(i, f"s{i}", seq.astype(np.int8),
+                          np.full(100, 35, np.uint8)))
+    batches = [reads[i : i + 30] for i in range(0, 150, 30)]
+
+    al = TPUAligner(fm)
+    serial = [al.align_batch(b) for b in batches]
+
+    a1 = TPUAligner(fm)
+    a2 = TPUAligner(fm, share=a1)
+    emitted = []
+    streamed = align_stream([a1, a2], batches,
+                            emit_fn=lambda k, r: emitted.append(k))
+    assert emitted == list(range(len(batches)))
+    for sb, tb in zip(serial, streamed):
+        for a, b in zip(sb, tb):
+            assert (a.status, getattr(a, "refoff", None),
+                    getattr(a, "fw", None), getattr(a, "score", None),
+                    getattr(a, "mapq", None), getattr(a, "secbest", None)) \
+                == (b.status, getattr(b, "refoff", None),
+                    getattr(b, "fw", None), getattr(b, "score", None),
+                    getattr(b, "mapq", None), getattr(b, "secbest", None))
+
+
 def test_producer_error_propagates():
     def batches():
         yield [1]

@@ -38,13 +38,15 @@ def test_tp_search_resolve_bitwise(setup):
     pos = rng.integers(0, len(text) - L, S)
     seeds = np.stack([text[p : p + L] for p in pos]).astype(np.int8)
     valid = np.ones(S, bool)
+    lseed = rng.integers(0, 1 << 32, S, dtype=np.uint32)
     ref = jax.jit(search_resolve_seeds, static_argnums=(3, 4))(
-        idx, seeds, valid, 16, 2
+        idx, seeds, valid, 16, 2, lane_seed=jnp.asarray(lseed)
     )
     mesh = make_tp_mesh(4, n_data=1)
     idx_tp = shard_index(idx, mesh)
     out = tp_search_resolve_fn(idx_tp, mesh, 16, 2)(
-        idx_tp, jnp.asarray(seeds), jnp.asarray(valid)
+        idx_tp, jnp.asarray(seeds), jnp.asarray(valid),
+        jnp.asarray(lseed)
     )
     for a, b in zip(ref, out):
         assert jnp.array_equal(a, b)
