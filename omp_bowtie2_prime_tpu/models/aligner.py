@@ -1517,23 +1517,37 @@ class TPUAligner:
 
     # ---------------- main entry ----------------
 
-    def align_batch(self, reads, *, _prebuilt=False,
-                    _predisp=None) -> list[AlnResult]:
+    def align_batch(self, reads, *, _prebuilt=False, _predisp=None,
+                    _minscs=None, _next_cb=None) -> list[AlnResult]:
         """Multi-round alignment: round 0 seeds at offset 0, round 1 (for
         reads still unaligned) at offset interval/2 — the fork's resident
         batch keeps reads for nSeedRounds=2 rounds (bt2_search.cpp:2436,
         2572-2584).
 
-        _prebuilt/_predisp: align_stream already built this batch's
-        matrices and queued its round-0 mega (models/pipeline.py)."""
+        _prebuilt/_predisp/_minscs: align_stream already built this
+        batch's matrices and queued its round-0 mega; _next_cb: invoked
+        exactly once, right after round 0's main DP problems are
+        dispatched (or immediately after round 0 if it dispatched none)
+        — align_stream queues the NEXT batch's round-0 mega there so the
+        device FIFO alternates dp(k), mega(k+1) and stays busy through
+        batch k's host tail (models/pipeline.py)."""
         n = len(reads)
         self.metrics.add(reads=n)
         if not _prebuilt:
             with self.timers.phase("buildMatrices"):
                 self.build_read_matrices(reads)
-        results = [AlnResult(status="unaligned") for _ in range(n)]
+        # None = not (yet) aligned; materialized as unaligned AlnResults
+        # only at the end (at genome scale ~every read aligns, so 32K
+        # placeholder constructions per batch were pure waste)
+        results: list = [None] * n
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
-        minscs = self.min_scores(reads)
+        minscs = self.min_scores(reads) if _minscs is None else _minscs
+        cb_state = {"fired": False}
+
+        def _cb_once():
+            if not cb_state["fired"]:
+                cb_state["fired"] = True
+                _next_cb()
 
         # NOTE on the up-front N pre-filter (Scoring::nFilter): the fork
         # BYPASSES it for every rdlen<256 read (`bool filt = rdlen<256`
@@ -1549,11 +1563,15 @@ class TPUAligner:
             cands = self.collect_candidates(
                 reads, minscs, active, roundi,
                 predisp=_predisp if roundi == 0 else None,
+                after_dp=(_cb_once if _next_cb is not None and roundi == 0
+                          else None),
             )
+            if roundi == 0 and _next_cb is not None:
+                _cb_once()  # round 0 dispatched no DP: fire now
             self.metrics.add(candidates=sum(len(c) for c in cands))
             with self.timers.phase("finishRead"):
                 self._finalize_unpaired(reads, minscs, cands, results)
-            active = [ri for ri in active if results[ri].status != "aligned"]
+            active = [ri for ri in active if results[ri] is None]
             # --seed-boost gate (bt2_search.cpp:2792): only reads with no
             # seed hits at all (averageHitsPerSeed = MAX) or a repetitive
             # hit profile re-seed at the next round's offsets
@@ -1569,13 +1587,17 @@ class TPUAligner:
             # upstream's do1mmUpFront capability (the fork compiled it
             # out, bt2_search.cpp:4018 #if 0); only previously-unaligned
             # reads enter, so fork-differential records are unchanged
-            rescue = [ri for ri in range(n)
-                      if results[ri].status != "aligned"]
+            rescue = [ri for ri in range(n) if results[ri] is None]
             if rescue:
                 cands = self.collect_candidates(reads, minscs, rescue, -1)
                 self.metrics.add(candidates=sum(len(c) for c in cands))
                 with self.timers.phase("finishRead"):
                     self._finalize_unpaired(reads, minscs, cands, results)
+        if _next_cb is not None:
+            _cb_once()  # n == 0 / no rounds ran: still chain the stream
+        for i in range(n):
+            if results[i] is None:
+                results[i] = AlnResult(status="unaligned")
         return results
 
     def build_read_matrices(self, reads) -> None:
@@ -1634,6 +1656,7 @@ class TPUAligner:
         self._mat_pens = mat_p
         self._mat_lens = lens
         self._meta_dev = None  # grid meta is per-batch (see _grid_meta)
+        self._fc_cache = None  # frame consts are per-batch (same minscs)
         self._batch_reads = reads
         if getattr(self, "_dp_from_mat", False):
             # ONE resident device copy for index-only DP dispatch and
@@ -1706,19 +1729,24 @@ class TPUAligner:
         # +-mg_n window carries > mg_n gap chars of one type, costing at
         # least const + (mg_n+1)*linear, so a problem whose narrow best
         # beats that bound is bitwise-identical under the wide rect.
+        cached = getattr(self, "_fc_cache", None)
+        if cached is not None and cached[0] is minscs:
+            return cached[1]  # same batch, same minscs (pure function)
         lens_all = self._mat_lens.astype(np.int64)
         gap_const = min(sc.rdg_const, sc.rfg_const)
         gap_lin = min(sc.rdg_linear, sc.rfg_linear)
         # vectorized over ALL reads (distinct (len, minsc) pairs are few;
         # values for reads outside `active` are the same per-read
-        # constants and feed the cached grid meta)
-        ukeys, uinv = np.unique(
-            np.stack([lens_all, np.asarray(minscs).astype(np.int64)], 1),
-            axis=0, return_inverse=True,
+        # constants and feed the cached grid meta).  1-D packed key: the
+        # axis=0 row-unique lexsorts and row-compares — ~25x slower
+        ms64 = np.asarray(minscs).astype(np.int64)
+        key = (lens_all << 33) + (ms64 + (1 << 32))
+        ukey, first, uinv = np.unique(
+            key, return_index=True, return_inverse=True
         )
         mg_u = np.fromiter(
-            (min(sc.max_read_gaps(int(ms), int(ln)), o.maxhalf)
-             for ln, ms in ukeys), np.int64, len(ukeys),
+            (min(sc.max_read_gaps(int(ms64[i]), int(lens_all[i])),
+                 o.maxhalf) for i in first), np.int64, len(first),
         )
         mgn_all = mg_u[uinv]  # narrow slack (first pass)
         mgw_all = 2 * mgn_all  # full reference-rect slack
@@ -1727,7 +1755,9 @@ class TPUAligner:
         # window <= dp_cols) take the hot Pallas shape, everything else
         # routes to the irregular any-shape XLA bucket
         read_ok = lens_all <= o.l_hard
-        return lens_all, mgn_all, mgw_all, thr_all, read_ok
+        out = (lens_all, mgn_all, mgw_all, thr_all, read_ok)
+        self._fc_cache = (minscs, out)
+        return out
 
     def dispatch_round0(self, reads, minscs):
         """align_stream's pre-dispatch: queue this batch's round-0 grid
@@ -1749,11 +1779,15 @@ class TPUAligner:
             return None
 
     def collect_candidates(self, reads, minscs, active, roundi,
-                           predisp=None):
+                           predisp=None, after_dp=None):
         """Phases P2-P7 for one seeding round: returns per-read dicts
         {(fw, endj): Candidate} for every valid-scoring DP endpoint.
         predisp: a _grid_dispatch handle already queued for (active,
-        roundi) — the round-0 cross-batch overlap (align_stream)."""
+        roundi); after_dp: zero-arg callback invoked once right after
+        the main DP problems are DISPATCHED (align_stream queues the
+        next batch's round-0 mega there, so the device FIFO alternates
+        dp(k), mega(k+1) and never drains during batch k's host
+        tail)."""
         o, sc = self.opts, self.sc
         n = len(reads)
 
@@ -1836,6 +1870,7 @@ class TPUAligner:
                 return self._extend_and_collect(
                     reads, minscs, n, problems,
                     lens_all, mgn_all, mgw_all, thr_all,
+                    after_dp=after_dp,
                 )
             # table overflow (repeat-heavy batch) or backend fault: the
             # host path below (with up-front seed dedupe) handles it
@@ -1902,6 +1937,7 @@ class TPUAligner:
                 return self._extend_and_collect(
                     reads, minscs, n, problems,
                     lens_all, mgn_all, mgw_all, thr_all,
+                    after_dp=after_dp,
                 )
             # table overflow (repeat-heavy batch): host path below.
             # Note it once — a silent per-batch fallback cost 2-3x
@@ -2012,10 +2048,12 @@ class TPUAligner:
         return self._extend_and_collect(
             reads, minscs, n, problems,
             lens_all, mgn_all, mgw_all, thr_all,
+            after_dp=after_dp,
         )
 
     def _extend_and_collect(self, reads, minscs, n, problems,
-                            lens_all, mgn_all, mgw_all, thr_all):
+                            lens_all, mgn_all, mgw_all, thr_all,
+                            after_dp=None):
         """P7 + P8a: batched DP, tier escalation, -D streak, candidate
         collection — shared by the fused-device and host rank/frame
         paths."""
@@ -2043,59 +2081,72 @@ class TPUAligner:
         # small-shape Pallas kernel runs ~4x worse per cell and the extra
         # per-bucket dispatches serialize, costing far more than the
         # padding they save (measured 0.24s -> 0.64s on lambda 10K).
-        with self.timers.phase("extendDP"):
-            lens_p = self._mat_lens[problems.src // 2]
-            irr_mask = (problems.wlen > o.dp_cols) | (lens_p > o.l_max)
-            irr_i = np.flatnonzero(irr_mask)
-            if not len(irr_i):
-                best, bestcol, ops, startcols, rows = \
-                    self._run_dp_bt(problems)
-            else:
-                reg_i = np.flatnonzero(~irr_mask)
-                n_all = len(problems)
-                best = np.full(n_all, sw.NEG, np.int64)
-                bestcol = np.zeros(n_all, np.int32)
-                startcols = np.zeros(n_all, np.int32)
-                ops = [None] * n_all
-                rows = (
-                    (np.zeros(n_all, np.int32), np.zeros(n_all, np.int32))
-                    if o.local else None
-                )
-                # FIXED length classes (no per-batch shape churn -> the
-                # compile cache stays warm across batches)
-                jobs = []
-                if len(reg_i):
-                    jobs.append(((None, None, None), reg_i))
-                sub: dict = {}
-                for i in irr_i.tolist():
-                    ln = int(lens_p[i])
-                    lc = next(c for c in (o.l_max, 256, 384, 512, 768,
-                                          o.l_hard) if ln <= c)
-                    cc = ((lc + 2 * o.maxhalf + 31) // 32) * 32
-                    wl_i = int(problems.wlen[i])
-                    if wl_i > cc:  # wide window (custom --dpad)
-                        cc = ((wl_i + 127) // 128) * 128
-                    sub.setdefault((lc, cc), []).append(i)
-                for (lc, cc), idxs in sorted(sub.items()):
-                    bt = 1024 if lc <= 384 else 256
-                    lm = None if lc == o.l_max else lc
-                    jobs.append(((cc, lm, bt), np.asarray(idxs)))
-                states = [
-                    (idxs, self._dispatch_dp_bt(
-                        problems.take(idxs), cols=cols, batch=bt, lmax=lm,
-                    ))
-                    for (cols, lm, bt), idxs in jobs
-                ]
-                for idxs, st in states:
-                    b, bc, op, stc, rws = self._collect_dp_bt(st)
-                    best[idxs] = b
-                    bestcol[idxs] = bc
-                    startcols[idxs] = stc
-                    if rows is not None:
-                        rows[0][idxs] = rws[0]
-                        rows[1][idxs] = rws[1]
-                    for t, i in enumerate(idxs.tolist()):
-                        ops[i] = op[t]
+        _t_dp = self.timers.phase("extendDP")
+        _t_dp.__enter__()
+        lens_p = self._mat_lens[problems.src // 2]
+        irr_mask = (problems.wlen > o.dp_cols) | (lens_p > o.l_max)
+        irr_i = np.flatnonzero(irr_mask)
+        if not len(irr_i):
+            st_main = self._dispatch_dp_bt(problems)
+            _t_dp.__exit__(None, None, None)
+            if after_dp is not None:  # queue the next batch's mega NOW
+                after_dp()
+            _t_dp = self.timers.phase("extendDP")
+            _t_dp.__enter__()
+            best, bestcol, ops, startcols, rows = \
+                self._collect_dp_bt(st_main)
+        else:
+            reg_i = np.flatnonzero(~irr_mask)
+            n_all = len(problems)
+            best = np.full(n_all, sw.NEG, np.int64)
+            bestcol = np.zeros(n_all, np.int32)
+            startcols = np.zeros(n_all, np.int32)
+            ops = [None] * n_all
+            rows = (
+                (np.zeros(n_all, np.int32), np.zeros(n_all, np.int32))
+                if o.local else None
+            )
+            # FIXED length classes (no per-batch shape churn -> the
+            # compile cache stays warm across batches)
+            jobs = []
+            if len(reg_i):
+                jobs.append(((None, None, None), reg_i))
+            sub: dict = {}
+            for i in irr_i.tolist():
+                ln = int(lens_p[i])
+                lc = next(c for c in (o.l_max, 256, 384, 512, 768,
+                                      o.l_hard) if ln <= c)
+                cc = ((lc + 2 * o.maxhalf + 31) // 32) * 32
+                wl_i = int(problems.wlen[i])
+                if wl_i > cc:  # wide window (custom --dpad)
+                    cc = ((wl_i + 127) // 128) * 128
+                sub.setdefault((lc, cc), []).append(i)
+            for (lc, cc), idxs in sorted(sub.items()):
+                bt = 1024 if lc <= 384 else 256
+                lm = None if lc == o.l_max else lc
+                jobs.append(((cc, lm, bt), np.asarray(idxs)))
+            states = [
+                (idxs, self._dispatch_dp_bt(
+                    problems.take(idxs), cols=cols, batch=bt, lmax=lm,
+                ))
+                for (cols, lm, bt), idxs in jobs
+            ]
+            _t_dp.__exit__(None, None, None)
+            if after_dp is not None:
+                after_dp()
+            _t_dp = self.timers.phase("extendDP")
+            _t_dp.__enter__()
+            for idxs, st in states:
+                b, bc, op, stc, rws = self._collect_dp_bt(st)
+                best[idxs] = b
+                bestcol[idxs] = bc
+                startcols[idxs] = stc
+                if rows is not None:
+                    rows[0][idxs] = rws[0]
+                    rows[1][idxs] = rws[1]
+                for t, i in enumerate(idxs.tolist()):
+                    ops[i] = op[t]
+        _t_dp.__exit__(None, None, None)
 
         # fork-reach escalation: rerun with the full reference rect only
         # the problems it could provably change — narrow best at/below the

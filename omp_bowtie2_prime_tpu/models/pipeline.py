@@ -42,25 +42,34 @@ def align_stream(als, batches, emit_fn=None):
     in input order. Returns the per-batch results list."""
     nals = len(als)
     assert nals >= 2, "align_stream needs two aligner instances"
-    results = [None] * len(batches)
-    inflight: list = []
+    batches = list(batches)
+    nb = len(batches)
+    results = [None] * nb
+    state = [None] * nb  # k -> (aligner, minscs, mega handle)
 
-    def _finish(item):
-        k, a, reads, h = item
-        results[k] = a.align_batch(reads, _prebuilt=True, _predisp=h)
-        if emit_fn is not None:
-            emit_fn(k, results[k])
-
-    for k, reads in enumerate(batches):
+    def _dispatch(k):
         a = als[k % nals]
         with a.timers.phase("buildMatrices"):
-            a.build_read_matrices(reads)
-        h = a.dispatch_round0(reads, a.min_scores(reads))
-        inflight.append((k, a, reads, h))
-        if len(inflight) == nals:  # keep nals-1 batches queued ahead
-            _finish(inflight.pop(0))
-    for item in inflight:
-        _finish(item)
+            a.build_read_matrices(batches[k])
+        minscs = a.min_scores(batches[k])
+        state[k] = (a, minscs, a.dispatch_round0(batches[k], minscs))
+
+    if nb:
+        _dispatch(0)
+    for k in range(nb):
+        a, minscs, h = state[k]
+        state[k] = None
+        # the NEXT batch's matrices build + mega dispatch run inside
+        # batch k's align, right after its main DP problems are queued:
+        # the device FIFO holds [dp(k), mega(k+1)] while the host runs
+        # batch k's escalation/collect/finish tail
+        cb = (lambda kk=k + 1: _dispatch(kk)) if k + 1 < nb else None
+        results[k] = a.align_batch(
+            batches[k], _prebuilt=True, _predisp=h, _minscs=minscs,
+            _next_cb=cb,
+        )
+        if emit_fn is not None:
+            emit_fn(k, results[k])
     return results
 
 
