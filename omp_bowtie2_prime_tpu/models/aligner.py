@@ -1542,12 +1542,25 @@ class TPUAligner:
         results: list = [None] * n
         # per-read scoring context (minsc clamps: bt2_search.cpp:2476-2491)
         minscs = self.min_scores(reads) if _minscs is None else _minscs
-        cb_state = {"fired": False}
+        # _next_cb = (build_cb, mega_cb): each fires at most once; build
+        # overlaps the main DP execution, the mega dispatch lands after
+        # the escalation dispatch (see _extend_and_collect)
+        cb_state = [False, False]
+
+        def _mk_once(i):
+            def fire():
+                if not cb_state[i]:
+                    cb_state[i] = True
+                    _next_cb[i]()
+            return fire
+
+        _cbs = ((_mk_once(0), _mk_once(1))
+                if _next_cb is not None else None)
 
         def _cb_once():
-            if not cb_state["fired"]:
-                cb_state["fired"] = True
-                _next_cb()
+            if _cbs is not None:
+                _cbs[0]()
+                _cbs[1]()
 
         # NOTE on the up-front N pre-filter (Scoring::nFilter): the fork
         # BYPASSES it for every rdlen<256 read (`bool filt = rdlen<256`
@@ -1563,8 +1576,7 @@ class TPUAligner:
             cands = self.collect_candidates(
                 reads, minscs, active, roundi,
                 predisp=_predisp if roundi == 0 else None,
-                after_dp=(_cb_once if _next_cb is not None and roundi == 0
-                          else None),
+                after_dp=(_cbs if roundi == 0 else None),
             )
             if roundi == 0 and _next_cb is not None:
                 _cb_once()  # round 0 dispatched no DP: fire now
@@ -2087,10 +2099,18 @@ class TPUAligner:
         irr_mask = (problems.wlen > o.dp_cols) | (lens_p > o.l_max)
         irr_i = np.flatnonzero(irr_mask)
         if not len(irr_i):
+            # two-phase next-batch chaining (after_dp = (build_cb,
+            # mega_cb), both once-guarded): the next batch's HOST build
+            # runs here, overlapping dp(k)'s device execution; its mega
+            # DISPATCH waits until after the escalation dispatch below
+            # so the device FIFO holds [wide(k), mega(k+1)] and the
+            # mega executes under batch k's host tail.  Measured at
+            # GRCh38-scale: build+dispatch both here = 18.4K reads/s,
+            # both after escalation = 15.3K, split = best.
             st_main = self._dispatch_dp_bt(problems)
             _t_dp.__exit__(None, None, None)
-            if after_dp is not None:  # queue the next batch's mega NOW
-                after_dp()
+            if after_dp is not None:
+                after_dp[0]()
             _t_dp = self.timers.phase("extendDP")
             _t_dp.__enter__()
             best, bestcol, ops, startcols, rows = \
@@ -2133,7 +2153,8 @@ class TPUAligner:
             ]
             _t_dp.__exit__(None, None, None)
             if after_dp is not None:
-                after_dp()
+                after_dp[0]()
+                after_dp[1]()
             _t_dp = self.timers.phase("extendDP")
             _t_dp.__enter__()
             for idxs, st in states:
@@ -2185,9 +2206,14 @@ class TPUAligner:
                 ),
             )
             with self.timers.phase("extendDPWide"):
-                b, bc, op, stc, rws = self._run_dp_bt(
+                st_w = self._dispatch_dp_bt(
                     wide_probs, cols=wcols, batch=wbatch, lmax=wlmax
                 )
+            if after_dp is not None:
+                after_dp[1]()  # FIFO [wide(k), mega(k+1)]: the mega
+                # executes under batch k's host tail below
+            with self.timers.phase("extendDPWide"):
+                b, bc, op, stc, rws = self._collect_dp_bt(st_w)
             # fused-path arrays can be read-only views of the device copy
             if not problems.wstart.flags.writeable:
                 problems.wstart = problems.wstart.copy()
@@ -2203,6 +2229,9 @@ class TPUAligner:
                 rows[1][esc] = rws[1]
             for t, i in enumerate(esc.tolist()):
                 ops[i] = op[t]
+        if after_dp is not None:
+            after_dp[0]()  # not fired yet (no escalation / no DP):
+            after_dp[1]()  # chain the next batch now
 
         # -D fail streak (maxDpStreak, bt2_search.cpp:417 + streak budget
         # grows 10 per extra -k, :2208): after this many consecutive
@@ -2830,17 +2859,22 @@ class TPUAligner:
         mins_l = np.asarray(minscs, np.int64).tolist()
         lens_l = self._mat_lens.tolist()
         pend = {}  # ri -> (ranked list, next index)
+        singles = []  # (ri, cand): the dominant unique-candidate case
         rank = self.rank_candidates
         read_rng = self.read_rng
         tighten = o.tighten and not multi
         for ri, alns in enumerate(cands):
-            if not alns:
+            la = len(alns)
+            if la == 0:
                 continue
-            if tighten and len(alns) > 2:  # <3 candidates never prune
+            if la == 1:  # unique candidate: no rank/RNG/pend machinery
+                singles.append((ri, next(iter(alns.values()))))
+                continue
+            if tighten and la > 2:  # <3 candidates never prune
                 alns = self._tighten_filter(
                     alns, mins_l[ri], bonus * lens_l[ri]
                 )
-            if len(alns) == 1:  # unique candidate: no rank/RNG machinery
+            if len(alns) == 1:
                 pend[ri] = (list(alns.items()), 0)
             else:
                 pend[ri] = (
@@ -2855,6 +2889,33 @@ class TPUAligner:
         else:
             mapq_fn = mapq_v2_e2e
         mq_cache: dict = {}  # distinct (score, secbest, minsc, len) are few
+        if singles:
+            # straight-line fast path: one batched backtrace, secbest is
+            # None by construction, invalid (fragment straddle) reads
+            # just stay unaligned — at genome scale ~every read lands
+            # here, and the pend/while machinery below was ~half of the
+            # finishRead phase (pure-Python wall doubles under the
+            # device-active relay on this 1-core host)
+            self.backtrace_batch([c for _, c in singles])
+            mget = mq_cache.get
+            for ri, cand in singles:
+                if not cand.valid:
+                    continue
+                if multi:
+                    mq = 255
+                else:
+                    key = (cand.score, None, mins_l[ri], lens_l[ri])
+                    mq = mget(key)
+                    if mq is None:
+                        mq = mq_cache[key] = mapq_fn(
+                            cand.score, None, mins_l[ri],
+                            bonus * lens_l[ri],
+                        )
+                results[ri] = AlnResult(
+                    "aligned", cand.fw, cand.refid, cand.refoff,
+                    cand.score, None, mq, cand._cigar, cand.cigar_str,
+                    cand.stats, 1, cand.span,
+                )
         while pend:
             batch = []
             for ranked, i in pend.values():

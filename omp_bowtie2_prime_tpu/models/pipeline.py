@@ -47,23 +47,31 @@ def align_stream(als, batches, emit_fn=None):
     results = [None] * nb
     state = [None] * nb  # k -> (aligner, minscs, mega handle)
 
-    def _dispatch(k):
+    def _build(k):
         a = als[k % nals]
         with a.timers.phase("buildMatrices"):
             a.build_read_matrices(batches[k])
         minscs = a.min_scores(batches[k])
+        state[k] = (a, minscs, None)
+
+    def _mega(k):
+        a, minscs, _ = state[k]
         state[k] = (a, minscs, a.dispatch_round0(batches[k], minscs))
 
     if nb:
-        _dispatch(0)
+        _build(0)
+        _mega(0)
     for k in range(nb):
         a, minscs, h = state[k]
         state[k] = None
-        # the NEXT batch's matrices build + mega dispatch run inside
-        # batch k's align, right after its main DP problems are queued:
-        # the device FIFO holds [dp(k), mega(k+1)] while the host runs
-        # batch k's escalation/collect/finish tail
-        cb = (lambda kk=k + 1: _dispatch(kk)) if k + 1 < nb else None
+        # two-phase chaining inside batch k's align (see align_batch
+        # _next_cb): build(k+1) fires right after batch k's main DP
+        # problems are dispatched (host work overlapping the DP
+        # execution); mega(k+1)'s dispatch fires after the escalation
+        # dispatch, so the device FIFO holds [wide(k), mega(k+1)] and
+        # the mega executes under batch k's host tail
+        cb = ((lambda kk=k + 1: _build(kk)),
+              (lambda kk=k + 1: _mega(kk))) if k + 1 < nb else None
         results[k] = a.align_batch(
             batches[k], _prebuilt=True, _predisp=h, _minscs=minscs,
             _next_cb=cb,

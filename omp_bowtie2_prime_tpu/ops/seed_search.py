@@ -272,5 +272,8 @@ def search_resolve_seeds(idx, seeds: jnp.ndarray, valid: jnp.ndarray,
             rowdt
         )
         rows_flat = to + jnp.where(wo > cap, pick, k)
-    offs = resolve_rows(idx, rows_flat, live)
+    # live slots occupy the prefix [0, min(total demand, rmax)) by the
+    # cumsum compaction — the tiled walk stops there (ops/walk.py)
+    nlive = jnp.minimum(ends[S - 1], rmax).astype(jnp.int32)
+    offs = resolve_rows(idx, rows_flat, live, nlive=nlive)
     return top, bot, starts, offs

@@ -16,14 +16,44 @@ import jax.numpy as jnp
 from . import rank
 
 
-def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray) -> jnp.ndarray:
+def resolve_rows(idx, rows: jnp.ndarray, valid: jnp.ndarray,
+                 nlive=None, tile: int = 65536) -> jnp.ndarray:
     """Resolve BWT rows -> joined-text offsets.
 
     rows: int32 [B]; valid: bool [B]. Returns int32 [B] joined offsets,
     -1 for invalid lanes.
+
+    nlive (traced scalar, optional): number of LIVE lanes, which the
+    caller's cumsum compaction guarantees occupy the PREFIX [0, nlive)
+    (ops/seed_search.search_resolve_seeds slot layout).  The walk then
+    runs tile-by-tile under a while_loop and stops at the live
+    prefix — the fixed-shape fori walk gathered srate+1 block rows for
+    EVERY slot including the dead tail (typically ~2/3 of the buffer at
+    genome scale: slot demand ~0.37/lane vs the expand=1.0 sizing), and
+    those wasted 512 B gathers were the second-largest term in the
+    searchResolve HBM budget (scripts/roofline_searchresolve.py).
     """
     rows = rows.astype(idx.fchr.dtype)
     B = rows.shape[0]
+    if nlive is not None and B > tile and B % tile == 0:
+        ntiles = B // tile
+
+        def cond(c):
+            t, _ = c
+            return t * tile < nlive
+
+        def body(c):
+            t, out = c
+            sl = jax.lax.dynamic_slice(rows, (t * tile,), (tile,))
+            vl = jax.lax.dynamic_slice(valid, (t * tile,), (tile,))
+            r = resolve_rows(idx, sl, vl)
+            return t + 1, jax.lax.dynamic_update_slice(out, r, (t * tile,))
+
+        out0 = jnp.full(B, -1, idx.fchr.dtype)
+        _, out = jax.lax.while_loop(
+            cond, body, (jnp.zeros((), jnp.int32), out0)
+        )
+        return out
 
     def step(_, carry):
         row, steps, done, rnk = carry

@@ -29,6 +29,9 @@ def enable_compile_cache(path: str | None = None) -> None:
     # in isolation (state-dependent jaxlib fault, not ours).  Raising
     # the min-compile-time gate above any real compile keeps the
     # serialize call from ever running; tests/conftest.py sets this.
+    if os.environ.get("BT2TPU_NO_COMPILE_CACHE") == "1":
+        _done = True  # hard fallback: no cache I/O at all
+        return
     readonly = os.environ.get("BT2TPU_CACHE_READONLY") == "1"
     try:
         jax.config.update("jax_compilation_cache_dir", cache)

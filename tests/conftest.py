@@ -59,8 +59,9 @@ os.environ.setdefault("BT2TPU_CACHE_READONLY", "1")
 # pin the package's enable_compile_cache to the TEST cache dir so test
 # processes never touch (or get poisoned by) the device-run cache
 os.environ.setdefault("BT2TPU_COMPILE_CACHE", "/tmp/jax_compile_cache")
-_ro = os.environ["BT2TPU_CACHE_READONLY"] == "1"
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
-jax.config.update("jax_persistent_cache_min_compile_time_secs",
-                  1e18 if _ro else 0.5)
+if os.environ.get("BT2TPU_NO_COMPILE_CACHE") != "1":
+    _ro = os.environ["BT2TPU_CACHE_READONLY"] == "1"
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_compile_cache")
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      1e18 if _ro else 0.5)
