@@ -157,14 +157,16 @@ def main():
 
     dt, res = measure(run_single, "single", 150, good=1.15)
 
-    # -p 2 overlap mode (models/pipeline.py): two align workers over half
-    # batches — one batch's host phases hide behind the other's device
-    # waits. Try it and keep whichever mode measured faster (output is
-    # checked identical). BT2TPU_BENCH_PIPE=0 opts out, =1 forces.
+    # overlap modes: -p 2 thread pipe (models/pipeline.run_pipeline) and
+    # the single-thread cross-batch stream (align_stream — the mode that
+    # wins at genome scale).  Try each and keep whichever measured
+    # fastest (outputs checked identical). BT2TPU_BENCH_PIPE=0 opts out.
     pref = os.environ.get("BT2TPU_BENCH_PIPE", "auto")
     if pref != "0" and (pref == "1" or dt < 2.5):
         try:
-            from omp_bowtie2_prime_tpu.models.pipeline import run_pipeline
+            from omp_bowtie2_prime_tpu.models.pipeline import (
+                align_stream, run_pipeline,
+            )
 
             al2 = TPUAligner(fm, share=al)
             half = (len(reads) + 1) // 2
@@ -181,17 +183,25 @@ def main():
                 )
                 return out[0] + out[1]
 
-            run_pipe()  # warm the overlap path
-            dtp, resp = measure(run_pipe, "pipe", 240, good=0.95)
-            same = len(resp) == len(res) and all(
-                a.status == b.status for a, b in zip(resp, res))
-            if not same:
-                sys.stderr.write("pipe: RESULT MISMATCH — discarded\n")
-            elif dtp < dt:
-                dt, res = dtp, resp
-                sys.stderr.write("pipe mode wins\n")
+            def run_stream():
+                outs = align_stream(
+                    [al, al2], [reads[:half], reads[half:]]
+                )
+                return outs[0] + outs[1]
+
+            for name, fn in (("stream", run_stream), ("pipe", run_pipe)):
+                fn()  # warm the overlap path
+                dtp, resp = measure(fn, name, 150, good=0.95)
+                same = len(resp) == len(res) and all(
+                    a.status == b.status for a, b in zip(resp, res))
+                if not same:
+                    sys.stderr.write(f"{name}: RESULT MISMATCH — "
+                                     "discarded\n")
+                elif dtp < dt:
+                    dt, res = dtp, resp
+                    sys.stderr.write(f"{name} mode wins ({dtp:.2f}s)\n")
         except Exception as e:  # never lose the single-mode number
-            sys.stderr.write(f"pipe mode failed: {e!r}\n")
+            sys.stderr.write(f"overlap mode failed: {e!r}\n")
 
     rps = len(reads) / dt
     naligned = sum(1 for r in res if r.status == "aligned")

@@ -337,6 +337,27 @@ def _gather_seed_windows(matpk, src, off, eff, seed_len: int, ftab_k: int):
     return jnp.where(real, s, jnp.int8(-1))
 
 
+@jax.jit
+def _expand_oriented_mat(pkfw, lens_c):
+    """[n, W] packed fw read rows -> [2n, W] oriented matrix ON DEVICE
+    (row 2i = fw, row 2i+1 = revcomp).  The rc rows are pure arithmetic
+    of the fw rows, and the measured axon relay moves ~33 MB/s — so
+    shipping both orientations (10 MB per 32K batch) cost ~0.3 s of
+    link time per batch; shipping fw only halves the largest per-batch
+    transfer (host->device bytes are the scarce resource, not device
+    FLOPs)."""
+    n, W = pkfw.shape
+    j = jnp.arange(W, dtype=jnp.int32)[None, :]
+    lc = lens_c[:, None]
+    src = jnp.clip(lc - 1 - j, 0, W - 1)
+    rcb = jnp.take_along_axis(pkfw, src, axis=1)
+    c = (rcb & jnp.array(0xF, pkfw.dtype)).astype(pkfw.dtype)
+    cc = jnp.where(c < 4, 3 - c, c).astype(pkfw.dtype)
+    hi = ((rcb >> 4) << 4).astype(pkfw.dtype)
+    rc = jnp.where(j < lc, cc | hi, jnp.array(4, pkfw.dtype))
+    return jnp.stack([pkfw, rc], axis=1).reshape(2 * n, W)
+
+
 def _bt_gap_cap(B: int) -> int:
     """Side-buffer rows for gapped-alignment op strings per DP dispatch
     of B problems (indel alignments are a small minority; overflow
@@ -1174,14 +1195,33 @@ class TPUAligner:
         p_cap = max(P_CAP, 2 * npad)
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)
-        count, ov = int(a[4 * p_cap]), int(a[4 * p_cap + 1])
+        count, ov = int(a[2 * p_cap]), int(a[2 * p_cap + 1])
         if ov or count > p_cap:
             return None
-        probs = a[: 4 * count].reshape(count, 4) if count else \
-            np.zeros((0, 4), np.int32)
-        hn = a[4 * p_cap + 2 : 4 * p_cap + 2 + npad]
-        he = a[4 * p_cap + 2 + npad :]
+        probs = a[: 2 * count].reshape(count, 2) if count else \
+            np.zeros((0, 2), np.int32)
+        hn = a[2 * p_cap + 2 : 2 * p_cap + 2 + npad]
+        he = a[2 * p_cap + 2 + npad :]
         return probs, hn, he
+
+    def _reframe_slim(self, probs, lens_all, mgn_all):
+        """(src, diag) slim device table -> full Problems: wstart/wlen
+        recomputed with rank_frame's exact clamps (read len clamped to
+        the matrix width — the value the device meta carried; window
+        clipped to [0, n)).  Shipping only 2 of 4 columns halves the
+        mega's dominant device->host payload (~33 MB/s relay)."""
+        if not len(probs):
+            return Problems(np.zeros(0, np.int64), np.zeros(0, np.int64),
+                            np.zeros(0, np.int32), np.zeros(0, np.int64))
+        src = probs[:, 0]
+        cand = probs[:, 1].astype(np.int64)
+        ri = (src >> 1).astype(np.int64)
+        W = self._mat_reads.shape[1]
+        ln = np.minimum(lens_all[ri], W)
+        mg = mgn_all[ri]
+        ws = np.maximum(0, cand - mg)
+        we = np.minimum(self.fm.n, cand + ln + mg)
+        return Problems(src, ws, we - ws, cand)
 
     def _grid_meta(self, mgn_all, read_ok):
         """Per-batch device meta for the grid mega: [npad, 5] int32
@@ -1294,13 +1334,13 @@ class TPUAligner:
         packed, p_cap, npad, n_seeds = handle
         with self.timers.phase("searchResolve.wait"):
             a = np.asarray(packed)
-        count, ov = int(a[4 * p_cap]), int(a[4 * p_cap + 1])
+        count, ov = int(a[2 * p_cap]), int(a[2 * p_cap + 1])
         if ov or count > p_cap:
             return None
-        probs = a[: 4 * count].reshape(count, 4) if count else \
-            np.zeros((0, 4), np.int32)
-        hn = a[4 * p_cap + 2 : 4 * p_cap + 2 + npad]
-        he = a[4 * p_cap + 2 + npad :]
+        probs = a[: 2 * count].reshape(count, 2) if count else \
+            np.zeros((0, 2), np.int32)
+        hn = a[2 * p_cap + 2 : 2 * p_cap + 2 + npad]
+        he = a[2 * p_cap + 2 + npad :]
         return probs, hn, he, n_seeds
 
     # windows wider than the device text's tail padding (ops/sw.py
@@ -1673,15 +1713,24 @@ class TPUAligner:
         if getattr(self, "_dp_from_mat", False):
             # ONE resident device copy for index-only DP dispatch and
             # on-device seed gathering: read code and qual-scaled
-            # mismatch penalty packed per byte (code | pen << 4) —
-            # halves the per-batch host->device bytes vs separate mats.
+            # mismatch penalty packed per byte (code | pen << 4).
+            # Only the FW rows cross the host->device link; the rc rows
+            # are computed on device (_expand_oriented_mat) — the relay
+            # moves ~33 MB/s, so the matrix upload is the largest
+            # per-batch transfer and halving it is a direct wall win.
             # On a data mesh the matrix replicates (placer.repl) so the
             # per-problem row gathers never cross shards.
-            packed = mat_r.view(np.uint8).astype(pdt) | (mat_p << np.uint8(4))
-            self._dev_mat = (
-                jnp.asarray(packed) if self.placer is None
-                else jax.device_put(packed, self.placer.repl)
-            )
+            pk_fw = (mat_r[0::2].view(np.uint8).astype(pdt)
+                     | (mat_p[0::2] << np.uint8(4)))
+            if self.placer is None:
+                self._dev_mat = _expand_oriented_mat(
+                    jnp.asarray(pk_fw),
+                    jnp.asarray(clipped.astype(np.int32)),
+                )
+            else:
+                packed = (mat_r.view(np.uint8).astype(pdt)
+                          | (mat_p << np.uint8(4)))
+                self._dev_mat = jax.device_put(packed, self.placer.repl)
 
     def _batch_rdseed(self) -> np.ndarray:
         """Per-read genRandSeed for the resident batch (uint32 [n]),
@@ -1866,11 +1915,11 @@ class TPUAligner:
                 self._hit_nonz = hn[:n].astype(np.int64)
                 self._hit_elts = he[:n].astype(np.int64)
                 with self.timers.phase("rankAndFrame"):
-                    problems = Problems(probs[:, 0], probs[:, 1],
-                                        probs[:, 2], probs[:, 3])
+                    problems = self._reframe_slim(probs, lens_all,
+                                                  mgn_all)
                     dp_cells = int(
                         (lens_all[problems.ri]
-                         * probs[:, 2].astype(np.int64)).sum()
+                         * problems.wlen.astype(np.int64)).sum()
                     ) if len(probs) else 0
                 self.metrics.add(
                     ranges_nonzero=int(self._hit_nonz.sum()),
@@ -1933,11 +1982,11 @@ class TPUAligner:
                 self._hit_nonz = hn[:n].astype(np.int64)
                 self._hit_elts = he[:n].astype(np.int64)
                 with self.timers.phase("rankAndFrame"):
-                    problems = Problems(probs[:, 0], probs[:, 1],
-                                        probs[:, 2], probs[:, 3])
+                    problems = self._reframe_slim(probs, lens_all,
+                                                  mgn_all)
                     dp_cells = int(
                         (lens_all[problems.ri]
-                         * probs[:, 2].astype(np.int64)).sum()
+                         * problems.wlen.astype(np.int64)).sum()
                     ) if len(probs) else 0
                 self.metrics.add(
                     ranges_nonzero=int(self._hit_nonz.sum()),

@@ -19,7 +19,7 @@ masking:
      occurrence dedupe exactly like np.unique(return_index)
   4. segmented cumsums (cummax trick) for the per-read element (400)
      and DP (300) budgets in stream order
-  5. scatter of kept problems into a fixed [p_cap, 4] table
+  5. scatter of kept problems into a fixed [p_cap, 2] table
 
 int32 throughout (multi-key lax.sort instead of packed int64 keys, so
 the x64 flag stays off); the large-index int64 path keeps the host
@@ -101,7 +101,8 @@ def rank_frame(
     p_cap: int,
     n_reads: int,
 ):
-    """Returns (problems [p_cap, 4] int32 (src, wstart, wlen, diag),
+    """Returns (problems [p_cap, 2] int32 (src, diag) — the host
+    reframes wstart/wlen from diag (collect_candidates),
     count, hit_nonz [n_reads], hit_elts [n_reads], overflow flag)."""
     NC, SB = tops.shape
     S = NC * SB
@@ -223,6 +224,11 @@ def rank_frame(
     keep &= kord < max_dp
 
     # ---- 5. compact kept problems into the fixed table ----
+    # SLIM table: (src, diag) only — wstart/wlen are pure arithmetic of
+    # (diag, read len, narrow slack) and the host reframes them with the
+    # same clamps (collect_candidates), so shipping them doubled the
+    # result transfer for nothing (the axon relay moves ~33 MB/s and
+    # the int64-path table is the mega's dominant device->host payload)
     out_pos = jnp.cumsum(keep.astype(I32)) - 1
     count = jnp.sum(keep.astype(I32))
     srcs = 2 * ri_e + jnp.where(fw_e, 0, 1)
@@ -230,13 +236,10 @@ def rank_frame(
     odt = cand.dtype  # int64 table for .bt2l-scale genomes
     if "scatter" in _ABLATE:
         problems = jnp.stack(
-            [srcs.astype(odt), wstart.astype(odt),
-             (wend - wstart).astype(odt), cand.astype(odt)], axis=1
+            [srcs.astype(odt), cand.astype(odt)], axis=1
         )[: p_cap + 1]
     else:
-        problems = jnp.zeros((p_cap + 1, 4), odt)
+        problems = jnp.zeros((p_cap + 1, 2), odt)
         problems = problems.at[tgt, 0].set(srcs.astype(odt))
-        problems = problems.at[tgt, 1].set(wstart.astype(odt))
-        problems = problems.at[tgt, 2].set((wend - wstart).astype(odt))
-        problems = problems.at[tgt, 3].set(cand.astype(odt))
+        problems = problems.at[tgt, 1].set(cand.astype(odt))
     return problems[:p_cap], count, hit_nonz, hit_elts, overflow
