@@ -135,6 +135,10 @@ def main():
                 # slow passes agreeing is not a workload measurement
                 if best2[1] <= best2[0] * 1.08 and best2[0] < good:
                     break
+                # converged but above the good bar: the mode is just
+                # slower than hoped — don't spin the whole budget on it
+                if len(dts) >= 10 and best2[1] <= best2[0] * 1.05:
+                    break
             left = max_s - (time.time() - budget_t0)
             if left <= 0:
                 break

@@ -138,14 +138,21 @@ def main():
         return jax.lax.fori_loop(0, K, body, i0)
 
     # search phase analog: S lanes x (1 + 2*nsteps) dependent gathers;
-    # walk analog: rmax lanes x (srate + 1)
-    i0s = jnp.asarray(rng.integers(0, nblk, 2 * S).astype(np.int32))
-    i0w = jnp.asarray(rng.integers(0, nblk, rmax).astype(np.int32))
+    # walk analog: rmax lanes x (srate + 1).  Lane width capped at 256K
+    # (the achievable-GB/s bound is shape-insensitive past full
+    # occupancy, and the 1M-lane chain program took >20 min to compile
+    # through the remote relay); steps scale up to keep bytes honest.
+    CW = min(2 * S, 262144)
+    scale = (2 * S) // CW
+    i0s = jnp.asarray(rng.integers(0, nblk, CW).astype(np.int32))
+    i0w = jnp.asarray(rng.integers(0, nblk, min(rmax, CW)).astype(np.int32))
     ks = 1 + 2 * nsteps  # per-lane rows in search (2 wide x nsteps + ftab)
     kw = fm.srate + 1
+    k_search = ((ks + 1) // 2) * scale
+    k_walk = kw * max(1, rmax // min(rmax, CW))
 
-    f = jax.jit(lambda a, b: (jnp.sum(chain(a, (ks + 1) // 2, 2 * S)),
-                              jnp.sum(chain(b, kw, rmax))))
+    f = jax.jit(lambda a, b: (jnp.sum(chain(a, k_search, CW)),
+                              jnp.sum(chain(b, k_walk, min(rmax, CW)))))
     np.asarray(f(i0s, i0w))
     dts = []
     for _ in range(args.iters):
@@ -153,7 +160,7 @@ def main():
         np.asarray(f(i0s, i0w))
         dts.append(time.time() - t0)
     t_chain = min(dts)
-    chain_bytes = (2 * S * ((ks + 1) // 2) + rmax * kw) * BLK
+    chain_bytes = (CW * k_search + min(rmax, CW) * k_walk) * BLK
     gbs_chain = chain_bytes / t_chain / 1e9
     print(f"## dependent-chain bound: {t_chain*1e3:.1f} ms for "
           f"{chain_bytes/1e9:.2f} GB -> {gbs_chain:.1f} GB/s", flush=True)
