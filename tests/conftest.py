@@ -55,6 +55,22 @@ import jax  # noqa: E402
 # cache by running files in separate processes (or BT2TPU_CACHE_READONLY=0
 # for an explicit warming run); the full one-process gate then runs
 # entirely on cache READS.
+def pytest_collection_modifyitems(config, items):
+    # Full-suite one-process runs must not touch the persistent compile
+    # cache AT ALL: jaxlib's executable (de)serialization aborts after
+    # a few hundred tests' worth of compiled programs accumulate in one
+    # process — serialize() first (cache WRITE), and with writes off,
+    # deserialize_executable (cache READ) at ~44%, even on entries that
+    # load fine in a fresh process.  Per-file runs keep the cache (fast
+    # and safe); the cutover only fires for large collections.
+    if len(items) > 400 and os.environ.get("BT2TPU_NO_COMPILE_CACHE") != "0":
+        os.environ["BT2TPU_NO_COMPILE_CACHE"] = "1"
+        try:
+            jax.config.update("jax_compilation_cache_dir", None)
+        except Exception:
+            pass
+
+
 os.environ.setdefault("BT2TPU_CACHE_READONLY", "1")
 # pin the package's enable_compile_cache to the TEST cache dir so test
 # processes never touch (or get poisoned by) the device-run cache
