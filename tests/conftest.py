@@ -55,20 +55,31 @@ import jax  # noqa: E402
 # cache by running files in separate processes (or BT2TPU_CACHE_READONLY=0
 # for an explicit warming run); the full one-process gate then runs
 # entirely on cache READS.
+_FULL_SUITE = {"on": False, "count": 0}
+
+
 def pytest_collection_modifyitems(config, items):
-    # Full-suite one-process runs must not touch the persistent compile
-    # cache AT ALL: jaxlib's executable (de)serialization aborts after
-    # a few hundred tests' worth of compiled programs accumulate in one
-    # process — serialize() first (cache WRITE), and with writes off,
-    # deserialize_executable (cache READ) at ~44%, even on entries that
-    # load fine in a fresh process.  Per-file runs keep the cache (fast
-    # and safe); the cutover only fires for large collections.
-    if len(items) > 400 and os.environ.get("BT2TPU_NO_COMPILE_CACHE") != "0":
-        os.environ["BT2TPU_NO_COMPILE_CACHE"] = "1"
-        try:
-            jax.config.update("jax_compilation_cache_dir", None)
-        except Exception:
-            pass
+    # Long one-process runs crash once a few hundred tests' worth of
+    # compiled executables accumulate: first observed as segfaults in
+    # the persistent-cache WRITE (executable.serialize()), then — with
+    # writes disabled and a clean warmed cache — as an abort in the
+    # cache READ (deserialize_executable), then — with the cache fully
+    # disabled — as a segfault inside backend_compile_and_load itself,
+    # all at the same ~44% point while every file passes in isolation.
+    # The fault tracks ACCUMULATED live executables in jaxlib, not cache
+    # entries.  Mitigation for full-suite collections: keep the warmed
+    # cache read-only (fast reloads) and jax.clear_caches() every 150
+    # tests so the live-executable count stays below the fault
+    # threshold.
+    if len(items) > 400:
+        _FULL_SUITE["on"] = True
+
+
+def pytest_runtest_teardown(item, nextitem):
+    if _FULL_SUITE["on"]:
+        _FULL_SUITE["count"] += 1
+        if _FULL_SUITE["count"] % 150 == 0:
+            jax.clear_caches()
 
 
 os.environ.setdefault("BT2TPU_CACHE_READONLY", "1")
