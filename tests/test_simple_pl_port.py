@@ -280,14 +280,21 @@ def _run_case(ci, fw, tmp_path, tmp_path_factory):
     argv += shlex.split((report if report is not None else "-a")
                         .replace("\\;", ";"))
 
-    if c.get("should_abort"):
-        with pytest.raises(BaseException):
-            rc = climain(argv)
-            if rc:
-                raise SystemExit(rc)
-        return
+    # run from tmp_path: some case args name RELATIVE output side files
+    # (e.g. --un-conc=.tmp.simple_tests.pl) that must not land in cwd
+    prev_cwd = os.getcwd()
+    os.chdir(tmp_path)
+    try:
+        if c.get("should_abort"):
+            with pytest.raises(BaseException):
+                rc = climain(argv)
+                if rc:
+                    raise SystemExit(rc)
+            return
 
-    climain(argv)
+        climain(argv)
+    finally:
+        os.chdir(prev_cwd)
 
     lines = [l.rstrip("\n") for l in open(out) if not l.startswith("@")]
     if "lines" in c:
