@@ -272,6 +272,51 @@ class Problems:
                     wlen=int(self.wlen[i]), diag=int(self.diag[i]))
 
 
+class CandTable:
+    """Columnar single-candidate table: one row per read whose round
+    emitted EXACTLY one candidate (and no N-bridge entry) — at genome
+    scale that is ~97% of reads, and the per-read dict + Candidate +
+    AlnResult Python churn for them was the finishRead phase's dominant
+    cost (VERDICT r4 item 1: 11.5 s/1M reads; the reference finishes
+    reads in a C++ loop, bt2_search.cpp:2723-2860, so the analog here is
+    arrays end to end).  Finished by _finalize_singles_table without
+    materializing Candidate objects."""
+
+    __slots__ = ("ri", "score", "fw", "src", "wstart", "wlen", "diag",
+                 "bc", "start_col", "row_lo", "row_hi", "ops")
+
+    def __init__(self, ri, score, fw, src, wstart, wlen, diag, bc,
+                 start_col, row_lo, row_hi, ops):
+        self.ri = ri              # int64 [m] read index
+        self.score = score        # int64 [m]
+        self.fw = fw              # bool [m]
+        self.src = src            # int64 [m] matrix row (2*ri + !fw)
+        self.wstart = wstart      # int64 [m] window start (joined)
+        self.wlen = wlen          # int64 [m]
+        self.diag = diag          # int64 [m]
+        self.bc = bc              # int64 [m] best end col in window
+        self.start_col = start_col  # int64 [m]
+        self.row_lo = row_lo      # int64 [m] | None (local soft clips)
+        self.row_hi = row_hi      # int64 [m] | None
+        self.ops = ops            # list[int | uint8 array] per row
+
+    def __len__(self):
+        return len(self.ri)
+
+    def candidate(self, t) -> "Candidate":
+        """Materialize row t as a Candidate (fallback paths only)."""
+        return Candidate(
+            score=int(self.score[t]), fw=bool(self.fw[t]),
+            endj=int(self.wstart[t] + self.bc[t]),
+            problem=dict(src=int(self.src[t]), wstart=int(self.wstart[t]),
+                         wlen=int(self.wlen[t]), diag=int(self.diag[t])),
+            bc=int(self.bc[t]), ops_row=self.ops[t],
+            start_col=int(self.start_col[t]),
+            row_lo=int(self.row_lo[t]) if self.row_lo is not None else 0,
+            row_hi=int(self.row_hi[t]) if self.row_hi is not None else -1,
+        )
+
+
 _EMPTY_OFFS = np.empty(0, np.int32)
 
 
@@ -1613,16 +1658,19 @@ class TPUAligner:
         for roundi in range(self.opts.nrounds):
             if not active:
                 break
-            cands = self.collect_candidates(
+            cands, table = self.collect_candidates(
                 reads, minscs, active, roundi,
                 predisp=_predisp if roundi == 0 else None,
                 after_dp=(_cbs if roundi == 0 else None),
+                columnar=True,
             )
             if roundi == 0 and _next_cb is not None:
                 _cb_once()  # round 0 dispatched no DP: fire now
-            self.metrics.add(candidates=sum(len(c) for c in cands))
+            self.metrics.add(candidates=sum(len(c) for c in cands)
+                             + (len(table) if table is not None else 0))
             with self.timers.phase("finishRead"):
-                self._finalize_unpaired(reads, minscs, cands, results)
+                self._finalize_unpaired(reads, minscs, cands, results,
+                                        table=table)
             active = [ri for ri in active if results[ri] is None]
             # --seed-boost gate (bt2_search.cpp:2792): only reads with no
             # seed hits at all (averageHitsPerSeed = MAX) or a repetitive
@@ -1641,10 +1689,13 @@ class TPUAligner:
             # reads enter, so fork-differential records are unchanged
             rescue = [ri for ri in range(n) if results[ri] is None]
             if rescue:
-                cands = self.collect_candidates(reads, minscs, rescue, -1)
-                self.metrics.add(candidates=sum(len(c) for c in cands))
+                cands, table = self.collect_candidates(
+                    reads, minscs, rescue, -1, columnar=True)
+                self.metrics.add(candidates=sum(len(c) for c in cands)
+                                 + (len(table) if table is not None else 0))
                 with self.timers.phase("finishRead"):
-                    self._finalize_unpaired(reads, minscs, cands, results)
+                    self._finalize_unpaired(reads, minscs, cands, results,
+                                            table=table)
         if _next_cb is not None:
             _cb_once()  # n == 0 / no rounds ran: still chain the stream
         for i in range(n):
@@ -1840,7 +1891,7 @@ class TPUAligner:
             return None
 
     def collect_candidates(self, reads, minscs, active, roundi,
-                           predisp=None, after_dp=None):
+                           predisp=None, after_dp=None, columnar=False):
         """Phases P2-P7 for one seeding round: returns per-read dicts
         {(fw, endj): Candidate} for every valid-scoring DP endpoint.
         predisp: a _grid_dispatch handle already queued for (active,
@@ -1848,11 +1899,13 @@ class TPUAligner:
         the main DP problems are DISPATCHED (align_stream queues the
         next batch's round-0 mega there, so the device FIFO alternates
         dp(k), mega(k+1) and never drains during batch k's host
-        tail)."""
+        tail).  columnar=True returns (cands, CandTable|None) with
+        single-candidate reads in the table instead of the dicts."""
         o, sc = self.opts, self.sc
         n = len(reads)
 
-        empty = [{} for _ in range(n)]
+        empty = ([{} for _ in range(n)], None) if columnar \
+            else [{} for _ in range(n)]
         # zero-hit reads count as averageHitsPerSeed = MAX (always re-seed)
         self._hit_nonz = np.zeros(n, np.int64)
         self._hit_elts = np.zeros(n, np.int64)
@@ -1931,7 +1984,7 @@ class TPUAligner:
                 return self._extend_and_collect(
                     reads, minscs, n, problems,
                     lens_all, mgn_all, mgw_all, thr_all,
-                    after_dp=after_dp,
+                    after_dp=after_dp, columnar=columnar,
                 )
             # table overflow (repeat-heavy batch) or backend fault: the
             # host path below (with up-front seed dedupe) handles it
@@ -1998,7 +2051,7 @@ class TPUAligner:
                 return self._extend_and_collect(
                     reads, minscs, n, problems,
                     lens_all, mgn_all, mgw_all, thr_all,
-                    after_dp=after_dp,
+                    after_dp=after_dp, columnar=columnar,
                 )
             # table overflow (repeat-heavy batch): host path below.
             # Note it once — a silent per-batch fallback cost 2-3x
@@ -2109,15 +2162,17 @@ class TPUAligner:
         return self._extend_and_collect(
             reads, minscs, n, problems,
             lens_all, mgn_all, mgw_all, thr_all,
-            after_dp=after_dp,
+            after_dp=after_dp, columnar=columnar,
         )
 
     def _extend_and_collect(self, reads, minscs, n, problems,
                             lens_all, mgn_all, mgw_all, thr_all,
-                            after_dp=None):
+                            after_dp=None, columnar=False):
         """P7 + P8a: batched DP, tier escalation, -D streak, candidate
         collection — shared by the fused-device and host rank/frame
-        paths."""
+        paths.  columnar=True additionally returns a CandTable holding
+        the single-candidate reads (returned as (cands, table); those
+        reads are absent from the dicts)."""
         o = self.opts
         # windows spanning an intra-reference N gap leave the joined-text
         # fast path entirely (see _run_bridge); zero overhead when the
@@ -2135,7 +2190,7 @@ class TPUAligner:
                 for ri, key, cand in bridge_cands:
                     if key not in cands[ri]:
                         cands[ri][key] = cand
-                return cands
+                return (cands, None) if columnar else cands
         # P7 + P8a fused: batched DP with device backtrace walk; ONE
         # compile shape (l_max x dp_cols) for the dominant bucket.
         # Splitting into read-length classes was tried and REVERTED: the
@@ -2320,6 +2375,7 @@ class TPUAligner:
         # depends on)
         _t_cc = self.timers.phase("collectCands"); _t_cc.__enter__()
         cands = [{} for _ in range(n)]
+        table = None
         vi = np.flatnonzero((best >= minsc_p) & ~dropped)
         if len(vi):
             endj = problems.wstart[vi] + bestcol[vi].astype(np.int64)
@@ -2349,6 +2405,38 @@ class TPUAligner:
             # per candidate was ~half the loop's cost)
             emit = win[np.argsort(firstpos, kind="stable")]
             pis = vi[emit]
+            if columnar:
+                # single-candidate reads (no bridge entry) go columnar:
+                # no dict / Candidate / per-read Python for them at all
+                riv_e = riv[emit]
+                counts = np.bincount(riv_e, minlength=n)
+                is_single = counts[riv_e] == 1
+                if bridge_cands:
+                    br = np.zeros(n, bool)
+                    br[[bri for bri, _k, _c in bridge_cands]] = True
+                    is_single &= ~br[riv_e]
+                sg = np.flatnonzero(is_single)
+                if len(sg):
+                    ps = pis[sg]
+                    table = CandTable(
+                        ri=riv_e[sg].astype(np.int64),
+                        score=best[ps],
+                        fw=fwv[emit[sg]],
+                        src=problems.src[ps],
+                        wstart=problems.wstart[ps],
+                        wlen=problems.wlen[ps].astype(np.int64),
+                        diag=problems.diag[ps],
+                        bc=bestcol[ps].astype(np.int64),
+                        start_col=startcols[ps].astype(np.int64),
+                        row_lo=(rows[1][ps].astype(np.int64)
+                                if rows is not None else None),
+                        row_hi=(rows[0][ps].astype(np.int64)
+                                if rows is not None else None),
+                        ops=[ops[i] for i in ps.tolist()],
+                    )
+                keep = np.flatnonzero(~is_single)
+                emit = emit[keep]
+                pis = pis[keep]
             pi_l = pis.tolist()
             ri_l = riv[emit].tolist()
             fw_l = fwv[emit].tolist()
@@ -2381,7 +2469,7 @@ class TPUAligner:
         for ri, key, cand in bridge_cands:
             if key not in cands[ri]:
                 cands[ri][key] = cand
-        return cands
+        return (cands, table) if columnar else cands
 
     # ---------------- N-bridge DP (windows spanning intra-ref N gaps) ----
     # The reference's DP reference windows come from BitPairReference::
@@ -2898,10 +2986,21 @@ class TPUAligner:
                         cur += 1
         return out
 
-    def _finalize_unpaired(self, reads, minscs, cands, results) -> None:
+    def _mapq_fn(self):
+        o = self.opts
+        if o.mapqv == 3:
+            return mapq_v3
+        if o.local:
+            return mapq_v2_local  # non-monotone branch, unique.h:330-383
+        return mapq_v2_e2e
+
+    def _finalize_unpaired(self, reads, minscs, cands, results,
+                           table=None) -> None:
         # pick winner per read; backtraces batched across reads, advancing
         # to the next-ranked candidate only when one proves invalid
         # (fragment-boundary straddle — rare)
+        if table is not None and len(table):
+            self._finalize_singles_table(reads, minscs, table, results)
         o = self.opts
         multi = o.allhits or o.khits > 1
         bonus = self.sc.match_bonus
@@ -2931,12 +3030,7 @@ class TPUAligner:
                 )
         # -k>1 / -a report modes don't compute a meaningful MAPQ
         # (BowtieMapq2's !canMax short-circuit, unique.h:200-205)
-        if o.mapqv == 3:
-            mapq_fn = mapq_v3
-        elif o.local:
-            mapq_fn = mapq_v2_local  # non-monotone branch, unique.h:330-383
-        else:
-            mapq_fn = mapq_v2_e2e
+        mapq_fn = self._mapq_fn()
         mq_cache: dict = {}  # distinct (score, secbest, minsc, len) are few
         if singles:
             # straight-line fast path: one batched backtrace, secbest is
@@ -3019,6 +3113,129 @@ class TPUAligner:
                     self._attach_secondaries(res, ranked, i, secbest)
                 results[ri] = res
             pend = nxt
+
+    def _finalize_singles_table(self, reads, minscs, table, results) -> None:
+        """Columnar finish of single-candidate reads (see CandTable): the
+        array analog of _finalize_unpaired's singles fast path — native
+        CIGAR/MD/stats straight from the table's arrays, vectorized
+        validity / nCeil filters, one tight emission loop.  Results are
+        bitwise those of routing the same reads through the dict path
+        (tests/test_finalize_table.py); the reference's per-read finish
+        loop is bt2_search.cpp:2723-2860."""
+        from ..native import finish_batch
+
+        o = self.opts
+        m = len(table)
+        mcounts = np.fromiter(
+            (op if isinstance(op, int) else -1 for op in table.ops),
+            np.int64, m,
+        )
+        arr_i = np.flatnonzero(mcounts < 0)
+        maxlen = int(mcounts.max(initial=1))
+        if len(arr_i):
+            maxlen = max(maxlen, max(len(table.ops[i])
+                                     for i in arr_i.tolist()))
+        ops_mat = np.zeros((m, maxlen), np.uint8)
+        pure = mcounts >= 0
+        ops_mat[pure] = (
+            np.arange(maxlen)[None, :] < mcounts[pure, None]
+        ).astype(np.uint8)
+        for i in arr_i.tolist():
+            row = table.ops[i]
+            ops_mat[i, : len(row)] = row
+        row_los = clip_his = None
+        if o.local:
+            rdl32 = self._mat_lens[table.src >> 1].astype(np.int32)
+            row_his = table.row_hi.astype(np.int32)
+            row_los = table.row_lo.astype(np.int32)
+            clip_his = np.where(row_his >= 0, rdl32 - row_his, 0)
+        out = finish_batch(ops_mat, table.start_col.astype(np.int32),
+                           table.wstart, self._mat_reads, table.src,
+                           self.text, row_los=row_los, clip_his=clip_his)
+        if out is None:
+            # no native library: run these rows through the object path
+            tmp = [{} for _ in range(len(reads))]
+            for t in range(m):
+                c = table.candidate(t)
+                tmp[int(table.ri[t])][(c.fw, c.endj)] = c
+            self._finalize_unpaired(reads, minscs, tmp, results)
+            return
+        self.metrics.add(backtraces=m)
+        cig_buf, md_buf, stats = out
+        spans = stats[:, 5]
+        joined = table.wstart + table.start_col
+        refid, refoff, valid = self.fm.refmap.joined_to_ref_batch(
+            joined, spans
+        )
+        ciglen = stats[:, 6]
+        ovf = np.flatnonzero(ciglen < 0)  # slot overflow: object fallback
+        okm = valid & (ciglen > 0)
+        okm[ovf] = False
+        lens_t = self._mat_lens[table.src >> 1]
+        ns = stats[:, 8]
+        need_ns = np.flatnonzero(okm & (ns > 0))
+        if len(need_ns):
+            nceil_cache: dict = {}
+            for t in need_ns.tolist():
+                L = int(lens_t[t])
+                mx = nceil_cache.get(L)
+                if mx is None:
+                    mx = nceil_cache[L] = self.sc.n_ceil_for(L)
+                if ns[t] > mx:  # aligner_swsse_ee_u8.cpp:1284
+                    okm[t] = False
+        multi = o.allhits or o.khits > 1
+        mins_a = np.asarray(minscs, np.int64)
+        bonus = self.sc.match_bonus
+        mapq_fn = self._mapq_fn()
+        ok_i = np.flatnonzero(okm)
+        ok_l = ok_i.tolist()
+        ri_l = table.ri[ok_i].tolist()
+        fw_l = table.fw[ok_i].tolist()
+        sc_l = table.score[ok_i].tolist()
+        rid_l = refid[ok_i].tolist()
+        roff_l = refoff[ok_i].tolist()
+        minsc_l = mins_a[table.ri[ok_i]].tolist()
+        len_l = lens_t[ok_i].tolist()
+        stats_l = stats[ok_i].tolist()
+        cig_bytes = cig_buf.tobytes()
+        md_bytes = md_buf.tobytes()
+        cslot = cig_buf.shape[1]
+        mslot = md_buf.shape[1]
+        mq_cache: dict = {}
+        mget = mq_cache.get
+        for t in range(len(ok_l)):
+            k = ok_l[t]
+            row = stats_l[t]
+            if multi:
+                mq = 255  # !canMax short-circuit, unique.h:200-205
+            else:
+                key = (sc_l[t], minsc_l[t], len_l[t])
+                mq = mget(key)
+                if mq is None:
+                    mq = mq_cache[key] = mapq_fn(
+                        sc_l[t], None, minsc_l[t], bonus * len_l[t]
+                    )
+            results[ri_l[t]] = AlnResult(
+                "aligned", fw_l[t], rid_l[t], roff_l[t], sc_l[t], None,
+                mq, None,
+                cig_bytes[k * cslot : k * cslot + row[6]].decode("ascii"),
+                LazyStats(row, md_bytes[k * mslot : k * mslot + row[7]]),
+                1, row[5],
+            )
+        for t in ovf.tolist():
+            c = table.candidate(t)
+            c.resolved = True
+            self._finish_backtrace(c, c.ops_row, int(table.start_col[t]))
+            if not c.valid:
+                continue
+            ri = int(table.ri[t])
+            mq = 255 if multi else mapq_fn(
+                c.score, None, int(mins_a[ri]), bonus * int(lens_t[t])
+            )
+            results[ri] = AlnResult(
+                "aligned", c.fw, c.refid, c.refoff, c.score, None, mq,
+                c._cigar, c.cigar_str, c.stats, 1, c.span,
+            )
 
     def _attach_secondaries(self, res: AlnResult, ranked, primary_i: int,
                             secbest) -> None:

@@ -30,8 +30,13 @@ import numpy as np
 
 
 def main():
-    ndev = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    nreads = int(sys.argv[2]) if len(sys.argv) > 2 else 20000
+    pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+    ndev = int(pos[0]) if len(pos) > 0 else 8
+    nreads = int(pos[1]) if len(pos) > 1 else 20000
+    idx_path = next((a.split("=", 1)[1] for a in sys.argv
+                     if a.startswith("--idx=")), None)
+    text_path = next((a.split("=", 1)[1] for a in sys.argv
+                      if a.startswith("--text=")), None)
 
     from omp_bowtie2_prime_tpu.index.builder import build_index_from_text
     from omp_bowtie2_prime_tpu.index.fasta import join_references
@@ -40,9 +45,18 @@ def main():
     from omp_bowtie2_prime_tpu.parallel.mesh import make_mesh
 
     rng = np.random.default_rng(0)
-    text = rng.integers(0, 4, 4_600_000).astype(np.int8)
-    joined, rm = join_references(["c"], [text])
-    fm = build_index_from_text(joined, rm)
+    if idx_path:
+        # genome-scale mode (VERDICT r4 item 3): load a prebuilt index
+        # (e.g. /tmp/bt2prof/idx46M.npz) + its text for read synthesis
+        from omp_bowtie2_prime_tpu.index.format import FMIndex
+
+        fm = FMIndex.load(idx_path)
+        text = np.load(text_path)
+        print(f"loaded {idx_path}: n={fm.n}", flush=True)
+    else:
+        text = rng.integers(0, 4, 4_600_000).astype(np.int8)
+        joined, rm = join_references(["c"], [text])
+        fm = build_index_from_text(joined, rm)
     reads = []
     for i in range(nreads):
         pos = int(rng.integers(0, len(text) - 100))
@@ -76,7 +90,17 @@ def main():
 
         devs = np.array(jax.devices()[:ndev])
         tp_mesh = Mesh(devs.reshape(1, ndev), ("data", "model"))
-        resT, dtT = run(TPUAligner(fm, mesh=tp_mesh))
+        alT = TPUAligner(fm, mesh=tp_mesh)
+        from omp_bowtie2_prime_tpu.parallel.tp_index import (
+            tp_hbm_per_device,
+        )
+
+        hbm = tp_hbm_per_device(alT.idx, ndev)
+        print(f"tp-index bytes/device: sharded "
+              f"{hbm['tp_sharded']/1e6:.1f} MB vs replicated "
+              f"{hbm['replicated']/1e6:.1f} MB "
+              f"({ndev}-way)", flush=True)
+        resT, dtT = run(alT)
         ident_tp = all(key(a) == key(b) for a, b in zip(res1, resT))
         print(f"tp-index {ndev}-way: {nreads/dtT:8.0f} reads/s "
               f"({dtT:.2f}s)")

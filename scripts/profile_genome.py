@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--workdir", default="/tmp/bt2prof")
     ap.add_argument("--build-only", action="store_true",
                     help="build+save the index and exit (no device use)")
+    ap.add_argument("--cprofile", default=None, metavar="OUT.pstats",
+                    help="wrap the measured iterations in cProfile and "
+                         "dump stats (host-phase attribution; use on CPU)")
     ap.add_argument("--pipe", action="store_true",
                     help="-p2 overlap mode: two align workers over "
                          "interleaved batches (host phases hide behind "
@@ -122,6 +125,12 @@ def main():
         al2.align_batch(reads[: args.batch])
         print(f"## warmup2 {time.time()-t0:.1f}s", flush=True)
 
+    prof = None
+    if args.cprofile:
+        import cProfile
+
+        prof = cProfile.Profile()
+        prof.enable()
     best = None
     for it in range(args.iters):
         al.timers.reset()
@@ -160,6 +169,10 @@ def main():
             if al2 is not None:
                 al2.timers.report()
             sys.stderr.flush()
+    if prof is not None:
+        prof.disable()
+        prof.dump_stats(args.cprofile)
+        print(f"## cprofile -> {args.cprofile}", flush=True)
     print(f"## best rps={len(reads)/best:.0f} batch={args.batch}",
           flush=True)
     m = al.metrics
