@@ -31,26 +31,62 @@ static inline int chr(const uint8_t* t, int64_t n, int64_t p) {
     return p < n ? (int)t[p] : -1;
 }
 
-// compare suffixes x, y on characters [depth, maxdepth).
-// returns <0 / 0 / >0; 0 means equal through maxdepth (a tie)
-static inline int sufcmp(const uint8_t* t, int64_t n, int64_t x, int64_t y,
-                         int64_t depth, int64_t maxdepth) {
-    for (int64_t k = depth; k < maxdepth; k++) {
-        int cx = chr(t, n, x + k), cy = chr(t, n, y + k);
-        if (cx != cy) return cx - cy;
-        if (cx < 0) return 0;  // both past end: identical empties
+// 8 chars packed big-endian into a uint64, each encoded c+1 (1..4),
+// past-end bytes 0: unsigned word comparison == per-char comparison
+// with the -1 end sentinel (0 < any real char, first difference wins,
+// both-ended prefixes compare equal). One ~8x-wider step per random
+// access into the text — the sort's cost is cache misses on a
+// multi-GB text, so fewer partition levels is the whole win.
+static inline uint64_t word8(const uint8_t* t, int64_t n, int64_t p) {
+    if (p + 8 <= n) {
+        uint64_t w;
+        std::memcpy(&w, t + p, 8);
+        // bytes are 0..3; +1 each lane, then byte-swap to big-endian
+        w += 0x0101010101010101ULL;
+        return __builtin_bswap64(w);
+    }
+    uint64_t w = 0;
+    for (int k = 0; k < 8; k++) {
+        w = (w << 8) | (uint64_t)(p + k < n ? t[p + k] + 1 : 0);
+    }
+    return w;
+}
+
+// suffix word at word-depth wd, masked so only chars < maxdepth
+// participate (maxdepth need not be a multiple of 8)
+static inline uint64_t wkey(const uint8_t* t, int64_t n, int64_t p,
+                            int64_t wd, int64_t maxdepth) {
+    uint64_t w = word8(t, n, p + wd * 8);
+    int64_t rem = maxdepth - wd * 8;
+    if (rem < 8) {
+        w &= ~0ULL << (8 * (8 - rem));
+    }
+    return w;
+}
+
+// compare suffixes x, y on characters [wd*8, maxdepth) by words.
+static inline int sufcmp_w(const uint8_t* t, int64_t n, int64_t x,
+                           int64_t y, int64_t wd, int64_t maxdepth) {
+    int64_t nw = (maxdepth + 7) / 8;
+    for (int64_t k = wd; k < nw; k++) {
+        uint64_t wx = wkey(t, n, x, k, maxdepth);
+        uint64_t wy = wkey(t, n, y, k, maxdepth);
+        if (wx != wy) return wx < wy ? -1 : 1;
+        if (wx == 0) return 0;  // both past end: identical empties
     }
     return 0;
 }
 
-// multikey quicksort of suffixes by their first maxdepth characters;
-// a[lo, hi), current char depth `depth`. Groups still tied at maxdepth
+// multikey quicksort of suffixes by their first maxdepth characters,
+// partitioning a uint64 WORD (8 chars) per level instead of one char —
+// identical output order (see word8), ~8x fewer random accesses.
+// a[lo, hi), current word depth `wd`. Groups still tied at maxdepth
 // are appended to `ties` (the caller resolves them with sample ranks).
 static void mkq_depth(const uint8_t* t, int64_t n, int64_t* a, int64_t lo,
-                      int64_t hi, int64_t depth, int64_t maxdepth,
+                      int64_t hi, int64_t wd, int64_t maxdepth,
                       std::vector<std::pair<int64_t, int64_t>>* ties) {
     while (hi - lo > 1) {
-        if (depth >= maxdepth) {
+        if (wd * 8 >= maxdepth) {
             if (ties) ties->emplace_back(lo, hi);
             return;
         }
@@ -60,7 +96,7 @@ static void mkq_depth(const uint8_t* t, int64_t n, int64_t* a, int64_t lo,
                 int64_t x = a[i];
                 int64_t j = i;
                 while (j > lo &&
-                       sufcmp(t, n, x, a[j - 1], depth, maxdepth) < 0) {
+                       sufcmp_w(t, n, x, a[j - 1], wd, maxdepth) < 0) {
                     a[j] = a[j - 1];
                     j--;
                 }
@@ -72,7 +108,7 @@ static void mkq_depth(const uint8_t* t, int64_t n, int64_t* a, int64_t lo,
                 while (i < hi) {
                     int64_t j = i + 1;
                     while (j < hi &&
-                           sufcmp(t, n, a[i], a[j], depth, maxdepth) == 0) {
+                           sufcmp_w(t, n, a[i], a[j], wd, maxdepth) == 0) {
                         j++;
                     }
                     if (j - i > 1) ties->emplace_back(i, j);
@@ -81,14 +117,15 @@ static void mkq_depth(const uint8_t* t, int64_t n, int64_t* a, int64_t lo,
             }
             return;
         }
-        // median-of-three pivot on chars at `depth`
-        int cm = chr(t, n, a[lo + (hi - lo) / 2] + depth);
-        int cl = chr(t, n, a[lo] + depth);
-        int ch = chr(t, n, a[hi - 1] + depth);
-        int pv = std::max(std::min(cl, cm), std::min(std::max(cl, cm), ch));
+        // median-of-three pivot on the word at `wd`
+        uint64_t cm = wkey(t, n, a[lo + (hi - lo) / 2], wd, maxdepth);
+        uint64_t cl = wkey(t, n, a[lo], wd, maxdepth);
+        uint64_t ch = wkey(t, n, a[hi - 1], wd, maxdepth);
+        uint64_t pv =
+            std::max(std::min(cl, cm), std::min(std::max(cl, cm), ch));
         int64_t i = lo, j = lo, k = hi;  // [lo,i) <, [i,j) ==, [k,hi) >
         while (j < k) {
-            int cj = chr(t, n, a[j] + depth);
+            uint64_t cj = wkey(t, n, a[j], wd, maxdepth);
             if (cj < pv) {
                 std::swap(a[i++], a[j++]);
             } else if (cj > pv) {
@@ -97,12 +134,12 @@ static void mkq_depth(const uint8_t* t, int64_t n, int64_t* a, int64_t lo,
                 j++;
             }
         }
-        mkq_depth(t, n, a, lo, i, depth, maxdepth, ties);
-        mkq_depth(t, n, a, k, hi, depth, maxdepth, ties);
-        if (pv < 0) return;  // == group all past end: identical empties
+        mkq_depth(t, n, a, lo, i, wd, maxdepth, ties);
+        mkq_depth(t, n, a, k, hi, wd, maxdepth, ties);
+        if (pv == 0) return;  // == group all past end: identical empties
         lo = i;
         hi = k;
-        depth++;
+        wd++;
     }
 }
 

@@ -248,7 +248,7 @@ def sa_blocks(text: np.ndarray, bmax: int, dcv: int = 1024,
 
 def build_index_blockwise(text: np.ndarray, refmap, ftab_k: int | None = None,
                           srate: int = 8, bmax: int | None = None,
-                          dcv: int = 1024) -> FMIndex:
+                          dcv: int = 1024, workers: int = 3) -> FMIndex:
     """build_index_from_text with bounded memory: byte-identical output,
     SA streamed in blocks (never materialized whole)."""
     text = np.asarray(text, dtype=np.int8)
@@ -278,7 +278,7 @@ def build_index_blockwise(text: np.ndarray, refmap, ftab_k: int | None = None,
     run_marks = 0
     pend_chars = np.zeros(0, np.int8)  # <16 chars awaiting a full word
     pend_marks = np.zeros(0, bool)  # <8 mark bits awaiting a full byte
-    for block in sa_blocks(text, bmax=bmax, dcv=dcv):
+    for block in sa_blocks(text, bmax=bmax, dcv=dcv, workers=workers):
         L = len(block)
         prev = block - (block > 0)
         chars = text[prev]

@@ -79,6 +79,131 @@ def draw_args(rng):
     return ref, ours, " ".join(ref) or "(defaults)"
 
 
+def draw_local_args(rng):
+    """One random --local knob combination (VERDICT r4 item 5). The fork
+    cannot run local mode at all (bt2_search.cpp:1345-1348 hard-rejects
+    it), so these trials are validated by the local-mode ORACLE
+    (scripts/oracle_check.py --local: window-optimal soft-clipped score
+    + clip-geometry check) instead of a binary diff.  Returns
+    (our_argv, oracle_argv, label) with the scoring knobs mirrored into
+    the oracle invocation."""
+    ours = [str(rng.choice(["--local", "--very-fast-local", "--fast-local",
+                            "--sensitive-local", "--very-sensitive-local"]))]
+    ma = 2
+    oracle = ["--local"]
+    if rng.random() < 0.4:
+        ma = int(rng.integers(1, 4))
+        ours += ["--ma", str(ma)]
+    oracle += ["--ma", str(ma)]
+    if rng.random() < 0.5:
+        mx = int(rng.integers(3, 8))
+        mn = int(rng.integers(1, min(mx, 4)))
+        ours += ["--mp", f"{mx},{mn}"]
+        oracle += ["--mp", f"{mx},{mn}"]
+    if rng.random() < 0.4:
+        np_ = int(rng.integers(0, 3))
+        ours += ["--np", str(np_)]
+        oracle += ["--np", str(np_)]
+    if rng.random() < 0.4:
+        g = f"{int(rng.integers(3, 7))},{int(rng.integers(2, 5))}"
+        ours += ["--rdg", g]
+        oracle += ["--rdg", g]
+    if rng.random() < 0.4:
+        g = f"{int(rng.integers(3, 7))},{int(rng.integers(2, 5))}"
+        ours += ["--rfg", g]
+        oracle += ["--rfg", g]
+    if rng.random() < 0.4:
+        # local min-score: G,a,b -> a + b*ln(rdlen) (scoring.h setLocal)
+        ours += ["--score-min",
+                 f"G,{rng.choice([8, 12, 20])},{rng.choice([4, 8])}"]
+    if rng.random() < 0.5:
+        ours += ["-L", str(rng.choice([20, 22, 25]))]
+    if rng.random() < 0.4:
+        ours += ["-i", f"S,1,{rng.choice([0.75, 1.15, 2.0])}"]
+    if rng.random() < 0.3:
+        ours += ["-D", str(int(rng.integers(5, 31)))]
+    if rng.random() < 0.3:
+        ours += ["-R", str(int(rng.integers(1, 4)))]
+    if rng.random() < 0.25:
+        ours += ["--ignore-quals"]
+        oracle += ["--ignore-quals"]
+    if rng.random() < 0.2:
+        gb = str(int(rng.integers(2, 9)))
+        ours += ["--gbar", gb]
+        oracle += ["--gbar", gb]
+    return ours, oracle, " ".join(ours)
+
+
+def run_local_trials(args):
+    """Oracle-validated randomized --local trials: for each drawn knob
+    combination, align mutated reads (plus adapter-contaminated reads —
+    the soft-clip case local mode exists for) and assert every sampled
+    record's AS is the window-optimal local score with a valid clip
+    geometry."""
+    import numpy as np
+
+    from omp_bowtie2_prime_tpu.cli import main as climain
+    from omp_bowtie2_prime_tpu.utils import dna
+
+    wd = args.workdir
+    os.makedirs(wd, exist_ok=True)
+    rng = np.random.default_rng(args.seed + 77)
+    failures = 0
+    for t in range(args.trials):
+        rl = int(rng.choice([50, 76, args.readlen, 130]))
+        fa, fq = make_trial_data(rng, wd, args.size, args.reads, rl)
+        # append adapter-contaminated reads: genome prefix + foreign
+        # tail, the clipping workload (upstream manual: local trims)
+        text = None
+        with open(fq, "a") as f:
+            for i in range(args.reads // 4):
+                if text is None:
+                    from omp_bowtie2_prime_tpu.index.fasta import parse_fasta
+
+                    text = parse_fasta(fa)[1][0]
+                pos = int(rng.integers(0, len(text) - rl))
+                keep = int(rng.integers(rl // 2, rl - 5))
+                seq = text[pos : pos + rl].copy()
+                seq[keep:] = rng.integers(0, 4, rl - keep)
+                if rng.integers(0, 2):
+                    seq = dna.revcomp(seq)
+                q = "".join(chr(33 + int(x))
+                            for x in rng.integers(20, 41, rl))
+                f.write(f"@a{i}\n{dna.decode(seq)}\n+\n{q}\n")
+        our_argv, oracle_argv, label = draw_local_args(rng)
+        print(f"[....] local trial {t}: {label}", flush=True)
+        idx = os.path.join(wd, "idx")
+        climain(["build", fa, idx + ".npz"])
+        our_sam = os.path.join(wd, "our_local.sam")
+        t0 = time.time()
+        climain(["align", "-x", idx + ".npz", "-U", fq, "-S", our_sam,
+                 *our_argv])
+        r = subprocess.run(
+            [sys.executable,
+             os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                          "oracle_check.py"),
+             fa, our_sam, "400", *oracle_argv],
+            capture_output=True, text=True,
+        )
+        naln = sum(1 for ln in open(our_sam)
+                   if not ln.startswith("@")
+                   and not int(ln.split("\t", 2)[1]) & 0x104)
+        nclip = sum(1 for ln in open(our_sam)
+                    if not ln.startswith("@")
+                    and "S" in ln.split("\t", 6)[5])
+        ok = r.returncode == 0
+        if not ok:
+            failures += 1
+            print(r.stdout.strip())
+        status = "OK  " if ok else "FAIL"
+        print(f"[{status}] local trial {t}: "
+              f"{r.stdout.strip().splitlines()[-1] if r.stdout else '?'} "
+              f"(aligned {naln}, soft-clipped {nclip}, "
+              f"{time.time()-t0:.0f}s)", flush=True)
+    print(f"\n{args.trials - failures}/{args.trials} local trials clean")
+    sys.exit(1 if failures else 0)
+
+
 def make_trial_data(rng, wd, size, nreads, readlen):
     from omp_bowtie2_prime_tpu.utils import dna
 
@@ -129,7 +254,14 @@ def main():
     ap.add_argument("--readlen", type=int, default=100)
     ap.add_argument("--refbuild", default="/tmp/refbuild")
     ap.add_argument("--workdir", default="/tmp/bt2randargs")
+    ap.add_argument("--local", action="store_true",
+                    help="oracle-validated --local trials instead of the "
+                         "reference-binary differential (VERDICT r4 "
+                         "item 5: the fork hard-rejects local mode)")
     args = ap.parse_args()
+
+    if args.local:
+        run_local_trials(args)
 
     os.makedirs(args.workdir, exist_ok=True)
     wd = args.workdir
