@@ -312,28 +312,46 @@ def _sw_local_tb_pallas_body(reads, pen_mm, rdlens, refs, wlens, p):
     C = W + 1
     LP = (L + 7) // 8
     LP4 = (L + 31) // 32
-    assert B % TB == 0 and L % 8 == 0
+    # The local kernel carries a second trace tensor (the H==0 stop
+    # bits) on top of the e2e layout, and Mosaic double-buffers every
+    # grid-tiled operand in scoped VMEM (16 MB stack limit) with the
+    # lane dim padded to 128 — at TB=256, L=160, C~200+ the tile set
+    # is ~16.5 MB and the compile aborts with a scoped-vmem stack OOM
+    # (seen on v5e via the axon relay). Halve the tile batch until the
+    # estimate fits; output identity is tile-size independent.
+    tbs = TB
+    cpad = -(-C // 128) * 128
+    lpad = -(-L // 128) * 128
+
+    def _vmem_est(t):
+        # double-buffered grid operands + ~8 (TB, C) loop carries
+        return 4 * t * (2 * (LP + LP4) * cpad + 2 * 2 * lpad + 3 * cpad
+                        + 8 * cpad)
+
+    while tbs > 64 and _vmem_est(tbs) > 13 * (1 << 20):
+        tbs //= 2
+    assert B % tbs == 0 and L % 8 == 0
     refs_c = jnp.pad(refs.astype(jnp.int32), ((0, 0), (1, 0)),
                      constant_values=4)
-    grid = (B // TB,)
+    grid = (B // tbs,)
     kernel = functools.partial(_dp_local_kernel, p=p, L=L, C=C)
     best, brow, bcol, tb, tb4 = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, L), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, C), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((TB, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((LP, TB, C), lambda i: (0, i, 0),
+            pl.BlockSpec((tbs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tbs, 1), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((LP, tbs, C), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((LP4, TB, C), lambda i: (0, i, 0),
+            pl.BlockSpec((LP4, tbs, C), lambda i: (0, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
