@@ -13,6 +13,10 @@ def test_native_finisher_used_in_local(monkeypatch):
     import omp_bowtie2_prime_tpu.models.aligner as A
     import test_local as T
     calls = {"native": 0, "fallback": 0}
+    # two native entry points: the columnar single-candidate table
+    # (native.finish_batch inside _finalize_singles_table) and the
+    # multi-candidate object path (_finish_candidates_native); a
+    # fallback from either means the per-record Python backtrace ran
     orig = A.TPUAligner._finish_candidates_native
     def wrapped(self, cands):
         r = orig(self, cands)
@@ -21,6 +25,14 @@ def test_native_finisher_used_in_local(monkeypatch):
             calls["fallback"] += 1
         return r
     monkeypatch.setattr(A.TPUAligner, "_finish_candidates_native", wrapped)
+    orig_fb = native.finish_batch
+    def wrapped_fb(*a, **kw):
+        r = orig_fb(*a, **kw)
+        calls["native"] += 1
+        if r is None:
+            calls["fallback"] += 1
+        return r
+    monkeypatch.setattr(native, "finish_batch", wrapped_fb)
     rng = np.random.default_rng(77)
     text = rng.integers(0, 4, 20000).astype(np.int8)
     from omp_bowtie2_prime_tpu.index.fasta import join_references
