@@ -600,6 +600,12 @@ class TPUAligner:
         o = self.opts
         self.timers = PhaseTimers()
         self.metrics = PipelineMetrics()
+        # self-tuning DP side-buffer size (multiplies _bt_gap_cap): at
+        # genome scale the gapped-alignment fraction can exceed B/16,
+        # and each overflow costs a full-size synchronous retry dispatch
+        # (measured 13.3 s/1M reads at 3.1 Gbp — every chunk retried).
+        # One overflow doubles the cap for every later dispatch.
+        self._gap_cap_mult = 1
         if self.placer is not None and self.placer.model_axis is not None:
             # tensor-parallel index: seed search runs under shard_map so
             # each rank/walk gather recombines the owner device's block
@@ -1518,8 +1524,9 @@ class TPUAligner:
                     d_small = self._put(small)
                     args = (d_small, self._dev_mat, self.idx.ref_words,
                             self.swp, L, C)
-                    futs.append((lo, hi, B, _bt_gap_cap(B),
-                                 _prefetch(bt_fn(*args, _bt_gap_cap(B))),
+                    cap = min(B, _bt_gap_cap(B) * self._gap_cap_mult)
+                    futs.append((lo, hi, B, cap,
+                                 _prefetch(bt_fn(*args, cap)),
                                  lambda a=args, b=B: bt_fn(*a, b)))
             return n, futs
         bt_fn = self._sw_bt_fn if pallas else self._sw_bt_xla
@@ -1531,8 +1538,9 @@ class TPUAligner:
                 big, small = self._dp_chunk(packed, lo, hi, B)
                 args = (self._put(big), self._put(small),
                         self.idx.ref_words, self.swp, L, C, host_refs)
-                futs.append((lo, hi, B, _bt_gap_cap(B),
-                             _prefetch(bt_fn(*args, _bt_gap_cap(B))),
+                cap = min(B, _bt_gap_cap(B) * self._gap_cap_mult)
+                futs.append((lo, hi, B, cap,
+                             _prefetch(bt_fn(*args, cap)),
                              lambda a=args, b=B: bt_fn(*a, b)))
         return n, futs
 
@@ -1544,7 +1552,18 @@ class TPUAligner:
         he = hw + 1
         count = int(a[-1])
         if count > cap and retry is not None:
-            # side-buffer overflow (indel-heavy chunk): full-size retry
+            # side-buffer overflow (indel-heavy chunk): full-size retry.
+            # Also jump the self-tuning cap multiplier straight to what
+            # THIS chunk needed (next power of two, 25% headroom) so
+            # later dispatches ship a big-enough side buffer instead of
+            # paying a synchronous retry every chunk — at genome scale
+            # the gap fraction exceeds B/16 persistently.
+            need = -(-(count + (count >> 2)) // _bt_gap_cap(B))
+            mult = 1
+            while mult < need and mult < 16:
+                mult *= 2
+            if mult > self._gap_cap_mult:
+                self._gap_cap_mult = mult
             a = np.asarray(retry())
             cap = B
         hdr = a[: B * he].reshape(B, he)
@@ -3203,25 +3222,41 @@ class TPUAligner:
         mslot = md_buf.shape[1]
         mq_cache: dict = {}
         mget = mq_cache.get
-        for t in range(len(ok_l)):
-            k = ok_l[t]
-            row = stats_l[t]
+        # hottest loop in the aligner (~1M iterations per 1M reads at
+        # genome scale): iterate with zip, build AlnResults via __new__
+        # + direct slot stores — AlnResult.__init__'s call frame plus
+        # default handling alone measured 6.2 s/1M reads in the GRCh38
+        # profile. Field set must mirror AlnResult.__init__ exactly.
+        new = AlnResult.__new__
+        for k, ri_t, fw_t, sc_t, rid_t, roff_t, minsc_t, len_t, row in zip(
+            ok_l, ri_l, fw_l, sc_l, rid_l, roff_l, minsc_l, len_l, stats_l
+        ):
             if multi:
                 mq = 255  # !canMax short-circuit, unique.h:200-205
             else:
-                key = (sc_l[t], minsc_l[t], len_l[t])
+                key = (sc_t, minsc_t, len_t)
                 mq = mget(key)
                 if mq is None:
                     mq = mq_cache[key] = mapq_fn(
-                        sc_l[t], None, minsc_l[t], bonus * len_l[t]
+                        sc_t, None, minsc_t, bonus * len_t
                     )
-            results[ri_l[t]] = AlnResult(
-                "aligned", fw_l[t], rid_l[t], roff_l[t], sc_l[t], None,
-                mq, None,
-                cig_bytes[k * cslot : k * cslot + row[6]].decode("ascii"),
-                LazyStats(row, md_bytes[k * mslot : k * mslot + row[7]]),
-                1, row[5],
-            )
+            r = new(AlnResult)
+            r.status = "aligned"
+            r.fw = fw_t
+            r.refid = rid_t
+            r.refoff = roff_t
+            r.score = sc_t
+            r.secbest = None
+            r.mapq = mq
+            r._cigar = None
+            r.cigar_str = cig_bytes[k * cslot : k * cslot + row[6]].decode(
+                "ascii")
+            r.stats = LazyStats(row, md_bytes[k * mslot : k * mslot + row[7]])
+            r.nhits = 1
+            r.span = row[5]
+            r.extra = []
+            r.filt = None
+            results[ri_t] = r
         for t in ovf.tolist():
             c = table.candidate(t)
             c.resolved = True
