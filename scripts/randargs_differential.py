@@ -145,11 +145,16 @@ def run_local_trials(args):
     from omp_bowtie2_prime_tpu.cli import main as climain
     from omp_bowtie2_prime_tpu.utils import dna
 
+    import math
+
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
     rng = np.random.default_rng(args.seed + 77)
     failures = 0
-    for t in range(args.trials):
+    done = 0
+    t = -1
+    while done < args.trials:
+        t += 1
         rl = int(rng.choice([50, 76, args.readlen, 130]))
         fa, fq = make_trial_data(rng, wd, args.size, args.reads, rl)
         # append adapter-contaminated reads: genome prefix + foreign
@@ -192,6 +197,29 @@ def run_local_trials(args):
                     if not ln.startswith("@")
                     and "S" in ln.split("\t", 6)[5])
         ok = r.returncode == 0
+        if naln == 0:
+            # a zero-aligned trial is only a valid (vacuous) pass when
+            # the drawn knobs make even a perfect read unalignable:
+            # local min score = G,20,8 -> 20 + 8*ln(rl) vs ma*rl
+            # (scoring.h setLocal; the upstream binary emits nothing
+            # for such configs too). Anything else aligning zero is a
+            # failure, and either way it contributes no oracle
+            # evidence — run a replacement trial.
+            ma = 2
+            if "--ma" in our_argv:
+                ma = int(our_argv[our_argv.index("--ma") + 1])
+            floor = 20.0 + 8.0 * math.log(rl)
+            expected_zero = ma * rl < floor
+            if not expected_zero:
+                ok = False
+            status = "OK-0" if ok else "FAIL"
+            print(f"[{status}] local trial {t}: vacuous (aligned 0, "
+                  f"ma*rl={ma * rl} < G-floor {floor:.1f}: "
+                  f"{expected_zero}); replacement drawn", flush=True)
+            if not ok:
+                failures += 1
+            continue
+        done += 1
         if not ok:
             failures += 1
             print(r.stdout.strip())
@@ -200,7 +228,8 @@ def run_local_trials(args):
               f"{r.stdout.strip().splitlines()[-1] if r.stdout else '?'} "
               f"(aligned {naln}, soft-clipped {nclip}, "
               f"{time.time()-t0:.0f}s)", flush=True)
-    print(f"\n{args.trials - failures}/{args.trials} local trials clean")
+    print(f"\n{done - failures}/{done} non-vacuous local trials clean "
+          f"(+{t + 1 - done} vacuous)")
     sys.exit(1 if failures else 0)
 
 
