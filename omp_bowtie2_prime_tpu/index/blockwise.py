@@ -337,7 +337,15 @@ def build_index_blockwise(text: np.ndarray, refmap, ftab_k: int | None = None,
 
     from .builder import _ftab_hist
 
-    cnt = np.bincount(text, minlength=4).astype(np.int64)
+    # text char counts from the streaming occ totals, NOT
+    # np.bincount(text): bincount casts its int8 input to int64
+    # internally — a +17.1 GB transient at 2.3 Gbp (measured; it was the
+    # single allocation that blew the round-4/5 capped-build peaks to
+    # ~23-24 GB while the whole O(bmax) sort phase held ~10 GB). The
+    # BWT multiset is exactly the text multiset plus the zoff dummy
+    # (coded 0), so run_occ needs only the dummy removed.
+    cnt = run_occ.copy()
+    cnt[0] -= 1
     fchr = np.zeros(5, dtype=np.int64)
     fchr[0] = 1
     for c in range(1, 5):

@@ -165,7 +165,11 @@ def build_index_from_text(
     bwt_words = _pack_padded(bwt, nblocks * OCC_BLOCK)
     occ_cp = _occ_checkpoints(bwt, nblocks)
 
-    cnt = np.bincount(text, minlength=4).astype(np.int64)
+    # chunked count: np.bincount casts int8 input to int64 whole —
+    # a +8n-byte transient (17 GB at 2.3 Gbp, measured)
+    cnt = np.zeros(4, np.int64)
+    for lo in range(0, n, 1 << 26):
+        cnt += np.bincount(text[lo : lo + (1 << 26)], minlength=4)[:4]
     fchr = np.zeros(5, dtype=np.int64)
     fchr[0] = 1  # sentinel occupies row 0..1
     for c in range(1, 5):
